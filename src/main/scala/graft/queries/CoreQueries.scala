@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Core relational surface over the star schema: grouped aggregation
+  * (SURVEY.md §2.4 A11), multi-way joins incl. broadcast dims (§2.3 J1),
+  * window latest-per-group (§2.5 W2), top-k (§2.6 O2), set ops (§2.7
+  * U1–U3), rollup/cube (A11).
+  *
+  * Scale notes: nation/region/supplier are broadcast (no shuffle on the
+  * fact side); the orders⋈lineitem join shuffles on the order key — the
+  * natural co-partitioning key at 100 TB (bucketing both tables by
+  * orderkey removes that shuffle entirely). Doubles are rounded in BOTH
+  * engines so different accumulation orders hash identically.
+  */
+object CoreQueries {
+
+  val q1Agg = Q(
+    "q1_agg",
+    "TPC-H Q1 pricing summary: filter → groupBy → partial-aggregated sums/avgs (map-side combine; single shuffle on 2 low-cardinality keys).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""")
+  )
+
+  val q3TopK = Q(
+    "q3_join_topk",
+    "3-way join + grouped revenue + deterministic top-10 (TakeOrderedAndProject — no full sort at scale).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10""")
+  )
+
+  val q5Volume = Q(
+    "q5_multijoin",
+    "6-way join with broadcast dims (region/nation/supplier) and a same-nation non-key predicate; revenue per nation.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+    Some("""SELECT r_name, n_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""")
+  )
+
+  val semiAnti = Q(
+    "j_semi_anti",
+    "Semi/anti joins: customers with ≥1 urgent order minus any customer holding an open ('O') order — EXISTS/NOT EXISTS as left_semi/left_anti (no row multiplication, map-side with broadcast).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val open   = t.orders.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      t.customer
+        .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+        .join(open, col("c_custkey") === open("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""")
+  )
+
+  val u1Union = Q(
+    "u1_union",
+    "Union of per-source result sets (SURVEY U1): tagged unionByName of two filtered scans, then per-tag counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hi = t.orders.filter(col("o_totalprice") > 400000).select(col("o_orderkey"), lit("high_value").as("tag"))
+      val ur = t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"), lit("urgent").as("tag"))
+      hi.unionByName(ur).groupBy(col("tag")).agg(count(lit(1)).as("n"), count_distinct(col("o_orderkey")).as("n_keys"))
+    },
+    Some("""SELECT tag, count(*) AS n, count(DISTINCT o_orderkey) AS n_keys FROM (
+              SELECT o_orderkey, 'high_value' AS tag FROM orders WHERE o_totalprice > 400000
+              UNION ALL
+              SELECT o_orderkey, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+            ) GROUP BY tag""")
+  )
+
+  val u3SetOps = Q(
+    "u3_setops",
+    "INTERSECT and EXCEPT over key sets (SURVEY U2/U3) — hash-based set ops, shuffle on the key only.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val buyers   = t.orders.select(col("o_custkey").as("c_custkey"))
+      val auto     = t.customer.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      building.intersect(buyers).except(auto)
+        .withColumnRenamed("c_custkey", "custkey")
+    },
+    Some("""SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""")
+  )
+
+  val rollupAgg = Q(
+    "a11_rollup",
+    "ROLLUP over (returnflag, linestatus): hierarchical subtotals in one pass (Expand + single shuffle).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")
+  )
+
+  val cubeAgg = Q(
+    "a11_cube",
+    "CUBE over (orderstatus, orderpriority): all grouping-set combinations.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")
+  )
+
+  val distinctCounts = Q(
+    "a10_distinct_exact",
+    "Exact distinct aggregation per group (dedup path of SURVEY A10).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+            count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, rollupAgg, cubeAgg, distinctCounts)
+}
