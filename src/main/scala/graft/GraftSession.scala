@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver fixtures store ts as parquet TIMESTAMP(NANOS), which Spark
+      // rejects by default; read as long nanos and convert in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 

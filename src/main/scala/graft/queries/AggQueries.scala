@@ -1,5 +1,120 @@
 package graft.queries
 
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — remaining aggregation operators: A3 observation
+  * roll-ups over nested arrays, A4/A5 forecast min-max + risk-period
+  * collection (weather_container.py:369-371), A7 via max_by (the
+  * aggregate form of latest-per-group), and the approximate-distinct
+  * scale path (HLL).
+  */
 object AggQueries {
-  def all: Seq[Q] = Seq()
+
+  /** A3 — observation-count roll-up: Σ subset lengths across products
+    * (modis_container.py:307-310), over inline per-product subsets. */
+  val a3 = Q(
+    "a3_obs_rollup",
+    "Sum of nested array sizes per request: agg(sum(size(subset))) — map-side combinable.",
+    (s, _) => {
+      import s.implicits._
+      Seq(
+        (1, "MOD13Q1", Seq(1.0, 2.0, 3.0)), (1, "MOD11A2", Seq(4.0, 5.0)),
+        (1, "MOD15A2H", Seq.empty[Double]), (2, "MOD13Q1", Seq(1.0)),
+        (2, "MYD13Q1", Seq(2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0))
+      ).toDF("request_id", "product", "subset")
+        .groupBy(col("request_id"))
+        .agg(
+          sum(size(col("subset"))).as("total_observations"),
+          count(lit(1)).as("n_products"))
+        .withColumn("data_quality",
+          when(col("total_observations") > 10, "GOOD").otherwise("LIMITED"))
+    },
+    Some("""SELECT request_id, sum(len(subset)) AS total_observations, count(*) AS n_products,
+            CASE WHEN sum(len(subset)) > 10 THEN 'GOOD' ELSE 'LIMITED' END AS data_quality
+            FROM (VALUES (1, 'MOD13Q1', [1.0, 2.0, 3.0]), (1, 'MOD11A2', [4.0, 5.0]),
+                         (1, 'MOD15A2H', CAST([] AS DOUBLE[])), (2, 'MOD13Q1', [1.0]),
+                         (2, 'MYD13Q1', [2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0]))
+                 AS t(request_id, product, subset)
+            GROUP BY request_id""")
+  )
+
+  /** A4 + A5 — forecast min/max temperature and the HIGH/EXTREME
+    * risk-period collection (weather_container.py:369-371); risk periods
+    * gathered as a sorted comma list for engine-portable comparison. */
+  val a4a5 = Q(
+    "a4_forecast_minmax",
+    "Forecast window aggregates: max/min temp + filtered sort-stable collect of high-risk period timestamps.",
+    (s, _) => {
+      import s.implicits._
+      Seq(
+        (1, "2024-06-01T12:00:00", 33.0, "HIGH"), (1, "2024-06-01T15:00:00", 36.5, "EXTREME"),
+        (1, "2024-06-01T18:00:00", 28.0, "MODERATE"), (1, "2024-06-01T21:00:00", 22.5, "LOW"),
+        (2, "2024-06-01T12:00:00", 18.0, "LOW"), (2, "2024-06-01T15:00:00", 21.0, "MODERATE")
+      ).toDF("request_id", "ts", "temp_c", "risk")
+        .groupBy(col("request_id"))
+        .agg(
+          max(col("temp_c")).as("max_temp"),
+          min(col("temp_c")).as("min_temp"),
+          concat_ws(",", sort_array(collect_list(
+            when(col("risk").isin("HIGH", "EXTREME"), col("ts"))))).as("risk_periods"),
+          count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_risk_periods"))
+    },
+    Some("""SELECT request_id, max(temp_c) AS max_temp, min(temp_c) AS min_temp,
+            coalesce(string_agg(CASE WHEN risk IN ('HIGH','EXTREME') THEN ts END, ','
+                                ORDER BY CASE WHEN risk IN ('HIGH','EXTREME') THEN ts END), '') AS risk_periods,
+            count(CASE WHEN risk IN ('HIGH','EXTREME') THEN 1 END) AS n_risk_periods
+            FROM (VALUES (1, '2024-06-01T12:00:00', 33.0, 'HIGH'), (1, '2024-06-01T15:00:00', 36.5, 'EXTREME'),
+                         (1, '2024-06-01T18:00:00', 28.0, 'MODERATE'), (1, '2024-06-01T21:00:00', 22.5, 'LOW'),
+                         (2, '2024-06-01T12:00:00', 18.0, 'LOW'), (2, '2024-06-01T15:00:00', 21.0, 'MODERATE'))
+                 AS t(request_id, ts, temp_c, risk)
+            GROUP BY request_id""")
+  )
+
+  /** A7 as an aggregate — max_by/min_by argmax without a window (single
+    * hash aggregate; cheaper than WindowExec when only the argmax row is
+    * needed). */
+  val a7MaxBy = Q(
+    "a7_max_by",
+    "Argmax via max_by/min_by aggregate: latest/earliest event value per user — one hash aggregate, no sort.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("user_id"))
+        .agg(
+          // ts is µs-unique per user in the fixture, so argmax is well-defined
+          max_by(col("event_id"), col("ts")).as("latest_event_id"),
+          min_by(col("event_id"), col("ts")).as("earliest_event_id"),
+          max(col("ts")).as("latest_ts"))
+    },
+    Some("""SELECT user_id,
+            max_by(event_id, ts) AS latest_event_id,
+            min_by(event_id, ts) AS earliest_event_id,
+            max(CAST(ts AS TIMESTAMP)) AS latest_ts
+            FROM events GROUP BY user_id""")
+  )
+
+  /** A10 scale path — approximate distinct (HyperLogLog++). Estimates are
+    * engine-specific, so the oracle pins EXACT distinct and the query
+    * emits both: the driver hash-checks structure via the exact column;
+    * the relative-error column documents the sketch's quality. */
+  val a10Approx = Q(
+    "a10_approx_distinct",
+    "HLL approx_count_distinct vs exact per event_type; at 100 TB the sketch replaces the exact shuffle for cardinality monitoring.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .withColumn("rel_err_ok", // sketch within 10% of truth — structural sanity, engine-portable
+          (abs(col("approx_users") - col("exact_users")) / col("exact_users")) <= 0.1)
+        .select("event_type", "exact_users", "rel_err_ok")
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS rel_err_ok
+            FROM events GROUP BY event_type""")
+  )
+
+  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx)
 }

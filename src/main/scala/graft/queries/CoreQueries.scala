@@ -77,13 +77,13 @@ object CoreQueries {
 
   val q5Volume = Q(
     "q5_multijoin",
-    "6-way join with broadcast dims (region/nation/supplier) and a same-nation non-key predicate; revenue per nation.",
+    "6-way join; region/nation are broadcast (constant-size dims), supplier is left UNHINTED — it scales with the fact tables (~10 GB at 100 TB), so AQE picks shuffle-vs-broadcast from runtime stats instead of a hint that would OOM the driver at scale.",
     (s, dir) => {
       val t = Tables(s, dir)
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

@@ -1,5 +1,161 @@
 package graft.queries
 
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 A10 ⊕ — document deduplication over the `documents`
+  * fixture: exact (hash groupBy), banded MinHash near-dup (the LSH scale
+  * path), and SimHash fingerprints.
+  *
+  * Hashing is md5-based in BOTH engines so the DuckDB oracle reproduces
+  * the exact candidate sets: a MinHash here is the lexicographic MIN of
+  * the md5 hex digests of the salted tokens — a valid uniform MinHash
+  * family (hex strings order like their 128-bit values) that is portable
+  * across engines, unlike Spark's xxhash64 vs DuckDB's internal hash.
+  *
+  * Scale notes: the banded join shuffles on (band, band_key) — never
+  * all-pairs. At 100 TB the candidate volume is controlled by the band/row
+  * parameters (more rows per band → fewer, higher-precision candidates);
+  * the verify join is an equi-join on doc ids. The exact-dup query is one
+  * hash aggregate on the fingerprint.
+  */
 object DedupQueries {
-  def all: Seq[Q] = Seq()
+
+  private val NumHashes = 6
+  private val BandRows = 2 // 3 bands × 2 rows
+
+  /** Distinct token set per document — the shingle basis for MinHash and
+    * Jaccard (word-level 1-grams; the fixture's small vocabulary makes
+    * token-set Jaccard the discriminative signal). */
+  private def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** A10 exact — md5-fingerprint dedup summary per source. */
+  val exact = Q(
+    "a10_dedup_exact",
+    "Exact dedup: md5(lower(text)) fingerprint → per-source distinct counts + duplicate-row count. One hash aggregate.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("fp", md5(lower(col("text"))))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_distinct"),
+          (count(lit(1)) - count_distinct(col("fp"))).as("n_duplicates")
+        )
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+            count(DISTINCT md5(lower(text))) AS n_distinct,
+            count(*) - count(DISTINCT md5(lower(text))) AS n_duplicates
+            FROM documents GROUP BY source""")
+  )
+
+  /** A10 near-dup — banded MinHash LSH: 6 signatures → 3 bands of 2 →
+    * bucket join → exact Jaccard verify at ≥0.9. The oracle mirrors the
+    * identical md5 MinHash, so candidate sets (and therefore results)
+    * match exactly. */
+  val neardup = Q(
+    "a10_neardup_minhash",
+    "MinHash+LSH near-duplicate pairs: salted-md5 min signatures, banded bucket equi-join (no all-pairs), exact Jaccard >= 0.9 verification.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = tokenSets(t.documents)
+
+      val sigs = (0 until NumHashes).foldLeft(toks) { (df, i) =>
+        df.withColumn(s"mh$i",
+          array_min(transform(col("toks"), tk => md5(concat(tk, lit(s"#$i"))))))
+      }
+      val bandStructs: Seq[Column] = (0 until NumHashes / BandRows).map { b =>
+        struct(lit(b).as("b"),
+          concat(col(s"mh${BandRows * b}"), col(s"mh${BandRows * b + 1}")).as("band_key"))
+      }
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+
+      val left = bands.select(col("b"), col("band_key"), col("doc_id").as("i"))
+      val right = bands.select(col("b"), col("band_key"), col("doc_id").as("j"))
+      val cands = left.join(right, Seq("b", "band_key"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+
+      val ta = toks.select(col("doc_id").as("i"), col("toks").as("toks_i"))
+      val tb = toks.select(col("doc_id").as("j"), col("toks").as("toks_j"))
+      cands.join(ta, "i").join(tb, "j")
+        .withColumn("inter", size(array_intersect(col("toks_i"), col("toks_j"))))
+        .withColumn("jac",
+          col("inter").cast("double") /
+            (size(col("toks_i")) + size(col("toks_j")) - col("inter")))
+        .filter(col("jac") >= 0.9)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+            ), sig AS (
+              SELECT doc_id, toks,
+                [ list_aggregate(list_transform(toks, t -> md5(t || '#' || CAST(i AS VARCHAR))), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM d
+            ), bands AS (
+              SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 2)) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id
+            ), ver AS (
+              SELECT i, j,
+                CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE) /
+                (len(da.toks) + len(db.toks)
+                   - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) AS jac
+              FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j
+            )
+            SELECT i, j, round(jac, 6) AS jaccard FROM ver WHERE jac >= 0.9""")
+  )
+
+  /** A10 SimHash — 16-bit sign-aggregated fingerprint from the first hex
+    * quartet of each token's md5; identical bit math in both engines. */
+  val simhash = Q(
+    "a10_simhash",
+    "SimHash fingerprints: token md5 → 16-bit value → per-bit +/-1 vote → sign → fingerprint; per-source distinct-fingerprint counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      tokenSets(t.documents)
+        .join(t.documents.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+        .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+        .select(col("doc_id"), col("source"), col("hv"), explode(expr("sequence(0, 15)")).as("bit"))
+        .withColumn("vote", when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("source"), col("bit"))
+        .agg(sum(col("vote")).as("v"))
+        .withColumn("bitval", expr("CASE WHEN v > 0 THEN shiftleft(1, CAST(bit AS INT)) ELSE 0 END"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("bitval")).as("simhash"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count_distinct(col("simhash")).as("n_fingerprints"))
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+            ), hv AS (
+              SELECT doc_id, source, CAST(concat('0x', substring(md5(tok), 1, 4)) AS INT) AS hv
+              FROM tok
+            ), bits AS (
+              SELECT doc_id, source, b.bit,
+                CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+              FROM hv, unnest(generate_series(0, 15)) AS b(bit)
+            ), votes AS (
+              SELECT doc_id, source, bit, sum(vote) AS v FROM bits GROUP BY doc_id, source, bit
+            ), fp AS (
+              SELECT doc_id, source,
+                sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id, source
+            )
+            SELECT source, count(*) AS n_docs, count(DISTINCT simhash) AS n_fingerprints
+            FROM fp GROUP BY source""")
+  )
+
+  def all: Seq[Q] = Seq(exact, neardup, simhash)
 }

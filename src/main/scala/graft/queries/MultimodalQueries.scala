@@ -1,5 +1,87 @@
 package graft.queries
 
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 X23 + multimodal ⊕ — opaque binary payload columns with
+  * typed metadata, the shape a multimodal training pipeline uses for
+  * image/audio/video blobs. The reference base64-encodes GeoTIFF bytes at
+  * the JSON boundary (/root/reference/containers/landfire/
+  * landfire_container.py:308-320); here the binary column is first-class
+  * (`BinaryType`) and base64 is only the serialization boundary.
+  *
+  * The decode/feature-extract step (no image libs in this container) is a
+  * deterministic stub in [[graft.ops.MultimodalStub]] — the Spark-side
+  * plumbing (schema, batch partitioning, per-partition iteration) is real
+  * and unit-tested; only the codec kernel is fake.
+  */
 object MultimodalQueries {
-  def all: Seq[Q] = Seq()
+
+  /** X23 — binary round-trip: text → bytes → base64 → bytes → text, with
+    * octet lengths. Proves BinaryType columns + the serialization
+    * boundary relationally. */
+  val m1 = Q(
+    "m1_binary_roundtrip",
+    "BinaryType column surface: encode → octet_length → base64 → unbase64 → decode round-trip flag per document.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .filter(col("doc_id") < 50)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("n_bytes", octet_length(col("payload")))
+        // Spark's base64 may emit RFC-2045 MIME line breaks every 76 chars
+        // (legacy chunking); normalize to the unchunked RFC-4648 form
+        .withColumn("b64", regexp_replace(base64(col("payload")), "\r\n", ""))
+        .withColumn("b64_len", length(col("b64")))
+        .withColumn("roundtrip_ok", decode(unbase64(col("b64")), "UTF-8") === col("text"))
+        .select("doc_id", "n_bytes", "b64_len", "roundtrip_ok")
+    },
+    Some("""SELECT doc_id,
+            octet_length(encode(text)) AS n_bytes,
+            length(base64(encode(text))) AS b64_len,
+            (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+            FROM documents WHERE doc_id < 50""")
+  )
+
+  /** Multimodal metadata table: binary media blobs (synthesized
+    * deterministically from doc text) + typed metadata, with the batch
+    * bucketing/partition-assignment columns a mapInPandas/mapPartitions
+    * feature-extraction pass would consume. */
+  val m2 = Q(
+    "m2_media_metadata",
+    "Opaque media blobs + typed metadata: dims/byte-size derivation, megapixel math, aspect bucket, deterministic batch assignment for partition-wise decode.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .filter(col("doc_id") < 100)
+        .withColumn("media_type",
+          element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+            (col("doc_id") % 3 + 1).cast("int")))
+        .withColumn("width", (col("doc_id") % 8 * 160 + 320).cast("int"))
+        .withColumn("height", (col("doc_id") % 5 * 90 + 240).cast("int"))
+        .withColumn("blob", encode(col("text"), "UTF-8")) // stand-in payload
+        .withColumn("n_bytes", octet_length(col("blob")))
+        .withColumn("megapixels", round(col("width") * col("height") / 1e6, 4))
+        .withColumn("aspect",
+          when(col("width") * 3 === col("height") * 4, "4:3")
+            .when(col("width") * 9 === col("height") * 16, "16:9")
+            .otherwise("other"))
+        .withColumn("decode_batch", (col("doc_id") % 8).cast("int"))
+        .select("doc_id", "media_type", "width", "height", "n_bytes",
+          "megapixels", "aspect", "decode_batch")
+    },
+    Some("""SELECT doc_id,
+            (['image/png', 'audio/wav', 'video/mp4'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+            CAST(doc_id % 8 * 160 + 320 AS INT) AS width,
+            CAST(doc_id % 5 * 90 + 240 AS INT) AS height,
+            octet_length(encode(text)) AS n_bytes,
+            round(CAST(doc_id % 8 * 160 + 320 AS INT) * CAST(doc_id % 5 * 90 + 240 AS INT) / 1e6, 4) AS megapixels,
+            CASE WHEN (doc_id % 8 * 160 + 320) * 3 = (doc_id % 5 * 90 + 240) * 4 THEN '4:3'
+                 WHEN (doc_id % 8 * 160 + 320) * 9 = (doc_id % 5 * 90 + 240) * 16 THEN '16:9'
+                 ELSE 'other' END AS aspect,
+            CAST(doc_id % 8 AS INT) AS decode_batch
+            FROM documents WHERE doc_id < 100""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2)
 }

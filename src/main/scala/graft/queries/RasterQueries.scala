@@ -1,5 +1,175 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 A1/A2 + §2.3 J2/J3 + §2.8 X6/X8/X14 — the raster
+  * vertical. The reference decodes GeoTIFF bytes with rasterio and runs
+  * numpy over the pixel grid (/root/reference/containers/topography/
+  * topography_container.py:233-296, containers/landfire/
+  * landfire_container.py:86-132); here the raster is a relational pixel
+  * grid (product, row, col, value) — the decode step is a source concern
+  * (see graft.ops.RasterGrid for the binary-decode stub) and everything
+  * after it is plain Catalyst: masked aggregates, affine index math,
+  * equi-join point lookup, broadcast range-classification join.
+  *
+  * Scale notes: a 100 TB raster estate is billions of (tile, row, col)
+  * pixel rows in parquet — partition by tile/product and every operator
+  * below stays partition-local except the final tiny roll-ups. The
+  * classification join broadcasts the (constant-size) class table; the
+  * range fallback is a broadcast non-equi join, never a shuffle.
+  */
 object RasterQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Deterministic synthetic 16×16 single-band grid, generated
+    * identically in both engines: elev = ((r·31 + c·17) mod 97) + r/2,
+    * with nodata (-9999) where (r·c) mod 13 == 0. */
+  private def pixelGrid(s: SparkSession): DataFrame =
+    s.range(1).select(explode(expr("sequence(0, 15)")).as("r"))
+      .select(col("r"), explode(expr("sequence(0, 15)")).as("c"))
+      .withColumn("elev",
+        when((col("r") * col("c")) % 13 === 0, -9999.0)
+          .otherwise(((col("r") * 31 + col("c") * 17) % 97).cast("double") + col("r") * 0.5))
+
+  private val gridSql =
+    """SELECT r, c,
+       CASE WHEN (r * c) % 13 = 0 THEN -9999.0
+            ELSE CAST((r * 31 + c * 17) % 97 AS DOUBLE) + r * 0.5 END AS elev
+       FROM generate_series(0, 15) AS rs(r), generate_series(0, 15) AS cs(c)"""
+
+  /** A1 + A2 — masked raster statistics and the elevation-range terrain
+    * classification (topography_container.py:251-274). */
+  val a1 = Q(
+    "a1_raster_stats",
+    "Masked raster stats: nodata filter → min/max/mean/stddev_pop/count, elevation range → terrain class when-chain.",
+    (s, _) => {
+      pixelGrid(s)
+        .filter(col("elev") =!= -9999.0)
+        .agg(
+          round(min(col("elev")), 6).as("min_elevation_m"),
+          round(max(col("elev")), 6).as("max_elevation_m"),
+          round(avg(col("elev")), 6).as("mean_elevation_m"),
+          round(stddev_pop(col("elev")), 6).as("std_elevation_m"),
+          count(lit(1)).as("pixel_count"))
+        .withColumn("elevation_range_m", col("max_elevation_m") - col("min_elevation_m"))
+        .withColumn("terrain_roughness",
+          when(col("elevation_range_m") > 100, "HIGH")
+            .when(col("elevation_range_m") > 50, "MODERATE")
+            .otherwise("LOW"))
+    },
+    Some(s"""WITH g AS ($gridSql)
+            SELECT round(min(elev), 6) AS min_elevation_m,
+                   round(max(elev), 6) AS max_elevation_m,
+                   round(avg(elev), 6) AS mean_elevation_m,
+                   round(stddev_pop(elev), 6) AS std_elevation_m,
+                   count(*) AS pixel_count,
+                   round(max(elev), 6) - round(min(elev), 6) AS elevation_range_m,
+                   CASE WHEN round(max(elev), 6) - round(min(elev), 6) > 100 THEN 'HIGH'
+                        WHEN round(max(elev), 6) - round(min(elev), 6) > 50 THEN 'MODERATE'
+                        ELSE 'LOW' END AS terrain_roughness
+            FROM g WHERE elev <> -9999.0""")
+  )
+
+  /** J3 + X6 + X8 — point-in-raster lookup: inverse affine transform
+    * (lat/lon → row/col), bounds check, pixel extraction via equi-join on
+    * the grid (landfire_container.py:86-116). Transform: x0=-118.4,
+    * dx=0.01, y0=34.2, dy=-0.01 (north-up). */
+  val j3 = Q(
+    "j3_point_lookup",
+    "Affine rowcol (col=floor((lon-x0)/dx), row=floor((lat-y0)/dy)) + bounds check + pixel equi-join — the relational form of point-in-raster.",
+    (s, _) => {
+      import s.implicits._
+      val pts = Seq(
+        (1, 34.155, -118.355), // in bounds
+        (2, 34.095, -118.275), // in bounds
+        (3, 34.500, -118.300), // north of grid → out of bounds
+        (4, 34.120, -117.900)  // east of grid → out of bounds
+      ).toDF("id", "lat", "lon")
+        .withColumn("px_col", floor((col("lon") - lit(-118.4)) / 0.01).cast("int"))
+        .withColumn("px_row", floor((col("lat") - lit(34.2)) / -0.01).cast("int"))
+        .withColumn("in_bounds",
+          col("px_row").between(0, 15) && col("px_col").between(0, 15))
+      pts.join(pixelGrid(s),
+          pts("px_row") === col("r") && pts("px_col") === col("c"), "left")
+        .select(col("id"), col("px_row"), col("px_col"), col("in_bounds"),
+          when(col("in_bounds"), col("elev")).as("pixel_value"))
+    },
+    Some(s"""WITH g AS ($gridSql),
+            pts AS (
+              SELECT id, CAST(floor((lon - (-118.4)) / 0.01) AS INT) AS px_col,
+                     CAST(floor((lat - 34.2) / -0.01) AS INT) AS px_row
+              FROM (VALUES (1, 34.155, -118.355), (2, 34.095, -118.275),
+                           (3, 34.500, -118.300), (4, 34.120, -117.900)) AS t(id, lat, lon))
+            SELECT id, px_row, px_col,
+              (px_row BETWEEN 0 AND 15 AND px_col BETWEEN 0 AND 15) AS in_bounds,
+              CASE WHEN px_row BETWEEN 0 AND 15 AND px_col BETWEEN 0 AND 15 THEN g.elev END AS pixel_value
+            FROM pts LEFT JOIN g ON g.r = px_row AND g.c = px_col""")
+  )
+
+  /** J2 + X14 — pixel classification: exact attribute-table match first,
+    * then range-membership fallback, then the literal "Unknown (v)"
+    * default (landfire_container.py:68-84, 118-132). Both joins
+    * broadcast; precedence via coalesce. */
+  val j2 = Q(
+    "j2_range_classify",
+    "Classification lookup with precedence: broadcast exact equi-join, else broadcast non-equi range join (lo <= v < hi), else formatted default.",
+    (s, _) => {
+      import s.implicits._
+      val pixels = s.range(0, 120).select((col("id") * 101 % 12000).cast("int").as("pixel_value"))
+      val exact = broadcast(Seq(
+        (7296, "Developed-Roads"), (7292, "Developed-Medium Intensity"), (3215, "Montane Sagebrush Steppe")
+      ).toDF("code", "exact_label"))
+      val ranges = broadcast(Seq(
+        (7000, 8000, "Urban/Developed"), (6000, 7000, "Agriculture/Cropland"),
+        (3000, 4000, "Forest"), (2000, 3000, "Grassland"), (4000, 5000, "Shrubland")
+      ).toDF("lo", "hi", "range_label"))
+      pixels
+        .join(exact, col("pixel_value") === col("code"), "left")
+        .join(ranges, col("pixel_value") >= col("lo") && col("pixel_value") < col("hi"), "left")
+        .withColumn("interpreted",
+          coalesce(col("exact_label"), col("range_label"),
+            concat(lit("Unknown ("), col("pixel_value"), lit(")"))))
+        .groupBy(col("interpreted"))
+        .agg(count(lit(1)).as("n_pixels"))
+    },
+    Some("""WITH px AS (SELECT CAST(i * 101 % 12000 AS INT) AS pixel_value FROM generate_series(0, 119) AS t(i)),
+            ex(code, exact_label) AS (VALUES (7296, 'Developed-Roads'), (7292, 'Developed-Medium Intensity'),
+                                             (3215, 'Montane Sagebrush Steppe')),
+            rg(lo, hi, range_label) AS (VALUES (7000, 8000, 'Urban/Developed'), (6000, 7000, 'Agriculture/Cropland'),
+                                               (3000, 4000, 'Forest'), (2000, 3000, 'Grassland'), (4000, 5000, 'Shrubland'))
+            SELECT coalesce(ex.exact_label, rg.range_label,
+                            concat('Unknown (', CAST(px.pixel_value AS VARCHAR), ')')) AS interpreted,
+                   count(*) AS n_pixels
+            FROM px LEFT JOIN ex ON px.pixel_value = ex.code
+                    LEFT JOIN rg ON px.pixel_value >= rg.lo AND px.pixel_value < rg.hi
+            GROUP BY 1""")
+  )
+
+  /** A8 — class-percentage histogram over the buffer area
+    * (shared_schema.py:242-249): per-class pixel share of the valid
+    * total, via a windowed ratio. */
+  val a8 = Q(
+    "a8_class_percentages",
+    "Class-percentage histogram: classify pixels by value band, count per class, percentage vs the windowed total.",
+    (s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      pixelGrid(s)
+        .filter(col("elev") =!= -9999.0)
+        .withColumn("cls",
+          when(col("elev") >= 70, "high").when(col("elev") >= 35, "mid").otherwise("low"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 4))
+    },
+    Some(s"""WITH g AS ($gridSql),
+            c AS (
+              SELECT CASE WHEN elev >= 70 THEN 'high' WHEN elev >= 35 THEN 'mid' ELSE 'low' END AS cls
+              FROM g WHERE elev <> -9999.0)
+            SELECT cls, count(*) AS n,
+                   round(CAST(count(*) AS DOUBLE) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+            FROM c GROUP BY cls""")
+  )
+
+  def all: Seq[Q] = Seq(a1, j3, j2, a8)
 }

@@ -1,5 +1,149 @@
 package graft.queries
 
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 J5 / §2.8 X29 ⊕ — similarity search over the
+  * `embeddings` fixture (`Array[Float]`, 64 dims).
+  *
+  * Vector math is pure higher-order built-ins (`zip_with` + `aggregate`),
+  * i.e. codegen'd Catalyst expressions — no UDF. Elements are cast to
+  * double BEFORE multiply so both engines accumulate the identical double
+  * sequence left-to-right and results are bit-equal.
+  *
+  * Scale notes: brute-force top-k broadcasts the (tiny) query side — a
+  * BroadcastNestedLoopJoin over the corpus, which is a single corpus scan
+  * per batch of queries and the correct baseline plan; there is NO
+  * CartesianProduct. The LSH variant buckets by coordinate signs and
+  * equi-joins on the bucket key — a hash join whose probe side shrinks
+  * 2^bits-fold, the shape that survives a 100 TB corpus (bucket key
+  * becomes the shuffle/bucketing key; skewed buckets fall to AQE).
+  */
 object SimilarityQueries {
-  def all: Seq[Q] = Seq()
+
+  private val Dims = 64
+
+  /** Σ aᵢ·bᵢ with per-element double casts (deterministic accumulation). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** X29 — vector math surface: norms and per-label aggregates. */
+  val x29 = Q(
+    "x29_vector_norms",
+    "Embedding L2 norms via zip_with+aggregate fold; per-label count/mean-norm roll-up.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.embeddings
+        .withColumn("l2", norm(col("embedding")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("l2")), 6).as("avg_norm"),
+          round(min(col("l2")), 6).as("min_norm"), round(max(col("l2")), 6).as("max_norm"))
+    },
+    Some("""WITH n AS (
+              SELECT label,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS l2
+              FROM embeddings)
+            SELECT label, count(*) AS n, round(avg(l2), 6) AS avg_norm,
+                   round(min(l2), 6) AS min_norm, round(max(l2), 6) AS max_norm
+            FROM n GROUP BY label""")
+  )
+
+  /** J5 baseline — exact brute-force top-5 cosine neighbors for a small
+    * query set, broadcast over the corpus. */
+  val topk = Q(
+    "j5_topk_cosine",
+    "Brute-force exact top-k cosine: broadcast query side over corpus scan, window rank per query (deterministic double math, no ties).",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val queries = broadcast(
+        base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      queries.join(base, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS cos
+              FROM n q JOIN n e ON q.vec_id < 5 AND q.vec_id <> e.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM pairs)
+            SELECT q_id, vec_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5""")
+  )
+
+  /** J5 scale path — sign-LSH bucketing: bucket key = sign pattern of the
+    * first 8 coordinates (axis-aligned random-hyperplane LSH); candidates
+    * equi-join within buckets only, then exact cosine rerank top-3. */
+  val lsh = Q(
+    "j5_lsh_bucketed",
+    "LSH-bucketed ANN: 8-bit sign bucket key → hash equi-join within buckets (probe side shrinks ~256x) → exact cosine rerank, top-3 per query.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val bucketExpr = (1 to 8).map(i =>
+        when(element_at(col("embedding"), i) >= 0f, "1").otherwise("0")).reduce(concat(_, _))
+      val base = t.embeddings
+        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("bucket", bucketExpr)
+      val queries = base.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      queries.join(base, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm,
+                concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                       CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+              FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS cos
+              FROM n q JOIN n e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+              WHERE q.vec_id < 50),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM pairs)
+            SELECT q_id, vec_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(x29, topk, lsh)
 }

@@ -1,5 +1,178 @@
 package graft.queries
 
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5 — time-series selection over the `events` fixture.
+  *
+  * The reference's subtlest correctness trap is A7: the NDVI loop keeps the
+  * LAST valid observation (no break — /root/reference/containers/modis/
+  * modis_container.py:248-258) while the LST loop keeps the FIRST valid one
+  * (break at :301). Both variants are explicit `orderBy` directions here —
+  * never source order (O1).
+  *
+  * Scale notes: latest-per-group is a single shuffle on the group key with
+  * the rank filter applied map-side after sort within partitions
+  * (WindowExec); at 100 TB the partition count on (user_id) keys is the
+  * knob, and AQE coalesces post-shuffle. The tumbling-window agg is a plain
+  * hash aggregate on (bucket, type) — no windowing state needed in batch.
+  */
 object TimeSeriesQueries {
-  def all: Seq[Q] = Seq()
+
+  private val validValue = col("value").between(1.0, 400.0) // F9-style validity band
+
+  /** A7 last-valid variant (NDVI semantics, modis_container.py:258):
+    * newest valid observation per (user_id, event_type). */
+  val a7Last = Q(
+    "a7_latest_last",
+    "Latest-valid-per-group argmax, LAST-valid semantics: filter validity, rank by ts DESC (event_id DESC tiebreak), keep row_number=1.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t.events
+        .filter(validValue)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+    },
+    Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events WHERE value BETWEEN 1.0 AND 400.0
+            ) WHERE rn = 1""")
+  )
+
+  /** A7 first-valid variant (LST semantics, modis_container.py:301):
+    * oldest valid observation per (user_id, event_type). */
+  val a7First = Q(
+    "a7_latest_first",
+    "Latest-valid-per-group argmax, FIRST-valid semantics (the reference's `break` on first hit): rank by ts ASC.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .filter(validValue)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+    },
+    Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events WHERE value BETWEEN 1.0 AND 400.0
+            ) WHERE rn = 1""")
+  )
+
+  /** W1 — lookback window: effective = max(days_back, 90) days before a
+    * fixed `now` param (reproducible — the reference uses wall clock,
+    * modis_container.py:87-100), plus the X16 AYYYYDDD MODIS date encode. */
+  val w1 = Q(
+    "w1_lookback",
+    "90-day-floor lookback window from a fixed reference instant + AYYYYDDD day-of-year encoding; per-type in/out-of-window counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val now = to_timestamp(lit("2024-04-15 00:00:00"))
+      val daysBack = lit(14) // < 90 → the 90-day floor wins
+      val effective = greatest(daysBack, lit(90))
+      t.events
+        .withColumn("window_start", to_date(date_sub(now.cast("date"), 90))) // effective is constant here
+        .withColumn("in_window", col("ts") >= col("window_start").cast("timestamp"))
+        .withColumn("modis_date",
+          concat(lit("A"), year(col("ts")), lpad(date_format(col("ts"), "D"), 3, "0")))
+        .groupBy(col("event_type"), col("modis_date"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("in_window"), 1)).as("n_in_window"),
+          max(col("window_start").cast("string")).as("window_start")
+        )
+    },
+    Some("""SELECT event_type,
+            concat('A', CAST(year(ts) AS VARCHAR), strftime(ts, '%j')) AS modis_date,
+            count(*) AS n,
+            count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-04-15 00:00:00' - INTERVAL 90 DAY THEN 1 END) AS n_in_window,
+            max(strftime(TIMESTAMP '2024-04-15 00:00:00' - INTERVAL 90 DAY, '%Y-%m-%d')) AS window_start
+            FROM events
+            GROUP BY event_type, concat('A', CAST(year(ts) AS VARCHAR), strftime(ts, '%j'))""")
+  )
+
+  /** W2 — general window-function surface: rank/lag/lead/moving average
+    * per user ordered by time. */
+  val w2 = Q(
+    "w2_window_funcs",
+    "Ranking + offset + sliding-frame window functions per user: row_number, prior/next value (lag/lead), 3-row moving average. One shuffle on user_id; frames evaluated in-sort.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .filter(col("user_id") < 20)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("mov_avg3", round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4))
+        .select(col("user_id"), col("event_id"), col("rn"), col("value"),
+          col("prev_value"), col("next_value"), col("mov_avg3"))
+    },
+    Some("""SELECT user_id, event_id,
+            row_number() OVER w AS rn, value,
+            lag(value, 1) OVER w AS prev_value,
+            lead(value, 1) OVER w AS next_value,
+            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")
+  )
+
+  /** W3 — tumbling event-time windows (batch shape; the streaming variant
+    * with watermark lives in graft.streaming.EventStreamPipeline). */
+  val w3 = Q(
+    "w3_tumbling",
+    "10-minute tumbling event-time windows per event_type: count + rounded mean; epoch-aligned buckets match time_bucket.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
+    },
+    Some("""SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS win_start,
+            event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2""")
+  )
+
+  /** W3 session variant — gap-based session windows (5-minute inactivity
+    * gap) per user. The oracle derives sessions relationally (lag → gap
+    * flag → running sum), pinning Spark's `session_window` semantics:
+    * session start = first event ts. */
+  val w3Session = Q(
+    "w3_session",
+    "Session windows (5-min gap) per user via session_window; oracle reproduces sessionization with lag + cumulative sum island detection.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .filter(col("user_id") < 50)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '5 minutes'
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events WHERE user_id < 50
+            ), sess AS (
+              SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e
+            )
+            SELECT min(ts) AS session_start, user_id,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY user_id, session_id""")
+  )
+
+  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w3, w3Session)
 }
