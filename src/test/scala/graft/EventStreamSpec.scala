@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.EventStreamPipeline
+import org.apache.spark.sql.functions._
+
+/** Drives the real Structured Streaming pipeline (readStream → route /
+  * watermark+window → foreachBatch sink) over the sf0.001 events fixture
+  * and asserts the streamed result equals the batch plan on the same
+  * data — the equivalence Structured Streaming guarantees for complete
+  * append-only inputs. */
+class EventStreamSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val srcDir: String = {
+    // Re-materialize events with µs timestamps (the raw fixture is
+    // TIMESTAMP(NANOS), which the stream source schema can't read).
+    val dir = tmp("events_src")
+    Tables(spark, "/root/testdata/sf0.001").events
+      .repartition(8) // several files → several micro-batches with maxFilesPerTrigger=4
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("T1-T3: routing stream lands every event exactly once with correct routing") {
+    val sink = tmp("route_sink")
+    val q = EventStreamPipeline.runRouting(spark, srcDir, sink, tmp("route_ck"))
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(sink)
+    val batch = EventStreamPipeline.route(Tables(spark, "/root/testdata/sf0.001").events)
+
+    assert(out.count() == batch.count()) // every event, exactly once
+    assert(out.select("event_id").distinct().count() == out.count())
+    // routing semantics survive the stream boundary
+    val mism = out.join(
+      batch.select(col("event_id"), col("sources").as("b_sources"), col("timeout_s").as("b_timeout")),
+      "event_id")
+      .filter(col("sources") =!= col("b_sources") || col("timeout_s") =!= col("b_timeout"))
+      .count()
+    assert(mism == 0)
+    // emergency routing gets all four sources and the 60s budget
+    val emer = out.filter(col("priority") === "emergency")
+    assert(emer.count() > 0)
+    assert(emer.filter(col("sources") =!= "landfire,modis,weather,topography" ||
+      col("timeout_s") =!= 60).count() == 0)
+  }
+
+  test("T5/W3: watermarked windowed stream equals the batch windowed aggregation") {
+    val sink = tmp("win_sink")
+    val q = EventStreamPipeline.runWindowed(spark, srcDir, sink, tmp("win_ck"))
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(sink)
+    val batch = EventStreamPipeline.windowedCounts(
+      Tables(spark, "/root/testdata/sf0.001").events)
+
+    // append mode only emits windows the watermark has closed; every
+    // emitted window must match batch exactly, and most windows close
+    // (only the trailing watermark horizon stays open).
+    val joined = streamed.join(batch.withColumnRenamed("n", "b_n").withColumnRenamed("avg_value", "b_avg"),
+      Seq("win_start", "event_type"), "left")
+    assert(joined.filter(col("b_n").isNull).count() == 0) // nothing fabricated
+    assert(joined.filter(col("n") =!= col("b_n") || col("avg_value") =!= col("b_avg")).count() == 0)
+    assert(streamed.count() >= batch.count() / 2) // the bulk of windows finalized
+  }
+}
