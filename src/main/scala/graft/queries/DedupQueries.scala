@@ -24,6 +24,7 @@ object DedupQueries {
 
   private val NumHashes = 6
   private val BandRows = 2 // 3 bands × 2 rows
+  private val MaxBucket = 100 // skew cap: drop degenerate LSH buckets
 
   /** Distinct token set per document — the shingle basis for MinHash and
     * Jaccard (word-level 1-grams; the fixture's small vocabulary makes
@@ -71,9 +72,20 @@ object DedupQueries {
         struct(lit(b).as("b"),
           concat(col(s"mh${BandRows * b}"), col(s"mh${BandRows * b + 1}")).as("band_key"))
       }
-      val bands = sigs
+      val allBands = sigs
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
         .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+
+      // Skew guard (production LSH practice): drop degenerate mega-buckets.
+      // A bucket holding >MaxBucket docs means the shingle basis is
+      // non-discriminative there, and its O(n²) pair expansion would
+      // dominate the job (observed: one bucket with 63% of the corpus →
+      // 15.5M candidate pairs). Singleton buckets produce no pairs.
+      val keep = allBands.groupBy(col("b"), col("band_key"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn").between(2, MaxBucket))
+        .select(col("b"), col("band_key"))
+      val bands = allBands.join(keep, Seq("b", "band_key"))
 
       val left = bands.select(col("b"), col("band_key"), col("doc_id").as("i"))
       val right = bands.select(col("b"), col("band_key"), col("doc_id").as("j"))
@@ -99,9 +111,14 @@ object DedupQueries {
                 [ list_aggregate(list_transform(toks, t -> md5(t || '#' || CAST(i AS VARCHAR))), 'min')
                   for i in generate_series(0, 5) ] AS mh
               FROM d
-            ), bands AS (
+            ), all_bands AS (
               SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
               FROM sig, unnest(generate_series(0, 2)) AS t(b)
+            ), keep AS (
+              SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100
+            ), bands AS (
+              SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)
             ), cand AS (
               SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
               FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id
