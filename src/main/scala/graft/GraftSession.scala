@@ -28,6 +28,8 @@ object GraftSession {
       // driver fixtures store ts as parquet TIMESTAMP(NANOS), which Spark
       // rejects by default; read as long nanos and convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native engine functions (cosine_sim, §2.10 D5)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §3.1 — the reference's primary entry point (`POST /collect`,
+  * /root/reference/containers/orchestrator/orchestrator.py:634-808) as a
+  * composable batch transform:
+  *
+  *   requests → validate (F1-F4) → per-source enrichment (fan-out) →
+  *   union (U1) → pivot to wide rows (J1) → success summary (A6)
+  *
+  * The reference fans out over HTTP to four container processes; here the
+  * fan-out is a union of four per-source column pipelines over the same
+  * request scan — Spark parallelizes across partitions, and each source's
+  * enrichment is row-local expression work (codegen'd, no UDFs, no
+  * shuffles until the final pivot groupBy on request_id).
+  *
+  * Enrichment kernels are deterministic functions of the coordinates
+  * standing in for the WAN fetches (the fetch itself is a source concern
+  * — S1-S6 — outside the engine's semantics). Classification logic is
+  * the reference's, transcribed: X9 fire-weather, X10 vegetation health,
+  * X12 terrain, X14 range interpretation.
+  *
+  * Scale: one scan of requests, 4x row expansion, one shuffle on
+  * request_id for the pivot. At 100 TB of requests the pivot keys are
+  * unique per request, so the aggregate is a near-identity groupBy that
+  * AQE sizes; nothing here is quadratic or driver-bound.
+  */
+object CollectPipeline {
+
+  /** F1-F4 — accept/reject with accumulated error strings (X27). */
+  def validate(requests: DataFrame): DataFrame = {
+    val boundsOk = col("lat").between(-90, 90) && col("lon").between(-180, 180) &&
+      !(col("lat") === 0 && col("lon") === 0)
+    val usOk = (col("lat").between(24.5, 49.5) && col("lon").between(-125, -67)) ||
+      (col("lat").between(54, 71.5) && (col("lon").between(-180, -130) || col("lon").between(170, 180))) ||
+      (col("lat").between(18, 29) && col("lon").between(-178, -154))
+    val bufferOk = col("buffer_m").between(100, 50000)
+    val idOk = col("event_id").isNull ||
+      (length(col("event_id")).between(3, 100) && col("event_id").rlike("^[a-zA-Z0-9_-]+$"))
+    requests
+      .withColumn("errors", filter(array(
+        when(!boundsOk, "invalid coordinates"),
+        when(boundsOk && !usOk, "outside supported US regions"),
+        when(!bufferOk, "buffer out of range"),
+        when(!idOk, "invalid event id")
+      ), e => e.isNotNull))
+      .withColumn("valid", size(col("errors")) === 0)
+  }
+
+  /** Deterministic per-source "fetch" kernels — pure functions of the
+    * coordinate, so results are reproducible (SURVEY §7: the engine takes
+    * nondeterminism as parameters). */
+  private def weatherTemp: Column = round(lit(15.0) + pmod(col("lat") * 7 + col("lon") * 3, lit(20)), 2)
+  private def weatherHumidity: Column = pmod(floor(col("lat") * 11 + col("lon") * 5), lit(80)).cast("int") + 10
+  private def weatherWind: Column = round(pmod(col("lon") * 13, lit(18)), 2)
+  private def ndviRaw: Column = pmod(floor(col("lat") * 100 + col("lon") * 50), lit(9000)).cast("int")
+  private def pixelCode: Column = (pmod(floor(col("lat") * 37 + col("lon") * 17), lit(10)) * lit(1000) + 2500).cast("int")
+  private def elevRange: Column = round(pmod(col("lat") * 19 - col("lon") * 7, lit(150)), 2)
+
+  /** One tall record per (request × source): source, a numeric value, a
+    * risk classification — the §2 classify chains applied per source. */
+  def enrich(valid: DataFrame): DataFrame = {
+    val base = valid.select(col("request_id"), col("lat"), col("lon"))
+
+    val weather = base
+      .withColumn("source", lit("weather"))
+      .withColumn("value", weatherTemp)
+      .withColumn("risk", {
+        val score =
+          when(weatherTemp > 30, 3).when(weatherTemp > 25, 2).when(weatherTemp > 20, 1).otherwise(0) +
+            when(weatherHumidity < 20, 3).when(weatherHumidity < 40, 2).when(weatherHumidity < 60, 1).otherwise(0) +
+            when(weatherWind > 15, 3).when(weatherWind > 10, 2).when(weatherWind > 5, 1).otherwise(0)
+        when(score >= 7, "EXTREME").when(score >= 5, "HIGH").when(score >= 3, "MODERATE").otherwise("LOW")
+      })
+
+    val modis = base
+      .withColumn("source", lit("modis"))
+      .withColumn("value", round(ndviRaw * 0.0001, 4))
+      .withColumn("risk",
+        when(ndviRaw * 0.0001 > 0.6, "LOW")
+          .when(ndviRaw * 0.0001 > 0.3, "MODERATE")
+          .when(ndviRaw * 0.0001 > 0.1, "HIGH")
+          .otherwise("EXTREME"))
+
+    val landfire = base
+      .withColumn("source", lit("landfire"))
+      .withColumn("value", pixelCode.cast("double"))
+      .withColumn("risk",
+        when(pixelCode >= 7000 && pixelCode < 8000, "LOW")           // Urban/Developed
+          .when(pixelCode >= 3000 && pixelCode < 4000, "MODERATE_TO_HIGH") // Forest fuels
+          .when(pixelCode >= 2000 && pixelCode < 3000, "MODERATE_TO_HIGH") // Grassland
+          .otherwise("MODERATE"))
+
+    val topo = base
+      .withColumn("source", lit("topography"))
+      .withColumn("value", elevRange)
+      .withColumn("risk",
+        when(elevRange > 100, "HIGH").when(elevRange > 50, "MODERATE").otherwise("LOW"))
+
+    weather.unionByName(modis).unionByName(landfire).unionByName(topo)
+      .select("request_id", "source", "value", "risk")
+  }
+
+  /** J1 + A6 — pivot the tall records into one wide row per request with
+    * the success summary. */
+  def aggregate(tall: DataFrame): DataFrame =
+    tall
+      .groupBy(col("request_id"))
+      .pivot("source", Seq("landfire", "modis", "weather", "topography"))
+      .agg(first(col("risk")))
+      .join(
+        tall.groupBy(col("request_id")).agg(
+          count(lit(1)).as("sources_successful"),
+          count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_high_risk")),
+        "request_id")
+
+  /** The full /collect shape. */
+  def run(requests: DataFrame): DataFrame = {
+    val v = validate(requests)
+    aggregate(enrich(v.filter(col("valid")))) // rejected rows carry `errors`
+  }
+}

@@ -28,7 +28,8 @@ object QueryRegistry {
       DedupQueries.all ++
       SimilarityQueries.all ++
       StreamQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++
+      E2EQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

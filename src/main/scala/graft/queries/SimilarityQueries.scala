@@ -145,5 +145,29 @@ object SimilarityQueries {
             SELECT q_id, vec_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 3""")
   )
 
-  def all: Seq[Q] = Seq(x29, topk, lsh)
+  /** J5 via the native Catalyst expression (§2.10 D5,
+    * [[graft.functions.CosineSimilarity]]): one fused zero-allocation
+    * codegen loop instead of zip_with+aggregate lambdas. Bit-identical
+    * semantics (same oracle as the composed form proves it). */
+  val topkNative = Q(
+    "j5_topk_native",
+    "Brute-force top-k cosine through the native cosine_sim Expression (doGenCode fused loop, whole-stage codegen).",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val queries = broadcast(
+        base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      queries.join(t.embeddings, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", expr("cosine_sim(q_emb, embedding)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+    },
+    topk.oracle // identical semantics → identical oracle
+  )
+
+  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.CollectPipeline
+import org.apache.spark.sql.functions._
+
+/** Golden-record e2e for the /collect composition (SURVEY §5.4): the four
+  * reference golden coordinates flow through; invalid requests are
+  * rejected with the right error strings. */
+class CollectPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def requests = Seq(
+    ("req_la", 34.0522, -118.2437, 1000.0, Some("fire_2024-001")),
+    ("req_yellowstone", 44.6, -110.5, 5000.0, None: Option[String]),
+    ("req_london", 51.5074, -0.1278, 1000.0, None: Option[String]),
+    ("req_bad_lat", 91.0, 10.0, 1000.0, None: Option[String]),
+    ("req_bad_id", 36.5, -117.0, 1000.0, Some("x;y")),
+    ("req_bad_buffer", 36.5, -117.0, 99.0, None: Option[String])
+  ).toDF("request_id", "lat", "lon", "buffer_m", "event_id")
+
+  test("validation rejects each failure mode with its reference error string") {
+    val v = CollectPipeline.validate(requests)
+    val errs = v.filter(!col("valid"))
+      .select(col("request_id"), explode(col("errors")).as("e"))
+      .as[(String, String)].collect().toSet
+    assert(errs == Set(
+      ("req_london", "outside supported US regions"),
+      ("req_bad_lat", "invalid coordinates"),
+      ("req_bad_id", "invalid event id"),
+      ("req_bad_buffer", "buffer out of range")
+    ))
+  }
+
+  test("golden coordinates produce one wide row each with all four sources populated") {
+    val out = CollectPipeline.run(requests)
+    assert(out.count() == 2) // LA + Yellowstone survive
+    val cols = Seq("landfire", "modis", "weather", "topography")
+    assert(out.filter(cols.map(c => col(c).isNull).reduce(_ || _)).count() == 0)
+    assert(out.filter(col("sources_successful") =!= 4).count() == 0)
+    // deterministic: two runs agree exactly
+    val a = out.orderBy("request_id").collect().toSeq
+    val b = CollectPipeline.run(requests).orderBy("request_id").collect().toSeq
+    assert(a == b)
+  }
+}
