@@ -17,7 +17,8 @@ final case class Q(
 object QueryRegistry {
   /** All query groups, in SURVEY.md §2 order. */
   def all: Seq[Q] =
-    CoreQueries.all ++
+    SourceQueries.all ++
+      CoreQueries.all ++
       ValidateQueries.all ++
       ScalarQueries.all ++
       AggQueries.all ++

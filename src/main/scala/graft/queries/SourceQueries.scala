@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1 — the source surface beyond plain parquet (S9):
+  * JSON decoding with a declared schema (the S3/S4/S5 REST-payload
+  * shape) and binary-file scanning (the S1/S6 raster-bytes shape).
+  *
+  * The reference fetches from WANs; the engine's contract starts at
+  * "bytes/JSON arrive" — these queries pin the decode semantics.
+  */
+object SourceQueries {
+
+  /** S3/S4/S5 — JSON source: raw payload strings → from_json with an
+    * explicit schema (never inference at scale — one pass, no sampling
+    * job) → explode of the nested forecast list (weather_container.py:
+    * 167-185 reshape, F10 projection/rename). */
+  val jsonSource = Q(
+    "s3_json_decode",
+    "REST-payload decode: from_json with declared schema, nested field projection/rename, posexplode of the forecast list.",
+    (s, _) => {
+      import s.implicits._
+      val payloads = Seq(
+        (1, """{"main":{"temp":28.5,"humidity":35},"wind":{"speed":12.0},"list":[{"dt":1717243200,"main":{"temp":30.1}},{"dt":1717254000,"main":{"temp":27.3}}]}"""),
+        (2, """{"main":{"temp":18.0,"humidity":70},"wind":{},"list":[{"dt":1717243200,"main":{"temp":19.0}}]}""")
+      ).toDF("req", "payload")
+      val schema = StructType(Seq(
+        StructField("main", StructType(Seq(
+          StructField("temp", DoubleType), StructField("humidity", IntegerType)))),
+        StructField("wind", StructType(Seq(StructField("speed", DoubleType)))),
+        StructField("list", ArrayType(StructType(Seq(
+          StructField("dt", LongType),
+          StructField("main", StructType(Seq(StructField("temp", DoubleType))))))))
+      ))
+      payloads
+        .withColumn("j", from_json(col("payload"), schema))
+        .select(
+          col("req"),
+          col("j.main.temp").as("temperature_celsius"),
+          col("j.main.humidity").as("humidity_percent"),
+          coalesce(col("j.wind.speed"), lit(0.0)).as("wind_speed_mps"),
+          posexplode(col("j.list")).as(Seq("pos", "fc")))
+        .select(col("req"), col("temperature_celsius"), col("humidity_percent"),
+          col("wind_speed_mps"), col("pos"),
+          col("fc.dt").as("fc_epoch"), col("fc.main.temp").as("fc_temp"))
+    },
+    Some("""WITH p(req, payload) AS (VALUES
+              (1, '{"main":{"temp":28.5,"humidity":35},"wind":{"speed":12.0},"list":[{"dt":1717243200,"main":{"temp":30.1}},{"dt":1717254000,"main":{"temp":27.3}}]}'),
+              (2, '{"main":{"temp":18.0,"humidity":70},"wind":{},"list":[{"dt":1717243200,"main":{"temp":19.0}}]}'))
+            , l AS (
+              SELECT req, payload, CAST(json_extract(payload, '$.list[*]') AS VARCHAR[]) AS lst FROM p)
+            SELECT req,
+              CAST(json_extract_string(payload, '$.main.temp') AS DOUBLE) AS temperature_celsius,
+              CAST(json_extract_string(payload, '$.main.humidity') AS INT) AS humidity_percent,
+              coalesce(CAST(json_extract_string(payload, '$.wind.speed') AS DOUBLE), 0.0) AS wind_speed_mps,
+              CAST(g.i AS INT) - 1 AS pos,
+              CAST(json_extract_string(lst[g.i], '$.dt') AS BIGINT) AS fc_epoch,
+              CAST(json_extract_string(lst[g.i], '$.main.temp') AS DOUBLE) AS fc_temp
+            FROM l, unnest(generate_series(1, len(lst))) AS g(i)""")
+  )
+
+  /** S1/S6 — binary-file scan: `binaryFile` format over the fixture dir,
+    * yielding (path, length, content) rows — the raster-bytes ingest
+    * shape. Content bytes feed D1-style decode (see MultimodalStub);
+    * here we pin the scan itself: sizes and a content fingerprint.
+    * Oracle-free (DuckDB has no file-metadata source) → driver records
+    * the weaker rows-only check. */
+  val binaryScan = Q(
+    "s1_binaryfile_scan",
+    "binaryFile source scan: per-file name/size/md5 over the fixture directory; the S1/S6 GeoTIFF-bytes ingest shape.",
+    (s, dir) => {
+      s.read.format("binaryFile")
+        .load(s"$dir/*.parquet")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("file_name"))
+    },
+    None // no SQL-expressible oracle: file-metadata source
+  )
+
+  def all: Seq[Q] = Seq(jsonSource, binaryScan)
+}
