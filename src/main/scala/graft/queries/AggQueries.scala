@@ -116,5 +116,55 @@ object AggQueries {
             FROM events GROUP BY event_type""")
   )
 
-  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx)
+  /** A11 extension — exact interpolated percentiles (the distribution
+    * stats a data-quality dashboard needs). Exact `percentile` matches
+    * DuckDB's quantile_cont; the approx_percentile sketch would not.
+    * At 100 TB the exact form costs a per-group sort buffer — acceptable
+    * on low-cardinality groups like these; high-cardinality monitoring
+    * should switch to the sketch. */
+  val percentiles = Q(
+    "a11_percentiles",
+    "Exact interpolated p50/p90/p99 of value per event_type (percentile <-> quantile_cont).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT event_type,
+            round(quantile_cont(value, 0.5), 4) AS p50,
+            round(quantile_cont(value, 0.9), 4) AS p90,
+            round(quantile_cont(value, 0.99), 4) AS p99,
+            count(*) AS n
+            FROM events GROUP BY event_type""")
+  )
+
+  /** A11 — explicit GROUPING SETS with grouping() disambiguation of the
+    * null rows (rollup/cube are registered separately). */
+  val groupingSets = Q(
+    "a11_grouping_sets",
+    "GROUPING SETS ((flag,status),(flag),()) with grouping() markers — one Expand + one shuffle.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("qty"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS qty,
+            CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+            CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+  )
+
+  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets)
 }

@@ -337,5 +337,35 @@ object ScalarQueries {
             FROM (VALUES (1, 0, 6), (2, 2, 6), (3, 6, 6), (4, 1, 9)) AS t(id, n_errors, n_products)""")
   )
 
-  def all: Seq[Q] = Seq(x9, x10, x12, x11, xDates, xMisc, xGeo, x24, a9)
+  /** X25 — map construction (landfire_container.py:439-449): per-key maps
+    * assembled with map_from_entries over a SORTED collect_list (collect
+    * order is nondeterministic under parallelism — sorting first is the
+    * only way a map column is reproducible). The map is serialized to a
+    * canonical k=v string because the oracle comparator can't hash native
+    * map cells. */
+  val x25 = Q(
+    "x25_map_construction",
+    "map_from_entries(sort_array(collect_list(struct(k,v)))) per group, serialized canonically; DuckDB mirrors with ordered string_agg.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(round(sum(col("value")), 2).as("v"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("v"))))).as("m"))
+        .select(
+          col("user_id"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", transform(map_entries(col("m")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))).as("kv"))
+    },
+    Some("""WITH g AS (
+              SELECT user_id, event_type, round(sum(value), 2) AS v
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id, count(*) AS n_keys,
+              string_agg(event_type || '=' || CAST(v AS VARCHAR), ',' ORDER BY event_type) AS kv
+            FROM g GROUP BY user_id""")
+  )
+
+  def all: Seq[Q] = Seq(x9, x10, x12, x11, xDates, xMisc, xGeo, x24, x25, a9)
 }
