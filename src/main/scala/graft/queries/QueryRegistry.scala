@@ -19,6 +19,7 @@ object QueryRegistry {
   def all: Seq[Q] =
     SourceQueries.all ++
       CoreQueries.all ++
+      TpchQueries.all ++
       ValidateQueries.all ++
       ScalarQueries.all ++
       AggQueries.all ++

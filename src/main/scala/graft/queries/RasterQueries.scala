@@ -171,5 +171,30 @@ object RasterQueries {
             FROM c GROUP BY cls""")
   )
 
-  def all: Seq[Q] = Seq(a1, j3, j2, a8)
+  /** A1 via the custom typed aggregator (§2.10 D4,
+    * [[graft.functions.WelfordStats]]): count+mean+variance in ONE
+    * single-pass mergeable buffer instead of two built-in aggregates —
+    * and numerically stable where sum-of-squares cancels. Oracle uses
+    * the built-ins; agreement is the correctness proof. */
+  val a1Welford = Q(
+    "a1_welford_stats",
+    "Masked raster stats through the custom Welford Aggregator (udaf): one mergeable buffer for n/mean/stddev.",
+    (s, _) => {
+      import graft.functions.WelfordStats
+      pixelGrid(s)
+        .filter(col("elev") =!= -9999.0)
+        .agg(udaf(WelfordStats).apply(col("elev")).as("w"))
+        .select(
+          col("w.n").as("pixel_count"),
+          round(col("w.mean"), 6).as("mean_elevation_m"),
+          round(col("w.stddev_pop"), 6).as("std_elevation_m"))
+    },
+    Some(s"""WITH g AS ($gridSql)
+            SELECT count(*) AS pixel_count,
+                   round(avg(elev), 6) AS mean_elevation_m,
+                   round(stddev_pop(elev), 6) AS std_elevation_m
+            FROM g WHERE elev <> -9999.0""")
+  )
+
+  def all: Seq[Q] = Seq(a1, a1Welford, j3, j2, a8)
 }

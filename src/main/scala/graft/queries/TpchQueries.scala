@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Additional TPC-H-shaped relational queries (SURVEY A11/O2 depth) over
+  * the fixture star schema — chosen to exercise the Catalyst paths the
+  * round-1 core missed: EXISTS decorrelation into semi-joins, scalar
+  * correlated subqueries, HAVING over grouped aggregates, OR-of-ANDs
+  * predicate pushdown, conditional aggregation, and anti-join NOT
+  * EXISTS. (The fixture schema has no partsupp, so Q2/Q11/Q20 shapes are
+  * out of reach; these are the feasible set.)
+  *
+  * Scale notes: every EXISTS/IN becomes a left-semi hash join (no row
+  * multiplication); scalar subqueries decorrelate into one aggregate +
+  * join, not a per-row probe; HAVING filters post-aggregate (tiny); the
+  * Q19 OR-of-ANDs stays a single scan with the whole disjunction pushed
+  * to parquet row groups.
+  */
+object TpchQueries {
+
+  /** Q4 shape — order-priority count where an EXISTS lineitem condition
+    * holds: decorrelated left-semi join. */
+  val q4 = Q(
+    "q4_exists_semi",
+    "EXISTS subquery -> left-semi join; priority counts over a date window.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .filter(col("o_orderdate") >= to_timestamp(lit("1994-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .join(t.lineitem.filter(col("l_shipdate") > to_timestamp(lit("1995-06-01")))
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1995-06-01')
+            GROUP BY o_orderpriority""")
+  )
+
+  /** Q7 shape — volume between two nations, customer nation x supplier
+    * nation, grouped by year. */
+  val q7 = Q(
+    "q7_nation_volume",
+    "Two-nation shipping volume: 5-way join, cross-pair predicate, per-year revenue.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val n1 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+          (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
+        .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+    Some("""SELECT c.cust_nation, s.supp_nation, year(l_shipdate) AS l_year,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN (SELECT n_nationkey, n_name AS cust_nation FROM nation) c ON c_nationkey = c.n_nationkey
+            JOIN (SELECT n_nationkey, n_name AS supp_nation FROM nation) s ON s_nationkey = s.n_nationkey
+            WHERE (cust_nation = 'NATION_1' AND supp_nation = 'NATION_2')
+               OR (cust_nation = 'NATION_2' AND supp_nation = 'NATION_1')
+            GROUP BY c.cust_nation, s.supp_nation, year(l_shipdate)""")
+  )
+
+  /** Q12 shape — shipmode-ish split with conditional aggregation over
+    * priority classes. */
+  val q12 = Q(
+    "q12_conditional_agg",
+    "CASE-inside-sum conditional aggregation: high/low-priority line counts per return flag.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
+    },
+    Some("""SELECT l_returnflag,
+            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+            sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            GROUP BY l_returnflag""")
+  )
+
+  /** Q14 shape — promo revenue share: conditional numerator over a full
+    * aggregate denominator in one pass. */
+  val q14 = Q(
+    "q14_promo_share",
+    "Ratio of conditional to total aggregate in a single pass (no self-join): promo-brand revenue share per month.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(round(
+          sum(when(col("p_brand") === "Brand#1", col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)) * 100.0 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
+    },
+    Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+            round(sum(CASE WHEN p_brand = 'Brand#1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                  * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY strftime(l_shipdate, '%Y-%m')""")
+  )
+
+  /** Q18 shape — large orders via HAVING on a grouped sum, then joined
+    * back for customer detail. */
+  val q18 = Q(
+    "q18_having",
+    "HAVING over grouped sum -> join back to detail: customers with bulk orders.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val big = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+    },
+    Some("""SELECT c_name, o_orderkey, o_totalprice, total_qty
+            FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey""")
+  )
+
+  /** Q19 shape — OR-of-ANDs pushdown: the whole disjunction reaches the
+    * scan as one pushed filter tree. */
+  val q19 = Q(
+    "q19_or_of_ands",
+    "Disjunctive predicate bundle (brand x size x quantity windows) pushed into one scan; revenue sum.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) && col("l_quantity").between(10, 40)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) && col("l_quantity").between(20, 50)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)""")
+  )
+
+  /** Q22 shape — customers above the average balance with no orders:
+    * scalar subquery + NOT EXISTS anti-join. */
+  val q22 = Q(
+    "q22_scalar_antijoin",
+    "Scalar aggregate subquery (avg balance) + NOT EXISTS anti-join: dormant rich customers per nation.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      t.customer
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(t.orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    },
+    Some("""SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey""")
+  )
+
+  def all: Seq[Q] = Seq(q4, q7, q12, q14, q18, q19, q22)
+}
