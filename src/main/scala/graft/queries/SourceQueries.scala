@@ -81,5 +81,32 @@ object SourceQueries {
     None // no SQL-expressible oracle: file-metadata source
   )
 
-  def all: Seq[Q] = Seq(jsonSource, binaryScan)
+  /** S1 as a real custom connector — the DataSource V2 source
+    * ([[graft.sources.TelemetrySource]]) read through the standard
+    * `spark.read.format(...)` surface, with an id-range predicate that
+    * pushes into the source's generation range and a grouped roll-up.
+    * The oracle reproduces the deterministic row kernel over
+    * generate_series. */
+  val dsv2 = Q(
+    "s1_dsv2_connector",
+    "Custom DataSource V2 scan with pushed id-range + source-level column pruning; per-sensor roll-up.",
+    (s, _) => {
+      s.read.format("graft.sources.TelemetrySource")
+        .option("rows", 5000).option("partitions", 8).load()
+        .filter(col("id") >= 1000 && col("id") < 4000)
+        .groupBy(col("sensor"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          min(col("ts_epoch_s")).as("first_ts"))
+    },
+    Some("""WITH t AS (
+              SELECT i AS id,
+                'sensor_' || CAST(i % 16 AS VARCHAR) AS sensor,
+                1704067200 + i * 60 AS ts_epoch_s,
+                round((CAST((i * 2654435761) % 4294967296 AS DOUBLE) / 4294967295.0) * 10000.0) / 100.0 AS value
+              FROM generate_series(1000, 3999) AS g(i))
+            SELECT sensor, count(*) AS n, round(sum(value), 2) AS sum_value, min(ts_epoch_s) AS first_ts
+            FROM t GROUP BY sensor""")
+  )
+
+  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2)
 }

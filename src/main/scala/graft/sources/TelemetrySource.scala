@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY §2.1 S1/S3 depth — a full DataSource V2 connector: the shape a
+  * live WCS/REST fetcher would take (each partition fetches and decodes
+  * its slice where the executor runs), here generating deterministic
+  * synthetic telemetry so it is testable offline.
+  *
+  *   spark.read.format("graft.sources.TelemetrySource")
+  *     .option("rows", 10000).option("partitions", 8).load()
+  *
+  * Implements the two V2 optimizations that matter at 100 TB:
+  *   - column pruning (SupportsPushDownRequiredColumns): a projection of
+  *     2 of 4 columns generates only those 2
+  *   - filter pushdown on the id column (SupportsPushDownFilters):
+  *     pushed range predicates shrink each partition's generation range
+  *     at the SOURCE, the analogue of parquet row-group skipping —
+  *     accepted filters are removed from the Spark-side plan entirely
+  *
+  * Planning yields `partitions` input splits, so parallelism is a
+  * first-class source property, not an afterthought repartition.
+  */
+class TelemetrySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TelemetrySource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TelemetryTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object TelemetrySource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sensor", StringType, nullable = false),
+    StructField("ts_epoch_s", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Deterministic row kernel — the stand-in for fetch+decode. */
+  def valueAt(id: Long): Double = {
+    val h = (id * 2654435761L) & 0xffffffffL
+    math.round((h.toDouble / 0xffffffffL.toDouble) * 10000.0) / 100.0
+  }
+  def sensorAt(id: Long): String = s"sensor_${id % 16}"
+  def tsAt(id: Long): Long = 1704067200L + id * 60
+}
+
+class TelemetryTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"telemetry($rows)"
+  override def schema(): StructType = TelemetrySource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TelemetryScanBuilder(rows, partitions)
+}
+
+class TelemetryScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = TelemetrySource.schema
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+
+  /** Accept id-range filters (they shrink the generation range); reject
+    * everything else back to Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rejected // Spark re-applies only these
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TelemetryScan(requiredSchema, math.max(lo, 0L), math.max(hi, lo), partitions)
+}
+
+class TelemetryScan(requiredSchema: StructType, lo: Long, hi: Long, partitions: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"TelemetryScan[$lo,$hi) cols=${requiredSchema.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, partitions)
+    val span = math.max(0L, hi - lo)
+    (0 until n).map { p =>
+      val start = lo + span * p / n
+      val end = lo + span * (p + 1) / n
+      TelemetryPartition(start, end): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TelemetryReaderFactory(requiredSchema)
+}
+
+case class TelemetryPartition(start: Long, end: Long) extends InputPartition
+
+class TelemetryReaderFactory(requiredSchema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TelemetryPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow = {
+        // generate ONLY the pruned columns
+        val values = requiredSchema.fieldNames.map {
+          case "id"         => id: java.lang.Long
+          case "sensor"     => UTF8String.fromString(TelemetrySource.sensorAt(id))
+          case "ts_epoch_s" => TelemetrySource.tsAt(id): java.lang.Long
+          case "value"      => TelemetrySource.valueAt(id): java.lang.Double
+        }
+        InternalRow.fromSeq(values.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
