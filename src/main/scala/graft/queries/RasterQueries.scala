@@ -196,5 +196,50 @@ object RasterQueries {
             FROM g WHERE elev <> -9999.0""")
   )
 
-  def all: Seq[Q] = Seq(a1, a1Welford, j3, j2, a8)
+  /** D1 — REAL binary raster decode in the pipeline: per-product grids
+    * encoded to uncompressed float64 TIFF bytes ([[graft.ops.TiffCodec]]),
+    * carried as a BinaryType column, decoded by a UDF in executors,
+    * exploded to pixels, aggregated; one corrupted payload exercises the
+    * error path (decode→null→counted). Oracle reproduces the grid
+    * formula directly — matching proves the binary roundtrip. */
+  val d1 = Q(
+    "d1_tiff_decode",
+    "BinaryType GeoTIFF-style decode: encode->binary column->executor-side parse->explode pixels->stats; corrupt payload counted not thrown.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.TiffCodec
+      def grid(p: Int): Array[Array[Double]] =
+        Array.tabulate(8, 8)((r, c) => ((r * 31 + c * 17 + p * 7) % 97).toDouble)
+      val rows = (0 until 3).map(p => (s"product_$p", TiffCodec.encode(grid(p)))) :+
+        (("product_bad", "<html>upstream error</html>".getBytes))
+      val df = rows.toDF("product", "tiff")
+      val decodeUdf = udf { (b: Array[Byte]) =>
+        TiffCodec.decode(b).map(r => r.pixels.toSeq).orNull
+      }
+      df.withColumn("pixels", decodeUdf(col("tiff")))
+        .withColumn("decoded", col("pixels").isNotNull)
+        .select(col("product"), col("decoded"),
+          explode_outer(col("pixels")).as("px"))
+        .groupBy(col("product"), col("decoded"))
+        .agg(count(col("px")).as("n_px"),
+          round(coalesce(min(col("px")), lit(-1.0)), 4).as("min_px"),
+          round(coalesce(max(col("px")), lit(-1.0)), 4).as("max_px"),
+          round(coalesce(avg(col("px")), lit(-1.0)), 4).as("mean_px"))
+    },
+    Some("""WITH px AS (
+              SELECT 'product_' || CAST(p AS VARCHAR) AS product, true AS decoded,
+                CAST((r * 31 + c * 17 + p * 7) % 97 AS DOUBLE) AS px
+              FROM generate_series(0, 2) AS ps(p),
+                   generate_series(0, 7) AS rs(r), generate_series(0, 7) AS cs(c)
+              UNION ALL
+              SELECT 'product_bad', false, NULL
+            )
+            SELECT product, decoded, count(px) AS n_px,
+                   round(coalesce(min(px), -1.0), 4) AS min_px,
+                   round(coalesce(max(px), -1.0), 4) AS max_px,
+                   round(coalesce(avg(px), -1.0), 4) AS mean_px
+            FROM px GROUP BY product, decoded""")
+  )
+
+  def all: Seq[Q] = Seq(a1, a1Welford, j3, j2, a8, d1)
 }
