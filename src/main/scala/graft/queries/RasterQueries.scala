@@ -241,5 +241,52 @@ object RasterQueries {
             FROM px GROUP BY product, decoded""")
   )
 
-  def all: Seq[Q] = Seq(a1, a1Welford, j3, j2, a8, d1)
+  /** J3+D1 fused — the reference's `interpret_pixel_at_coordinate`
+    * (landfire_container.py:86-116) over REAL binary rasters: decode the
+    * TIFF bytes, inverse-affine the coordinate, bounds-check, extract
+    * the pixel — one executor-side kernel per (raster, point) pair. */
+  val j3Binary = Q(
+    "j3_binary_point_lookup",
+    "Point-in-binary-raster: TIFF decode + inverse affine rowcol + bounds check + pixel extract in one kernel over a BinaryType column.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.TiffCodec
+      // 16x16 grid, north-up transform x0=-118.4 dx=0.01 y0=34.2 dy=-0.01
+      val grid = Array.tabulate(16, 16)((r, c) => ((r * 31 + c * 17) % 97) + r * 0.5)
+      val raster = Seq(("tile_0", TiffCodec.encode(grid))).toDF("tile", "tiff")
+      val pts = Seq(
+        (1, 34.155, -118.355), (2, 34.095, -118.275),
+        (3, 34.500, -118.300), (4, 34.120, -117.900)
+      ).toDF("id", "lat", "lon")
+      val lookup = udf { (b: Array[Byte], lat: Double, lon: Double) =>
+        TiffCodec.decode(b).map { r =>
+          val col = math.floor((lon - (-118.4)) / 0.01).toInt
+          val row = math.floor((lat - 34.2) / -0.01).toInt
+          val in = row >= 0 && row < r.height && col >= 0 && col < r.width
+          (row, col, in, if (in) r.at(row, col) else -1.0)
+        }.orNull
+      }
+      pts.crossJoin(raster) // 1 raster x N points; at scale: equi-join on tile key
+        .withColumn("hit", lookup(col("tiff"), col("lat"), col("lon")))
+        .select(col("id"),
+          col("hit._1").as("px_row"), col("hit._2").as("px_col"),
+          col("hit._3").as("in_bounds"),
+          when(col("hit._3"), col("hit._4")).as("pixel_value"))
+    },
+    Some("""WITH pts(id, lat, lon) AS (VALUES
+              (1, 34.155, -118.355), (2, 34.095, -118.275),
+              (3, 34.500, -118.300), (4, 34.120, -117.900)),
+            l AS (
+              SELECT id,
+                CAST(floor((lat - 34.2) / -0.01) AS INT) AS px_row,
+                CAST(floor((lon - (-118.4)) / 0.01) AS INT) AS px_col
+              FROM pts)
+            SELECT id, px_row, px_col,
+              (px_row BETWEEN 0 AND 15 AND px_col BETWEEN 0 AND 15) AS in_bounds,
+              CASE WHEN px_row BETWEEN 0 AND 15 AND px_col BETWEEN 0 AND 15
+                   THEN CAST((px_row * 31 + px_col * 17) % 97 AS DOUBLE) + px_row * 0.5 END AS pixel_value
+            FROM l""")
+  )
+
+  def all: Seq[Q] = Seq(a1, a1Welford, j3, j3Binary, j2, a8, d1)
 }
