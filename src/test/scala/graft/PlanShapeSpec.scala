@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.QueryRegistry
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression harness: the physical-plan properties each
+  * headline query RELIES on for 100 TB viability, asserted so a future
+  * refactor that silently degrades a plan (lost pushdown, surprise
+  * cartesian, extra shuffle) fails loudly here rather than at scale.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    QueryRegistry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
+
+  test("no query plans a CartesianProduct") {
+    // every registered query — a cartesian anywhere is a scale bug
+    for ((name, fn) <- QueryRegistry.queries) {
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("q1_agg: filter pushed to scan, partial aggregation, single shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"))
+    assert(exchanges(p) == 1)
+  }
+
+  test("q3_join_topk: TakeOrderedAndProject, never a global sort") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("q19: per-table Or-disjunctions pushed into both scans") {
+    val p = plan("q19_or_of_ands")
+    val pushedOr = p.split("\n").filter(l => l.contains("PushedFilters") && l.contains("Or("))
+    assert(pushedOr.length == 2, s"expected Or pushed to 2 scans, got ${pushedOr.length}")
+  }
+
+  test("subquery shapes lower to semi/anti joins") {
+    assert(plan("q4_exists_semi").contains("LeftSemi"))
+    assert(plan("q22_scalar_antijoin").contains("LeftAnti"))
+    assert(plan("j_semi_anti").contains("LeftSemi"))
+    assert(plan("j_semi_anti").contains("LeftAnti"))
+  }
+
+  test("x24_json_access: scan reads only the two needed columns") {
+    val p = plan("x24_json_access")
+    val read = p.split("\n").find(_.contains("ReadSchema")).get
+    assert(read.contains("event_type") && read.contains("props"))
+    assert(!read.contains("user_id") && !read.contains("value"))
+  }
+
+  test("j5_lsh_bucketed: bucket equi-join, no nested-loop join") {
+    val p = plan("j5_lsh_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s1_dsv2_connector: pushed range reaches the V2 scan") {
+    val p = plan("s1_dsv2_connector")
+    assert(p.contains("TelemetryScan[1000,4000)"))
+  }
+
+  test("a10_neardup_minhash: bounded shuffle count (banded join, no blowup)") {
+    val p = plan("a10_neardup_minhash")
+    assert(exchanges(p) <= 12, s"shuffle count grew: ${exchanges(p)}")
+  }
+}
