@@ -195,5 +195,28 @@ object CoreQueries {
             FROM lineitem GROUP BY l_returnflag""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, rollupAgg, cubeAgg, distinctCounts)
+  val u3All = Q(
+    "u3_setops_all",
+    "Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) on order-priority multisets — duplicates preserved, unlike the distinct variants.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.orders.filter(col("o_totalprice") > 200000).select(col("o_orderpriority"))
+      val b = t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      a.intersectAll(b).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_intersect"))
+        .join(
+          a.exceptAll(b).groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_except")),
+          Seq("o_orderpriority"), "full_outer")
+    },
+    Some("""WITH a AS (SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000),
+            b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+            i AS (SELECT o_orderpriority, count(*) AS n_intersect
+                  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+            e AS (SELECT o_orderpriority, count(*) AS n_except
+                  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+            SELECT coalesce(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+                   n_intersect, n_except
+            FROM i FULL OUTER JOIN e ON i.o_orderpriority = e.o_orderpriority""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts)
 }

@@ -367,5 +367,43 @@ object ScalarQueries {
             FROM g GROUP BY user_id""")
   )
 
-  def all: Seq[Q] = Seq(x9, x10, x12, x11, xDates, xMisc, xGeo, x24, x25, a9)
+  /** Higher-order/array surface completeness: sort, slice, flatten,
+    * position, zip, sequence, filter/transform/aggregate — the array
+    * toolkit the MODIS/forecast payloads lean on (all codegen'd
+    * built-ins, mirrored by DuckDB list functions). */
+  val xArrays = Q(
+    "x_array_functions",
+    "Array toolkit: sort/slice/flatten/position/zip_with/sequence/filter/aggregate over inline vectors.",
+    (s, _) => {
+      import s.implicits._
+      Seq(
+        (1, Seq(3.0, 1.0, 2.0), Seq(10.0, 20.0, 30.0)),
+        (2, Seq(5.0, 4.0), Seq(1.0, 2.0)),
+        (3, Seq.empty[Double], Seq(7.0))
+      ).toDF("id", "a", "b")
+        .select(
+          col("id"),
+          concat_ws(",", sort_array(col("a"))).as("sorted_a"),
+          concat_ws(",", slice(sort_array(col("a"), asc = false), 1, 2)).as("top2_desc"),
+          size(flatten(array(col("a"), col("b")))).as("n_flat"),
+          array_position(col("b"), 20.0).as("pos_20"),
+          round(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x), 4).as("sum_sq"),
+          concat_ws(",", expr("sequence(1, size(b))")).as("idx_seq"),
+          size(filter(col("a"), x => x > 1.5)).as("n_gt"))
+    },
+    Some("""SELECT id,
+            coalesce(list_aggregate(list_sort(a), 'string_agg', ','), '') AS sorted_a,
+            coalesce(list_aggregate(list_reverse_sort(a)[1:2], 'string_agg', ','), '') AS top2_desc,
+            len(flatten([a, b])) AS n_flat,
+            CAST(coalesce(list_position(b, 20.0), 0) AS BIGINT) AS pos_20,
+            round(list_reduce(list_prepend(0.0, list_transform(a, x -> x * x)), (x, y) -> x + y), 4) AS sum_sq,
+            list_aggregate(generate_series(1, len(b)), 'string_agg', ',') AS idx_seq,
+            len(list_filter(a, x -> x > 1.5)) AS n_gt
+            FROM (VALUES (1, [3.0, 1.0, 2.0], [10.0, 20.0, 30.0]),
+                         (2, [5.0, 4.0], [1.0, 2.0]),
+                         (3, CAST([] AS DOUBLE[]), [7.0])) AS t(id, a, b)""")
+  )
+
+  def all: Seq[Q] = Seq(x9, x10, x12, x11, xDates, xMisc, xGeo, x24, x25, xArrays, a9)
 }
