@@ -39,6 +39,40 @@ object MultimodalStub {
     (acc.toDouble / 0xffffffL.toDouble, 64)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_feat", DoubleType)
+  ))
+
+  /** Frame sampling over video-like blobs: every `stride`-th chunk of the
+    * payload becomes one "frame" row with a stub feature — the row
+    * multiplication + schema shape of video frame extraction, with the
+    * real codec swapped for a deterministic kernel. Output cardinality
+    * is bounded by `maxFrames` per blob (a runaway 10-hour video must
+    * not explode one task). */
+  def sampleFrames(media: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
+    require(stride > 0 && maxFrames > 0, s"stride/maxFrames must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("blob")).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]]("blob")
+          val n = math.min(maxFrames, math.max(1, blob.length / stride))
+          (0 until n).iterator.map { f =>
+            val off = f * stride
+            val end = math.min(blob.length, off + stride)
+            var acc = 0L
+            var i = off
+            while (i < end) { acc = (acc * 31 + (blob(i) & 0xff)) & 0xffffffL; i += 1 }
+            Row(id, f, acc.toDouble / 0xffffffL.toDouble)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Partition-wise feature extraction over a DataFrame with
     * (doc_id long, media_type string, blob binary). Batch shape: one
     * iterator pass per partition, constant memory, no driver collect. */

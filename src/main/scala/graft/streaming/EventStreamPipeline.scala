@@ -64,6 +64,35 @@ object EventStreamPipeline {
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("avg_value"))
 
+  /** W3 session variant — gap-based session windows per user on the
+    * stream (5-minute inactivity gap), watermarked so sessions finalize;
+    * identical logic to the batch `w3_session` query. */
+  def sessionizedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming entry for session windows. */
+  def runSessionized(spark: SparkSession, srcDir: String, sinkDir: String,
+                     checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(srcDir)
+    sessionizedCounts(stream)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** T1+T2+T3 — the full event-trigger pipeline: stream events from
     * `srcDir`, route, and append event-keyed collection requests to
     * `sinkDir` via foreachBatch. Returns the running query. */

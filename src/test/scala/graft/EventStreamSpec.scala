@@ -48,6 +48,22 @@ class EventStreamSpec extends SparkSpecBase {
       col("timeout_s") =!= 60).count() == 0)
   }
 
+  test("W3 sessions: streamed session windows match batch session_window on finalized sessions") {
+    val sink = tmp("sess_sink")
+    val q = EventStreamPipeline.runSessionized(spark, srcDir, sink, tmp("sess_ck"))
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(sink)
+    val batch = EventStreamPipeline.sessionizedCounts(
+      Tables(spark, "/root/testdata/sf0.001").events)
+    val joined = streamed.join(
+      batch.withColumnRenamed("n_events", "b_n").withColumnRenamed("sum_value", "b_sum"),
+      Seq("session_start", "user_id"), "left")
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("b_n").isNull).count() == 0) // nothing fabricated
+    assert(joined.filter(col("n_events") =!= col("b_n") || col("sum_value") =!= col("b_sum")).count() == 0)
+  }
+
   test("T5/W3: watermarked windowed stream equals the batch windowed aggregation") {
     val sink = tmp("win_sink")
     val q = EventStreamPipeline.runWindowed(spark, srcDir, sink, tmp("win_ck"))

@@ -25,6 +25,23 @@ class MultimodalStubSpec extends SparkSpecBase {
     assert(f1.filter(col("doc_id") === 2).select("n_bytes").as[Int].head() == 6)
   }
 
+  test("frame sampling multiplies rows deterministically and caps at maxFrames") {
+    val frames = MultimodalStub.sampleFrames(mediaDf, stride = 2, maxFrames = 10)
+    assert(frames.schema == MultimodalStub.frameSchema)
+    // doc 1: 4 bytes / stride 2 = 2 frames; doc 2: 3; doc 3: 1
+    val byDoc = frames.groupBy("doc_id").count().orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 2L, 2L -> 3L, 3L -> 1L))
+    // cap: stride 1 with maxFrames 2 → 2 frames per doc regardless of size
+    val capped = MultimodalStub.sampleFrames(mediaDf, stride = 1, maxFrames = 2)
+    assert(capped.groupBy("doc_id").count().filter(col("count") =!= 2).count() == 0)
+    // deterministic across partitionings
+    val a = frames.orderBy("doc_id", "frame_idx").collect().toSeq
+    val b = MultimodalStub.sampleFrames(mediaDf.repartition(3), 2, 10)
+      .orderBy("doc_id", "frame_idx").collect().toSeq
+    assert(a == b)
+  }
+
   test("features are in [0,1] and dimension metadata is constant") {
     val f = MultimodalStub.extractFeatures(mediaDf)
     assert(f.filter(col("feat_mean") < 0 || col("feat_mean") > 1).count() == 0)
