@@ -30,7 +30,7 @@ object AggQueries {
         .withColumn("data_quality",
           when(col("total_observations") > 10, "GOOD").otherwise("LIMITED"))
     },
-    Some("""SELECT request_id, sum(len(subset)) AS total_observations, count(*) AS n_products,
+    Some("""SELECT request_id, CAST(sum(len(subset)) AS BIGINT) AS total_observations, count(*) AS n_products,
             CASE WHEN sum(len(subset)) > 10 THEN 'GOOD' ELSE 'LIMITED' END AS data_quality
             FROM (VALUES (1, 'MOD13Q1', [1.0, 2.0, 3.0]), (1, 'MOD11A2', [4.0, 5.0]),
                          (1, 'MOD15A2H', CAST([] AS DOUBLE[])), (2, 'MOD13Q1', [1.0]),

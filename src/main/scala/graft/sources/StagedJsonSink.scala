@@ -81,15 +81,67 @@ class StagedJsonWriter(schema: StructType, path: String, partitionId: Int, taskI
   private val staged = s"$path/_staging_${partitionId}_$taskId.jsonl"
   private val out = new java.io.PrintWriter(new File(staged), "UTF-8")
 
-  private def jsonValue(v: Any, dt: DataType): String = v match {
-    case null => "null"
-    case s: org.apache.spark.unsafe.types.UTF8String =>
-      "\"" + s.toString.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    case other => other.toString
-  }
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  /** Type-directed JSON encoding. Non-finite doubles have no JSON
+    * representation → null (matches Spark's own JSON writer default);
+    * binary → base64 (the reference's `sanitize_binary_data`, S8);
+    * timestamps/dates → ISO-8601 strings; nested array/struct/map
+    * recurse. Anything else is rejected loudly rather than emitted as
+    * invalid JSON. */
+  private def jsonValue(v: Any, dt: DataType): String =
+    if (v == null) "null"
+    else dt match {
+      case org.apache.spark.sql.types.StringType => quote(v.toString)
+      case org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        v.toString
+      case org.apache.spark.sql.types.FloatType =>
+        val f = v.asInstanceOf[Float]
+        if (java.lang.Float.isFinite(f)) f.toString else "null"
+      case org.apache.spark.sql.types.DoubleType =>
+        val d = v.asInstanceOf[Double]
+        if (java.lang.Double.isFinite(d)) d.toString else "null"
+      case _: org.apache.spark.sql.types.DecimalType =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString
+      case org.apache.spark.sql.types.DateType =>
+        quote(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        val secs = Math.floorDiv(micros, 1000000L)
+        val nanos = Math.floorMod(micros, 1000000L) * 1000L
+        quote(java.time.LocalDateTime.ofEpochSecond(secs, nanos.toInt,
+          java.time.ZoneOffset.UTC).toString)
+      case org.apache.spark.sql.types.BinaryType =>
+        quote(java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map { i =>
+          if (arr.isNullAt(i)) "null" else jsonValue(arr.get(i, et), et)
+        }.mkString("[", ",", "]")
+      case st: StructType =>
+        val r = v.asInstanceOf[InternalRow]
+        st.fields.zipWithIndex.map { case (f, i) =>
+          val fv = if (r.isNullAt(i)) "null" else jsonValue(r.get(i, f.dataType), f.dataType)
+          s"${quote(f.name)}:$fv"
+        }.mkString("{", ",", "}")
+      case org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, vt, _) =>
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val keys = m.keyArray(); val vals = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          val mv = if (vals.isNullAt(i)) "null" else jsonValue(vals.get(i, vt), vt)
+          s"${quote(keys.getUTF8String(i).toString)}:$mv"
+        }.mkString("{", ",", "}")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"StagedJsonSink cannot encode ${other.simpleString} as JSON")
+    }
 
   override def write(row: InternalRow): Unit = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>

@@ -27,7 +27,7 @@ class EventStreamSpec extends SparkSpecBase {
   test("T1-T3: routing stream lands every event exactly once with correct routing") {
     val sink = tmp("route_sink")
     val q = EventStreamPipeline.runRouting(spark, srcDir, sink, tmp("route_ck"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
 
     val out = spark.read.parquet(sink)
     val batch = EventStreamPipeline.route(Tables(spark, "/root/testdata/sf0.001").events)
@@ -51,7 +51,7 @@ class EventStreamSpec extends SparkSpecBase {
   test("W3 sessions: streamed session windows match batch session_window on finalized sessions") {
     val sink = tmp("sess_sink")
     val q = EventStreamPipeline.runSessionized(spark, srcDir, sink, tmp("sess_ck"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
 
     val streamed = spark.read.parquet(sink)
     val batch = EventStreamPipeline.sessionizedCounts(
@@ -67,7 +67,7 @@ class EventStreamSpec extends SparkSpecBase {
   test("T5/W3: watermarked windowed stream equals the batch windowed aggregation") {
     val sink = tmp("win_sink")
     val q = EventStreamPipeline.runWindowed(spark, srcDir, sink, tmp("win_ck"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
 
     val streamed = spark.read.parquet(sink)
     val batch = EventStreamPipeline.windowedCounts(

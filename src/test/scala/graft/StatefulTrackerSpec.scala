@@ -18,7 +18,7 @@ class StatefulTrackerSpec extends SparkSpecBase {
     val sink = Files.createTempDirectory("st_sink").toString
     val q = StatefulEventTracker.run(spark, src, sink,
       Files.createTempDirectory("st_ck").toString)
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
 
     // latest snapshot per user = the one with max n_events (monotone)
     val snaps = spark.read.parquet(sink)

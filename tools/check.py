@@ -44,6 +44,17 @@ def compare(name, spark_df, oracle_df):
     if len(spark_df) != len(oracle_df):
         return f"ROWCOUNT mismatch: spark={len(spark_df)} oracle={len(oracle_df)}"
     a, b = canon(spark_df), canon(oracle_df)
+    # The driver hashes stringified values, so int64 5 vs float64 5.0 is a
+    # mismatch there even though Python 5 == 5.0. Replicate by comparing
+    # dtype kinds (int-family vs float vs other).
+    if len(a) > 0:
+        for col in a.columns:
+            ka = a[col].dtype.kind
+            kb = b[col].dtype.kind
+            fam = lambda k: "i" if k in "iu" else ("f" if k == "f" else "o")
+            if fam(ka) != fam(kb):
+                return (f"DTYPE mismatch col={col}: spark={a[col].dtype} "
+                        f"oracle={b[col].dtype} (driver hashes these differently)")
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
