@@ -174,5 +174,153 @@ object DedupQueries {
             FROM fp GROUP BY source""")
   )
 
-  def all: Seq[Q] = Seq(exact, neardup, simhash)
+  /** A10 n-gram Jaccard — word 3-gram shingles (the C4/Gopher-style
+    * near-dup basis: consecutive-word windows are far more discriminative
+    * than the token set on a small-vocabulary corpus), banded MinHash
+    * candidates (2 bands × 2 rows over 4 salted-md5 signatures), exact
+    * 3-gram Jaccard ≥ 0.8 verification. Same md5 portability trick as
+    * [[neardup]], so the oracle reproduces the exact candidate set. */
+  val jaccardNgram = Q(
+    "a10_jaccard_ngram",
+    "Word 3-gram Jaccard near-dup: shingle windows, banded MinHash bucket join (no all-pairs), exact shingle Jaccard >= 0.8.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val shingles = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))).as("sh"))
+
+      val sigs = (0 until 4).foldLeft(shingles) { (df, i) =>
+        df.withColumn(s"mh$i",
+          array_min(transform(col("sh"), g => md5(concat(g, lit(s"#$i"))))))
+      }
+      val bandStructs: Seq[Column] = (0 until 2).map { b =>
+        struct(lit(b).as("b"),
+          concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("band_key"))
+      }
+      val allBands = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+      val keep = allBands.groupBy(col("b"), col("band_key"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn").between(2, MaxBucket))
+        .select(col("b"), col("band_key"))
+      val bands = allBands.join(keep, Seq("b", "band_key"))
+
+      val left = bands.select(col("b"), col("band_key"), col("doc_id").as("i"))
+      val right = bands.select(col("b"), col("band_key"), col("doc_id").as("j"))
+      val cands = left.join(right, Seq("b", "band_key"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+
+      val sa = shingles.select(col("doc_id").as("i"), col("sh").as("sh_i"))
+      val sb = shingles.select(col("doc_id").as("j"), col("sh").as("sh_j"))
+      cands.join(sa, "i").join(sb, "j")
+        .withColumn("inter", size(array_intersect(col("sh_i"), col("sh_j"))))
+        .withColumn("jac",
+          col("inter").cast("double") /
+            (size(col("sh_i")) + size(col("sh_j")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+              FROM d WHERE len(toks) >= 3
+            ), sig AS (
+              SELECT doc_id, sh,
+                [ list_aggregate(list_transform(sh, t -> md5(t || '#' || CAST(i AS VARCHAR))), 'min')
+                  for i in generate_series(0, 3) ] AS mh
+              FROM sh
+            ), all_bands AS (
+              SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 1)) AS t(b)
+            ), keep AS (
+              SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100
+            ), bands AS (
+              SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id
+            ), ver AS (
+              SELECT i, j,
+                CAST(len(list_filter(sa.sh, t -> list_contains(sb.sh, t))) AS DOUBLE) /
+                (len(sa.sh) + len(sb.sh)
+                   - len(list_filter(sa.sh, t -> list_contains(sb.sh, t)))) AS jac
+              FROM cand JOIN sh sa ON sa.doc_id = i JOIN sh sb ON sb.doc_id = j
+            )
+            SELECT i, j, round(jac, 6) AS jaccard FROM ver WHERE jac >= 0.8""")
+  )
+
+  /** A10 embedding-cosine near-dup — the semantic-dedup scale path:
+    * sign-LSH band keys (2 bands × 8 sign bits) generate candidates with
+    * an equi-join, then exact cosine filters. The fixture corpus has no
+    * true semantic duplicates (max in-bucket cosine ≈ 0.43), so the
+    * demonstration threshold is 0.35; production sets ~0.95 — the plan
+    * shape (bucket join, never all-pairs) is identical. */
+  val embedNearDup = Q(
+    "a10_embed_neardup",
+    "Embedding-cosine near-dup pairs: 2x8-bit sign-LSH bucket equi-join for candidates, exact cosine >= threshold verification.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val base = t.embeddings.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val bandStructs: Seq[Column] = (0 until 2).map { b =>
+        val key = (1 to 8).map(i =>
+          when(element_at(col("embedding"), 8 * b + i) >= 0f, "1").otherwise("0"))
+          .reduce(concat(_, _))
+        struct(lit(b).as("b"), key.as("band_key"))
+      }
+      val bands = base
+        .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("vec_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+      val left = bands.select(col("b"), col("band_key"), col("vec_id").as("i"))
+      val right = bands.select(col("b"), col("band_key"), col("vec_id").as("j"))
+      val cands = left.join(right, Seq("b", "band_key"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+      val ea = base.select(col("vec_id").as("i"), col("embedding").as("e_i"), col("nrm").as("n_i"))
+      val eb = base.select(col("vec_id").as("j"), col("embedding").as("e_j"), col("nrm").as("n_j"))
+      cands.join(ea, "i").join(eb, "j")
+        .withColumn("cos", dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")))
+        .filter(col("cos") >= 0.35)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cosine"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1,64),
+                  i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
+              FROM embeddings
+            ), bands AS (
+              SELECT vec_id, b,
+                list_aggregate(list_transform(generate_series(8*b+1, 8*b+8),
+                  i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END), 'string_agg', '') AS band_key
+              FROM embeddings, unnest(generate_series(0,1)) AS t(b)
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.vec_id < b.vec_id
+            ), ver AS (
+              SELECT i, j,
+                list_reduce(list_transform(generate_series(1,64),
+                  k -> CAST(na.embedding[k] AS DOUBLE)*CAST(nb.embedding[k] AS DOUBLE)), (x,y)->x+y)
+                  / (na.nrm * nb.nrm) AS cos
+              FROM cand JOIN n na ON na.vec_id = i JOIN n nb ON nb.vec_id = j
+            )
+            SELECT i, j, round(cos, 6) AS cosine FROM ver WHERE cos >= 0.35""")
+  )
+
+  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup)
 }

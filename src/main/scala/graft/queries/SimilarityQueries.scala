@@ -169,5 +169,78 @@ object SimilarityQueries {
     topk.oracle // identical semantics → identical oracle
   )
 
-  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh)
+  /** J5 IVF scale path — inverted-file ANN: a small set of coarse
+    * centroids (deterministically the first 16 corpus vectors, standing in
+    * for a k-means codebook) partitions the corpus into cells via
+    * argmax-cosine assignment; a query probes only its nprobe=2 nearest
+    * cells and reranks exactly within them. At 100 TB the cell id is the
+    * shuffle/partition key: assignment is one broadcast of the (tiny)
+    * codebook over a corpus scan, and each query touches nprobe/K of the
+    * data instead of all of it. */
+  val ivf = Q(
+    "j5_ivf_probe",
+    "IVF ANN: broadcast 16-centroid codebook, argmax-cosine cell assignment, nprobe=2 probe join on cell id, exact top-3 rerank.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val cents = broadcast(base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
+      val assign = base.join(cents)
+        .withColumn("ccos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("rk", row_number().over(wAssign))
+        .select(col("vec_id"), col("c_id"), col("rk"))
+      val cells = assign.filter(col("rk") === 1).select(col("vec_id"), col("c_id").as("cell"))
+      val probes = assign.filter(col("rk") <= 2 && col("vec_id").between(450, 459))
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      val cands = probes.join(cells, Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val eq = base.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val ec = base.select(col("vec_id"), col("embedding").as("c_emb2"), col("nrm").as("c_nrm2"))
+      val wRank = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      cands.join(eq, "q_id").join(ec, "vec_id")
+        .withColumn("cos", dot(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm2")))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cosine"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1,64),
+                  i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
+              FROM embeddings
+            ), cent AS (
+              SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16
+            ), assign AS (
+              SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rk
+              FROM (
+                SELECT n.vec_id, cent.c_id,
+                  list_reduce(list_transform(generate_series(1,64),
+                    k -> CAST(n.embedding[k] AS DOUBLE)*CAST(cent.c_emb[k] AS DOUBLE)), (x,y)->x+y)
+                    / (n.nrm * cent.c_nrm) AS cos
+                FROM n, cent)
+            ), cells AS (SELECT vec_id, c_id AS cell FROM assign WHERE rk = 1),
+            probes AS (
+              SELECT vec_id AS q_id, c_id AS cell FROM assign
+              WHERE rk <= 2 AND vec_id BETWEEN 450 AND 459
+            ), cand AS (
+              SELECT DISTINCT p.q_id, c.vec_id
+              FROM probes p JOIN cells c USING (cell) WHERE p.q_id <> c.vec_id
+            ), scored AS (
+              SELECT q_id, cand.vec_id,
+                list_reduce(list_transform(generate_series(1,64),
+                  k -> CAST(nq.embedding[k] AS DOUBLE)*CAST(nc.embedding[k] AS DOUBLE)), (x,y)->x+y)
+                  / (nq.nrm * nc.nrm) AS cos
+              FROM cand JOIN n nq ON nq.vec_id = q_id JOIN n nc ON nc.vec_id = cand.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT q_id, vec_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf)
 }

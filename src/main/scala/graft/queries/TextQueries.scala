@@ -137,5 +137,34 @@ object TextQueries {
             FROM documents GROUP BY lang""")
   )
 
-  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint)
+  /** X28 token counting — whitespace tokens vs BPE-granularity subword
+    * pieces (greedy ≤4-char letter chunks, digit runs, punctuation — the
+    * piece-length profile a BPE vocabulary produces). The subword/word
+    * ratio is the "fertility" statistic used to budget LLM token costs
+    * per corpus slice. Row-local regex work, one low-cardinality shuffle. */
+  val tokenCount = Q(
+    "x28_token_count",
+    "Token budget census: whitespace tokens vs subword pieces (greedy 4-char chunks) per source; fertility = pieces per word.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .withColumn("ws_tokens", size(expr("regexp_extract_all(text, '\\\\S+', 0)")))
+        .withColumn("subword_tokens",
+          size(expr("regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\\\s]', 0)")))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("subword_tokens")).as("subword_tokens"),
+          round(sum(col("subword_tokens")).cast("double") / sum(col("ws_tokens")), 6)
+            .as("fertility"))
+    },
+    Some("""SELECT source,
+            CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+            CAST(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]'))) AS BIGINT) AS subword_tokens,
+            round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]'))) AS DOUBLE)
+                  / sum(len(regexp_extract_all(text, '\S+'))), 6) AS fertility
+            FROM documents GROUP BY source""")
+  )
+
+  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint, tokenCount)
 }
