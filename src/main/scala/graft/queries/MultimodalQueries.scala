@@ -83,5 +83,58 @@ object MultimodalQueries {
             FROM documents WHERE doc_id < 100""")
   )
 
-  def all: Seq[Q] = Seq(m1, m2)
+  /** Multimodal feature-extract as relational array math: each embedding
+    * is viewed as a row-major 8×8 single-channel "image"; resize to 4×4 by
+    * nearest-neighbor (stride-2 sampling) and by 2×2 max-pooling — the two
+    * downsample kernels a vision pre-processing pass runs per image. All
+    * higher-order built-ins (codegen'd); per-row local work, no shuffle
+    * until the final roll-up — exactly the 1000-executor decode shape.
+    * Elements are cast to double pre-fold in both engines (bit parity). */
+  val m3 = Q(
+    "m3_resize_pool",
+    "Image resize plumbing: 8x8 grid from embedding, nearest-neighbor 4x4 resize + 2x2 max-pool, per-label mean of both downsample sums.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // 1-based flat index of pixel (r, c) in the 8x8 row-major grid
+      def px(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        element_at(col("embedding"), (r * 8 + c + 1).cast("int")).cast("double")
+      val out = t.embeddings
+        .withColumn("nn_sum",
+          aggregate(
+            transform(sequence(lit(0), lit(15)),
+              i => px((i / 4).cast("int") * 2, (i % 4) * 2)),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("pool_sum",
+          aggregate(
+            transform(sequence(lit(0), lit(15)), i => {
+              val r = (i / 4).cast("int") * 2
+              val c = (i % 4) * 2
+              greatest(px(r, c), px(r, c + 1), px(r + 1, c), px(r + 1, c + 1))
+            }),
+            lit(0.0), (acc, x) => acc + x))
+      out.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nn_sum")), 6).as("avg_nn_sum"),
+          round(avg(col("pool_sum")), 6).as("avg_pool_sum"))
+    },
+    Some("""WITH g AS (
+              SELECT label,
+                list_reduce(list_transform(generate_series(0, 15),
+                  i -> CAST(embedding[(i // 4) * 2 * 8 + (i % 4) * 2 + 1] AS DOUBLE)),
+                  (x, y) -> x + y) AS nn_sum,
+                list_reduce(list_transform(generate_series(0, 15),
+                  i -> greatest(
+                    CAST(embedding[(i // 4) * 2 * 8 + (i % 4) * 2 + 1] AS DOUBLE),
+                    CAST(embedding[(i // 4) * 2 * 8 + (i % 4) * 2 + 2] AS DOUBLE),
+                    CAST(embedding[((i // 4) * 2 + 1) * 8 + (i % 4) * 2 + 1] AS DOUBLE),
+                    CAST(embedding[((i // 4) * 2 + 1) * 8 + (i % 4) * 2 + 2] AS DOUBLE))),
+                  (x, y) -> x + y) AS pool_sum
+              FROM embeddings)
+            SELECT label, count(*) AS n,
+                   round(avg(nn_sum), 6) AS avg_nn_sum,
+                   round(avg(pool_sum), 6) AS avg_pool_sum
+            FROM g GROUP BY label""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2, m3)
 }

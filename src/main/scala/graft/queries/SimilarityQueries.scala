@@ -187,10 +187,16 @@ object SimilarityQueries {
       val cents = broadcast(base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
+      // The assignment is the IVF index build: materialized once (cache)
+      // and consumed by both the cell map and the probe list — a real
+      // deployment persists this as a stored index rather than
+      // recomputing the corpus×codebook pass per consumer.
       val assign = base.join(cents)
         .withColumn("ccos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
         .withColumn("rk", row_number().over(wAssign))
         .select(col("vec_id"), col("c_id"), col("rk"))
+        .filter(col("rk") <= 2)
+        .cache()
       val cells = assign.filter(col("rk") === 1).select(col("vec_id"), col("c_id").as("cell"))
       val probes = assign.filter(col("rk") <= 2 && col("vec_id").between(450, 459))
         .select(col("vec_id").as("q_id"), col("c_id").as("cell"))

@@ -67,4 +67,73 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(bucketOf(v) == bucketOf(v.map(_ * 2)))
     assert(bucketOf(v) != bucketOf(v.map(-_)))
   }
+
+  test("word 3-gram shingles: count, content, and window order") {
+    // must match DedupQueries.jaccardNgram's shingle construction
+    val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ",
+            element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("sh"))
+    val sh = df.select("sh").as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("3-gram Jaccard: shared-prefix docs score the overlap ratio exactly") {
+    // doc A "a b c d", doc B "a b c e": shingles {abc,bcd} vs {abc,bce}
+    // → intersection 1, union 3 → jaccard 1/3
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ")
+      t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val a = shingles("a b c d"); val b = shingles("a b c e")
+    val jac = (a & b).size.toDouble / (a | b).size
+    assert(math.abs(jac - 1.0 / 3) < 1e-12)
+  }
+
+  test("IVF assignment: vectors go to their argmax-cosine centroid; query probes find planted neighbor") {
+    import org.apache.spark.sql.expressions.Window
+    // centroids along axes; v is near axis-0 centroid, w near axis-1
+    val data = Seq(
+      (0L, Seq(1.0f, 0.0f)), // centroid 0
+      (1L, Seq(0.0f, 1.0f)), // centroid 1
+      (10L, Seq(0.9f, 0.1f)), // cell 0
+      (11L, Seq(0.1f, 0.9f)), // cell 1
+      (12L, Seq(0.8f, 0.2f))  // cell 0
+    ).toDF("vec_id", "embedding")
+    def dotc(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val base = data.withColumn("nrm", sqrt(aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)))
+    val cents = base.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
+    val cells = base.join(cents)
+      .withColumn("ccos", dotc("embedding", "c_emb") / (col("nrm") * col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    assert(cells(10L) == 0L && cells(12L) == 0L && cells(11L) == 1L)
+  }
+
+  test("nearest-neighbor 4x4 resize picks exactly the stride-2 pixels of the 8x8 grid") {
+    // embedding value = its own 0-based flat index → nn_sum must be the
+    // sum of indices (2r)*8 + 2c for r,c in 0..3
+    val emb = (0 until 64).map(_.toFloat)
+    val expected = (for (r <- 0 until 4; c <- 0 until 4) yield (2 * r) * 8 + 2 * c).sum.toDouble
+    val df = Seq(Tuple1(emb)).toDF("embedding")
+    def px(r: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      element_at(col("embedding"), (r * 8 + c + 1).cast("int")).cast("double")
+    val nn = df.select(aggregate(
+      transform(sequence(lit(0), lit(15)),
+        i => px((i / 4).cast("int") * 2, (i % 4) * 2)),
+      lit(0.0), (acc, x) => acc + x).as("s")).as[Double].head()
+    assert(nn == expected)
+  }
 }

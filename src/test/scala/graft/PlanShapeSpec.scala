@@ -71,4 +71,20 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("a10_neardup_minhash")
     assert(exchanges(p) <= 12, s"shuffle count grew: ${exchanges(p)}")
   }
+
+  test("a10_jaccard_ngram / a10_embed_neardup: candidates via hash equi-join, no nested loop") {
+    for (name <- Seq("a10_jaccard_ngram", "a10_embed_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("NestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("j5_ivf_probe: codebook pass is cached (index build); probe joins are hash joins") {
+    val p = plan("j5_ivf_probe")
+    // the 16-row codebook broadcast may print once per cached-plan mention,
+    // but the rerank/probe joins must never be nested-loop
+    assert(p.contains("InMemoryTableScan"), "IVF assignment should be cached as the index")
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nl <= 2, s"expected only the codebook broadcast (index build), found $nl nested-loop joins")
+  }
 }
