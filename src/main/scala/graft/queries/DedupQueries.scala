@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * path), and SimHash fingerprints.
   *
   * Hashing is md5-based in BOTH engines so the DuckDB oracle reproduces
-  * the exact candidate sets: a MinHash here is the lexicographic MIN of
-  * the md5 hex digests of the salted tokens — a valid uniform MinHash
-  * family (hex strings order like their 128-bit values) that is portable
-  * across engines, unlike Spark's xxhash64 vs DuckDB's internal hash.
+  * the exact candidate sets: each element is md5-hashed ONCE, and the k
+  * MinHash functions are disjoint hex-substring slices of that single
+  * 128-bit digest — independent uniform hashes (hex strings order like
+  * their numeric values) at 1/k the digest cost of per-salt hashing, and
+  * portable across engines unlike Spark's xxhash64 vs DuckDB's hash.
   *
   * Scale notes: the banded join shuffles on (band, band_key) — never
   * all-pairs. At 100 TB the candidate volume is controlled by the band/row
@@ -30,7 +31,7 @@ object DedupQueries {
     * Jaccard (word-level 1-grams; the fixture's small vocabulary makes
     * token-set Jaccard the discriminative signal). */
   private def tokenSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks")).cache()
 
   /** A10 exact — md5-fingerprint dedup summary per source. */
   val exact = Q(
@@ -64,9 +65,13 @@ object DedupQueries {
       val t = Tables(s, dir)
       val toks = tokenSets(t.documents)
 
-      val sigs = (0 until NumHashes).foldLeft(toks) { (df, i) =>
+      // One md5 per token; the 6 signature functions are disjoint 20-bit
+      // (5 hex char) slices of the single digest — same MinHash family
+      // trick as jaccardNgram at 1/6 the hashing cost.
+      val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
+      val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
         df.withColumn(s"mh$i",
-          array_min(transform(col("toks"), tk => md5(concat(tk, lit(s"#$i"))))))
+          array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
       }
       val bandStructs: Seq[Column] = (0 until NumHashes / BandRows).map { b =>
         struct(lit(b).as("b"),
@@ -106,11 +111,13 @@ object DedupQueries {
     },
     Some("""WITH d AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+            ), hs AS (
+              SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
             ), sig AS (
               SELECT doc_id, toks,
-                [ list_aggregate(list_transform(toks, t -> md5(t || '#' || CAST(i AS VARCHAR))), 'min')
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
                   for i in generate_series(0, 5) ] AS mh
-              FROM d
+              FROM hs
             ), all_bands AS (
               SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
               FROM sig, unnest(generate_series(0, 2)) AS t(b)
@@ -185,6 +192,9 @@ object DedupQueries {
     "Word 3-gram Jaccard near-dup: shingle windows, banded MinHash bucket join (no all-pairs), exact shingle Jaccard >= 0.8.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // Cached: the shingle set feeds three consumers (signatures + both
+      // sides of the verify join) — materialize the per-doc shingle work
+      // once instead of re-deriving it per branch.
       val shingles = t.documents
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
@@ -195,10 +205,15 @@ object DedupQueries {
               element_at(col("toks"), i),
               element_at(col("toks"), i + 1),
               element_at(col("toks"), i + 2)))).as("sh"))
+        .cache()
 
-      val sigs = (0 until 4).foldLeft(shingles) { (df, i) =>
+      // One md5 per shingle; the 4 signature functions are disjoint
+      // 32-bit slices of the single 128-bit digest (independent uniform
+      // hashes at 1/4 the digest cost of per-salt hashing).
+      val hashed = shingles.withColumn("hs", transform(col("sh"), g => md5(g)))
+      val sigs = (0 until 4).foldLeft(hashed) { (df, i) =>
         df.withColumn(s"mh$i",
-          array_min(transform(col("sh"), g => md5(concat(g, lit(s"#$i"))))))
+          array_min(transform(col("hs"), h => substring(h, 1 + 8 * i, 8))))
       }
       val bandStructs: Seq[Column] = (0 until 2).map { b =>
         struct(lit(b).as("b"),
@@ -236,11 +251,13 @@ object DedupQueries {
               SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
               FROM d WHERE len(toks) >= 3
+            ), hs AS (
+              SELECT doc_id, sh, list_transform(sh, g -> md5(g)) AS hs FROM sh
             ), sig AS (
               SELECT doc_id, sh,
-                [ list_aggregate(list_transform(sh, t -> md5(t || '#' || CAST(i AS VARCHAR))), 'min')
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 8*i, 8)), 'min')
                   for i in generate_series(0, 3) ] AS mh
-              FROM sh
+              FROM hs
             ), all_bands AS (
               SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
               FROM sig, unnest(generate_series(0, 1)) AS t(b)

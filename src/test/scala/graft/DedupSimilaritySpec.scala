@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
 class DedupSimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
-  // must match DedupQueries: min over md5(token + "#" + i)
+  // must match DedupQueries: min over the i-th 5-hex-char slice of md5(token)
   private def signature(tokens: Seq[String], i: Int): String =
     tokens.toDF("t")
-      .select(min(md5(concat(col("t"), lit(s"#$i")))).as("m")).as[String].head()
+      .select(min(substring(md5(col("t")), 1 + 5 * i, 5)).as("m")).as[String].head()
 
   test("MinHash: identical token sets yield identical signatures; permutation-invariant") {
     val a = Seq("alpha", "beta", "gamma", "delta")
@@ -29,7 +29,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     ).toDF("doc_id", "text")
     val toks = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     val sigs = (0 until 6).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"mh$i", array_min(transform(col("toks"), t => md5(concat(t, lit(s"#$i"))))))
+      df.withColumn(s"mh$i", array_min(transform(col("toks"), t => substring(md5(t), 1 + 5 * i, 5))))
     }
     val rows = sigs.select("doc_id", "mh0", "mh1", "mh2", "mh3", "mh4", "mh5")
       .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString)).toMap
