@@ -218,5 +218,37 @@ object CoreQueries {
             FROM i FULL OUTER JOIN e ON i.o_orderpriority = e.o_orderpriority""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts)
+  /** §4 skew technique, driver-verified — the salted join
+    * ([[graft.ops.SkewedJoin]]) over a join key that is GENUINELY hot:
+    * `events.event_type` has a handful of values, so every key's rows land
+    * in one shuffle partition in the plain join. Salting scatters each hot
+    * key over 8 sub-keys and replicates the (tiny) dimension side; the
+    * oracle runs the plain join, proving salting is semantics-preserving. */
+  val saltedSkew = Q(
+    "j_salted_skew",
+    "Salted skew join: 8-way salt scatter of hot event_type keys + replicated dim side, then per-key roll-up; result identical to the plain join.",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dim = Seq(
+        ("click", 1.0), ("view", 1.5), ("signup", 2.0),
+        ("error", 0.5), ("purchase", 3.0)
+      ).toDF("dim_event_type", "weight")
+      graft.ops.SkewedJoin
+        .saltedInnerJoin(t.events, "event_type", dim, "dim_event_type", saltBuckets = 8)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("weight") * col("value")), 2).as("weighted_value"))
+    },
+    Some("""SELECT e.event_type, count(*) AS n,
+            round(sum(CAST(d.weight AS DOUBLE) * e.value), 2) AS weighted_value
+            FROM events e
+            JOIN (VALUES ('click', 1.0), ('view', 1.5), ('signup', 2.0),
+                         ('error', 0.5), ('purchase', 3.0)) AS d(event_type, weight)
+              ON e.event_type = d.event_type
+            GROUP BY e.event_type""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew)
 }

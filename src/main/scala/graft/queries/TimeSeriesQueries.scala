@@ -174,5 +174,33 @@ object TimeSeriesQueries {
             FROM sess GROUP BY user_id, session_id""")
   )
 
-  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w3, w3Session)
+  /** W2 depth — value-RANGE window frame: the rolling-hour sum is bounded
+    * by the ORDER BY value (epoch seconds), not a row count — rows outside
+    * the hour fall out of the frame regardless of event density. The frame
+    * kind a time-series engine needs for "last N minutes" analytics; rows
+    * frames approximate it only under uniform event rates. */
+  val w2Range = Q(
+    "w2_range_frame",
+    "RANGE-frame rolling window: per-user trailing-1-hour event count and value sum, frame bounded by epoch seconds not row position.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_ms"))
+        .rangeBetween(-3600000L, 0L)
+      t.events
+        .filter(col("user_id") < 20)
+        .withColumn("epoch_ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("sum_last_hour", round(sum(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("epoch_ms"),
+          col("n_last_hour"), col("sum_last_hour"))
+    },
+    Some("""SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms,
+            count(*) OVER w AS n_last_hour,
+            round(sum(value) OVER w, 4) AS sum_last_hour
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+                         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""")
+  )
+
+  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w3, w3Session)
 }
