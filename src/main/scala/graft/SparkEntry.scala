@@ -8,9 +8,11 @@ import graft.queries.QueryRegistry
   * implemented operator from SURVEY.md §2.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * e2e_collect is the reference's signature operation end-to-end:
+    * validate → per-source enrichment → union → pivot → summary. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("e2e_collect")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
