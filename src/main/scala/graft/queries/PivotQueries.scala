@@ -118,5 +118,33 @@ object PivotQueries {
             FROM events GROUP BY user_id""")
   )
 
-  def all: Seq[Q] = Seq(j1, a6, j4, s8Json)
+  /** J1 inverse — unpivot/melt: the wide per-key row (explicit-value
+    * pivot, the scale-safe form) stacked back to tall (key, source,
+    * value) rows. The oracle computes the tall aggregate directly,
+    * proving unpivot(pivot(x)) = x modulo absent combinations (pivot
+    * nulls, filtered after the stack). stack() is a Generator evaluated
+    * row-local — no shuffle beyond the pivot's own. */
+  val j1Unpivot = Q(
+    "j1_unpivot",
+    "Unpivot round-trip: explicit-value pivot to wide, stack() back to tall, null combos dropped; oracle is the direct tall aggregate.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val types = Seq("click", "view", "signup", "error", "purchase")
+      val wide = t.events
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val stackArgs = types.map(tp => s"'$tp', `$tp`").mkString(", ")
+      wide
+        .select(col("user_id"),
+          expr(s"stack(${types.size}, $stackArgs) AS (event_type, n)"))
+        .filter(col("n").isNotNull)
+    },
+    Some("""SELECT user_id, event_type, count(*) AS n
+            FROM events WHERE user_id < 30
+            GROUP BY user_id, event_type""")
+  )
+
+  def all: Seq[Q] = Seq(j1, a6, j4, s8Json, j1Unpivot)
 }
