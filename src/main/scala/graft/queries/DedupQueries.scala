@@ -58,10 +58,10 @@ object DedupQueries {
     * bucket join → exact Jaccard verify at ≥0.9. The oracle mirrors the
     * identical md5 MinHash, so candidate sets (and therefore results)
     * match exactly. */
-  val neardup = Q(
-    "a10_neardup_minhash",
-    "MinHash+LSH near-duplicate pairs: salted-md5 min signatures, banded bucket equi-join (no all-pairs), exact Jaccard >= 0.9 verification.",
-    (s, dir) => {
+  /** The MinHash → banded candidates → exact-Jaccard-verify pipeline,
+    * shared by the pair query ([[neardup]]) and the cluster resolution
+    * ([[dedupClusters]]). Returns verified pairs (i < j, jac >= 0.9). */
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
       val t = Tables(s, dir)
       val toks = tokenSets(t.documents)
 
@@ -108,7 +108,12 @@ object DedupQueries {
             (size(col("toks_i")) + size(col("toks_j")) - col("inter")))
         .filter(col("jac") >= 0.9)
         .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
-    },
+  }
+
+  val neardup = Q(
+    "a10_neardup_minhash",
+    "MinHash+LSH near-duplicate pairs: single-md5 sliced min signatures, banded bucket equi-join (no all-pairs), exact Jaccard >= 0.9 verification.",
+    (s, dir) => verifiedPairs(s, dir),
     Some("""WITH d AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
             ), hs AS (
@@ -339,5 +344,92 @@ object DedupQueries {
             SELECT i, j, round(cos, 6) AS cosine FROM ver WHERE cos >= 0.35""")
   )
 
-  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup)
+  /** A10 cluster resolution — the pair graph is only half of dedup: the
+    * pipeline must resolve pairs into CONNECTED COMPONENTS and elect one
+    * survivor per component. Min-label propagation with POINTER JUMPING
+    * (label(v) ← label(label(v)) each round) converges in O(log diameter)
+    * rounds — 6 rounds cover diameter ≤ 63, versus ≥ 13 rounds for plain
+    * one-hop propagation on this corpus's largest component. Each round is
+    * two hash-key shuffles over (node, label) pairs — the MapReduce
+    * connected-components shape that holds at billions of edges. The
+    * oracle computes true components via a recursive transitive closure. */
+  val dedupClusters = Q(
+    "a10_dedup_clusters",
+    "Near-dup cluster resolution: verified pair graph -> connected components via min-label propagation + pointer jumping (log-diameter rounds) -> per-cluster survivor stats.",
+    (s, dir) => {
+      val pairs = verifiedPairs(s, dir).select(col("i"), col("j"))
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .cache()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+      // labels only decrease, so sum(lbl) is a monotone convergence
+      // measure: unchanged sum ⇒ fixed point reached. 8 rounds of
+      // jump+neighbor cover diameter ≤ 2^8 as the safety bound.
+      var prevSum = Long.MaxValue
+      var round = 0
+      var converged = false
+      while (round < 8 && !converged) {
+        // (1) neighbor min: pull each neighbor's current label
+        val nmin = edges.join(lbl.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("lbl"))
+        val stepped = lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        // (2) pointer jump: label(v) <- label(label(v)) (labels are node
+        // ids, so they resolve in the same table)
+        val jump = stepped.select(col("node").as("jnode"), col("lbl").as("jlbl"))
+        // localCheckpoint truncates the iterative lineage — without it the
+        // analyzed plan nests exponentially across rounds and optimizer
+        // time dwarfs execution (a cluster deployment would checkpoint to
+        // reliable storage instead)
+        lbl = stepped.join(jump, col("lbl") === col("jnode"), "left")
+          .select(col("node"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+        val s = lbl.agg(sum(col("lbl"))).head().getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        round += 1
+      }
+      lbl.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+    },
+    Some("""WITH RECURSIVE d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+            ), hs AS (
+              SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
+            ), sig AS (
+              SELECT doc_id, toks,
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM hs
+            ), all_bands AS (
+              SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 2)) AS t(b)
+            ), keep AS (
+              SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100
+            ), bands AS (
+              SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id
+            ), ver AS (
+              SELECT i, j,
+                CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE) /
+                (len(da.toks) + len(db.toks)
+                   - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) AS jac
+              FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j
+            ), p AS (SELECT i, j FROM ver WHERE jac >= 0.9),
+            edges AS (SELECT i AS src, j AS dst FROM p UNION SELECT j AS src, i AS dst FROM p),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach AS (
+              SELECT node AS src, node AS dst FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src)
+            SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
+            FROM comp GROUP BY cluster_id""")
+  )
+
+  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup, dedupClusters)
 }
