@@ -189,5 +189,39 @@ object TpchQueries {
             GROUP BY c_nationkey""")
   )
 
-  def all: Seq[Q] = Seq(q4, q7, q12, q14, q18, q19, q22)
+  /** Q10 shape — returned-item revenue: 4-way join with a date-window
+    * fact filter, broadcast nation dim, top-20 via TakeOrderedAndProject
+    * (tie-broken on the key for determinism). */
+  val q10 = Q(
+    "q10_returned_top",
+    "Returned-item revenue: date-windowed orders x R-flag lineitem x customer x broadcast nation, grouped revenue, deterministic top-20.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(
+          col("o_orderdate") >= to_timestamp(lit("1993-10-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1994-01-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1993-10-01' AND o_orderdate < TIMESTAMP '1994-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(q4, q7, q10, q12, q14, q18, q19, q22)
 }
