@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation with pointer jumping —
+  * the MapReduce-shaped algorithm dedup cluster resolution runs at scale
+  * (each round: two hash-key shuffles over (node, label) pairs; rounds
+  * grow with log(diameter), not diameter).
+  *
+  * Per round: (1) every node pulls the min label over itself and its
+  * neighbors (one hop); (2) pointer jump label(v) ← label(label(v)) —
+  * labels are node ids, so the indirection resolves in the same table and
+  * doubles the effective reach. A monotone sum(label) acts as the
+  * convergence measure (labels only decrease); `localCheckpoint`
+  * truncates per-round lineage so optimizer time stays flat (a cluster
+  * deployment checkpoints to reliable storage instead).
+  */
+object ConnectedComponents {
+
+  /** @param edges two columns `src`, `dst` (directed input; symmetrized
+    *              internally). Node ids must be numeric (labels use min).
+    * @return (node, lbl) — lbl is the min node id of the component.
+    */
+  def resolve(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var prevSum: Option[BigDecimal] = None
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nmin = sym.join(lbl.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val stepped = lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      val jump = stepped.select(col("node").as("jnode"), col("lbl").as("jlbl"))
+      lbl = stepped.join(jump, col("lbl") === col("jnode"), "left")
+        .select(col("node"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val s = BigDecimal(lbl.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0))
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      round += 1
+    }
+    lbl
+  }
+}

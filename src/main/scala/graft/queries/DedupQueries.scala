@@ -357,39 +357,10 @@ object DedupQueries {
     "a10_dedup_clusters",
     "Near-dup cluster resolution: verified pair graph -> connected components via min-label propagation + pointer jumping (log-diameter rounds) -> per-cluster survivor stats.",
     (s, dir) => {
-      val pairs = verifiedPairs(s, dir).select(col("i"), col("j"))
-      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
-        .cache()
-      val nodes = edges.select(col("src").as("node")).distinct()
-      var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
-      // labels only decrease, so sum(lbl) is a monotone convergence
-      // measure: unchanged sum ⇒ fixed point reached. 8 rounds of
-      // jump+neighbor cover diameter ≤ 2^8 as the safety bound.
-      var prevSum = Long.MaxValue
-      var round = 0
-      var converged = false
-      while (round < 8 && !converged) {
-        // (1) neighbor min: pull each neighbor's current label
-        val nmin = edges.join(lbl.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), col("lbl"))
-        val stepped = lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        // (2) pointer jump: label(v) <- label(label(v)) (labels are node
-        // ids, so they resolve in the same table)
-        val jump = stepped.select(col("node").as("jnode"), col("lbl").as("jlbl"))
-        // localCheckpoint truncates the iterative lineage — without it the
-        // analyzed plan nests exponentially across rounds and optimizer
-        // time dwarfs execution (a cluster deployment would checkpoint to
-        // reliable storage instead)
-        lbl = stepped.join(jump, col("lbl") === col("jnode"), "left")
-          .select(col("node"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-          .localCheckpoint()
-        val s = lbl.agg(sum(col("lbl"))).head().getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        round += 1
-      }
-      lbl.groupBy(col("lbl").as("cluster_id"))
+      val pairs = verifiedPairs(s, dir)
+        .select(col("i").as("src"), col("j").as("dst"))
+      graft.ops.ConnectedComponents.resolve(pairs)
+        .groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
     },
     Some("""WITH RECURSIVE d AS (

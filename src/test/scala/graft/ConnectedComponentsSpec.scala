@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.ConnectedComponents
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Pointer-jumping components vs an in-memory union-find reference —
+  * including the case plain one-hop propagation gets wrong within the
+  * round budget: a path whose diameter exceeds the round count. */
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.resolve(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min-id representative per component
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  test("a 40-node path (diameter 39 > 8 rounds one-hop) resolves to one component") {
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val got = labelsOf(path)
+    assert(got.values.toSet == Set(0L), s"path split into ${got.values.toSet.size} labels")
+  }
+
+  test("clique, disjoint pairs, and a star match the union-find reference") {
+    val clique = for (i <- 0L until 6L; j <- (i + 1) until 6L) yield (i, j)
+    val pairs = Seq((10L, 11L), (20L, 21L), (30L, 31L))
+    val star = (1L to 8L).map(i => (100L, 100L + i))
+    val edges = clique ++ pairs ++ star
+    assert(labelsOf(edges) == unionFind(edges))
+  }
+
+  test("seeded random graphs match the union-find reference") {
+    val rnd = new Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(labelsOf(edges) == unionFind(edges))
+    }
+  }
+}
