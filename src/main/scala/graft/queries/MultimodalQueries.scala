@@ -136,5 +136,36 @@ object MultimodalQueries {
             FROM g GROUP BY label""")
   )
 
-  def all: Seq[Q] = Seq(m1, m2, m3)
+  /** Fixed-window payload chunking — the audio/waveform framing shape:
+    * a payload splits into fixed-size windows, each window becomes a row
+    * with its own fingerprint (the unit a feature-extraction UDF or a
+    * chunk-level dedup consumes). Row-local explode, no shuffle; at
+    * 100 TB chunk rows inherit the scan's partitioning. */
+  val m4 = Q(
+    "m4_chunk_windows",
+    "Fixed 64-byte window chunking: per-doc chunk rows with index, byte length, and md5 fingerprint - the audio-frame / feature-window unit.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            ceil(length(col("text")) / 64.0).cast("int") - 1)).as("chunk_idx"))
+        .withColumn("chunk", col("text").substr(col("chunk_idx") * 64 + 1, lit(64)))
+        .select(col("doc_id"), col("chunk_idx"),
+          octet_length(encode(col("chunk"), "UTF-8")).as("n_bytes"),
+          md5(col("chunk")).as("chunk_md5"))
+    },
+    Some("""WITH c AS (
+              SELECT doc_id, i AS chunk_idx, substring(text, i*64 + 1, 64) AS chunk
+              FROM documents,
+                   unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS INT) - 1)) AS t(i)
+              WHERE doc_id < 40
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   octet_length(encode(chunk)) AS n_bytes, md5(chunk) AS chunk_md5
+            FROM c""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m4)
 }
