@@ -99,3 +99,51 @@ object ValidatorProps extends Properties("Validators") {
       !inUs(lat, lon) || (lat >= -90 && lat <= 90 && lon >= -180 && lon <= 180)
     }
 }
+
+object DownsampleProps extends Properties("Downsample") {
+  // pure mirrors of m3_resize_pool's kernels over an 8x8 row-major grid
+  private def nnSum(g: IndexedSeq[Float]): Double =
+    (for (r <- 0 until 4; c <- 0 until 4) yield g((2 * r) * 8 + 2 * c).toDouble).sum
+  private def poolSum(g: IndexedSeq[Float]): Double =
+    (for (r <- 0 until 4; c <- 0 until 4) yield {
+      val b = (2 * r) * 8 + 2 * c
+      math.max(math.max(g(b), g(b + 1)), math.max(g(b + 8), g(b + 9))).toDouble
+    }).sum
+
+  private val genGrid: Gen[IndexedSeq[Float]] =
+    Gen.containerOfN[Vector, Float](64, Gen.chooseNum(-100f, 100f))
+
+  property("max-pool dominates nearest-neighbor (nn picks a member of each pooled block)") =
+    Prop.forAll(genGrid) { g => poolSum(g) >= nnSum(g) }
+
+  property("both downsamples are invariant to values outside their support/blocks") =
+    Prop.forAll(genGrid) { g =>
+      // constant grid: both reduce to 16 * value
+      val v = g.head
+      val const = Vector.fill(64)(v)
+      math.abs(nnSum(const) - 16.0 * v) < 1e-3 * math.max(1.0, math.abs(16.0 * v)) &&
+        math.abs(poolSum(const) - 16.0 * v) < 1e-3 * math.max(1.0, math.abs(16.0 * v))
+    }
+}
+
+object TokenizerProps extends Properties("Tokenizer") {
+  // pure mirror of x28_token_count's regexes
+  private val ws = "\\S+".r
+  private val subword = "[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]".r
+  private def wsTokens(s: String) = ws.findAllIn(s).length
+  private def pieces(s: String) = subword.findAllIn(s.toLowerCase).length
+
+  private val genWord = Gen.choose(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val genText = Gen.choose(0, 30).flatMap(n =>
+    Gen.listOfN(n, genWord).map(_.mkString(" ")))
+
+  property("fertility >= 1: every whitespace token yields at least one subword piece") =
+    Prop.forAll(genText) { t => pieces(t) >= wsTokens(t) }
+
+  property("piece count is ceil(len/4) summed per word for pure alpha text") =
+    Prop.forAll(genText) { t =>
+      val expected = ws.findAllIn(t).map(w => (w.length + 3) / 4).sum
+      pieces(t) == expected
+    }
+}
