@@ -166,5 +166,62 @@ object TextQueries {
             FROM documents GROUP BY source""")
   )
 
-  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint, tokenCount)
+  /** X28 filter chain — the C4-style document quality gate: an ORDERED
+    * rule cascade (length bounds → mean word length → symbol ratio →
+    * stopword presence → exact-dup) where each document gets keep or its
+    * FIRST failing rule as the drop reason. One scan + a window for the
+    * dup rule + one low-cardinality roll-up; the per-reason counts are
+    * the corpus-curation dashboard every training-data pipeline keeps. */
+  val filterChain = Q(
+    "x28_filter_chain",
+    "C4-style quality cascade: length/word-length/symbol/stopword/dup rules in order, first failure wins; per-source drop-reason census.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+      t.documents
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("mean_word_len",
+          (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+        .withColumn("symbol_ratio",
+          size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") / col("n_chars"))
+        .withColumn("has_stopword",
+          arrays_overlap(split(col("text"), " "),
+            array(lit("the"), lit("a"), lit("and"), lit("of"))))
+        .withColumn("fp", md5(col("text")))
+        .withColumn("dup_rank", row_number().over(w))
+        .withColumn("drop_reason",
+          when(col("n_chars") < 100, "too_short")
+            .when(col("n_chars") > 20000, "too_long")
+            .when(col("mean_word_len") < 3 || col("mean_word_len") > 10, "word_length")
+            .when(col("symbol_ratio") >= 0.1, "symbol_ratio")
+            .when(!col("has_stopword"), "no_stopwords")
+            .when(col("dup_rank") > 1, "duplicate")
+            .otherwise("kept"))
+        .groupBy(col("source"), col("drop_reason"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH d AS (
+              SELECT source, doc_id, n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                  / len(string_split(text, ' ')) AS mean_word_len,
+                CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / n_chars AS symbol_ratio,
+                len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'and', 'of'))) > 0 AS has_stopword,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS dup_rank
+              FROM documents)
+            SELECT source,
+              CASE WHEN n_chars < 100 THEN 'too_short'
+                   WHEN n_chars > 20000 THEN 'too_long'
+                   WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_length'
+                   WHEN symbol_ratio >= 0.1 THEN 'symbol_ratio'
+                   WHEN NOT has_stopword THEN 'no_stopwords'
+                   WHEN dup_rank > 1 THEN 'duplicate'
+                   ELSE 'kept' END AS drop_reason,
+              count(*) AS n
+            FROM d GROUP BY 1, 2""")
+  )
+
+  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint, tokenCount, filterChain)
 }
