@@ -6,9 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Engine extension point (registered via `spark.sql.extensions`,
   * GraftSession): injects the native SQL functions so `cosine_sim(a, b)`
-  * is available to `expr()`/`spark.sql` everywhere, including pure-SQL
-  * consumers — the idiomatic way to ship custom Catalyst expressions
-  * with a library. */
+  * / `dot_product(a, b)` are available to `expr()`/`spark.sql`
+  * everywhere, and the [[FuseDotProduct]] optimizer rule so the composed
+  * `aggregate(zip_with(...))` dot idiom is rewritten to the fused native
+  * kernel — the idiomatic way to ship custom Catalyst expressions and
+  * rewrites with a library. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -20,5 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity(children(0), children(1))
       }
     ))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"dot_product requires exactly 2 arguments, got ${children.size}")
+        DotProduct(children(0), children(1))
+      }
+    ))
+    ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }
