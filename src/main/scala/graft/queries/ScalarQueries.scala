@@ -405,5 +405,35 @@ object ScalarQueries {
                          (3, CAST([] AS DOUBLE[]), [7.0])) AS t(id, a, b)""")
   )
 
-  def all: Seq[Q] = Seq(x9, x10, x12, x11, xDates, xMisc, xGeo, x24, x25, xArrays, a9)
+  /** X24 depth — Spark 4 VariantType: `parse_json` once into the binary
+    * variant encoding, then typed `variant_get` path extraction. At scale
+    * this beats per-access `get_json_object` (which re-parses the string
+    * per call): the variant is parsed once per row and every path access
+    * is a cheap binary probe. Same aggregate contract as x24 so the
+    * oracle is shared shape. */
+  val x24Variant = Q(
+    "x24_variant_access",
+    "parse_json -> VariantType -> typed variant_get path extraction; parse once per row, probe per access (vs get_json_object re-parsing).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", try_variant_get(col("v"), "$.k", "int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n_with_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          round(avg(col("k")), 4).as("avg_k")
+        )
+    },
+    Some("""SELECT event_type,
+            count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+            min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+            max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+            round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+            FROM events GROUP BY event_type""")
+  )
+
+  def all: Seq[Q] = Seq(x9, x10, x12, x11, xDates, xMisc, xGeo, x24, x24Variant, x25, xArrays, a9)
 }

@@ -208,5 +208,30 @@ object TimeSeriesQueries {
                          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""")
   )
 
-  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w3, w3Session)
+  /** W2 depth — distribution window functions: quartile bucketing,
+    * relative rank, and cumulative distribution per partition (the
+    * percentile-style analytics layer over ordered groups). */
+  val w2Dist = Q(
+    "w2_distribution",
+    "Distribution window functions per event_type: ntile(4) quartiles, percent_rank, cume_dist over value order.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)
+      t.events
+        .filter(col("user_id") < 10)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .select(col("event_type"), col("event_id"), col("quartile"),
+          col("pct_rank"), col("cume"))
+    },
+    Some("""SELECT event_type, event_id,
+            ntile(4) OVER w AS quartile,
+            round(percent_rank() OVER w, 6) AS pct_rank,
+            round(cume_dist() OVER w, 6) AS cume
+            FROM events WHERE user_id < 10
+            WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""")
+  )
+
+  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session)
 }
