@@ -93,6 +93,47 @@ object EventStreamPipeline {
       .start()
   }
 
+  /** T-depth — stream-stream interval join: each purchase joins the same
+    * user's clicks from the preceding hour. Both sides carry watermarks so
+    * Spark derives a state-retention bound from the join's time interval —
+    * click state is dropped once the watermark passes click.ts + 1h, which
+    * is what keeps two unbounded streams joinable in fixed memory. Pure
+    * column logic: identical on static frames (how the spec verifies it). */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
+  /** Streaming entry for the interval join. */
+  def runIntervalJoin(spark: SparkSession, srcDir: String, sinkDir: String,
+                      checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir)
+    clickToPurchaseJoin(stream)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** T1+T2+T3 — the full event-trigger pipeline: stream events from
     * `srcDir`, route, and append event-keyed collection requests to
     * `sinkDir` via foreachBatch. Returns the running query. */
