@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** SURVEY.md §2.6 O2 depth — a whole-operator Catalyst extension
+  * (LogicalPlan + SparkStrategy + SparkPlan) for per-key top-k.
+  *
+  * Why a custom operator: the built-in formulation
+  * (`row_number().over(Window.partitionBy(keys).orderBy(ord)) <= k`)
+  * plans a WindowExec, which SORTS every partition in full — O(n log n)
+  * per partition and a full spill surface — to keep k rows per key. This
+  * operator holds a bounded k-element heap per key: O(n log k), no sort,
+  * state proportional to keys×k rather than rows. At 100 TB with
+  * billions of rows per key group, that asymptotic gap is the job.
+  *
+  * Semantics: for each distinct key, emit the first k rows of that key
+  * under `order` (ties included arbitrarily unless the order is total —
+  * pass a tiebreak column for determinism, exactly as you would to the
+  * window form). Output order within/across keys is unspecified, like
+  * any aggregate.
+  */
+case class TopKPerKeyPlan(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+/** Planner strategy: lower the logical node to the heap-based exec. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: TopKPerKeyPlan =>
+      TopKPerKeyExec(p.keys, p.order, p.k, planLater(p.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  /** Rows of one key must be co-located for the per-partition heap to be
+    * complete — the planner inserts the hash exchange on the keys. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyExprs = keys
+    val sortOrder = order
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowProj = UnsafeProjection.create(childOutput, childOutput)
+      // codegen'd comparator over the child schema; serializable
+      val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      // per key: a max-heap under `ord` so the WORST retained row is on
+      // top and evicted first — classic bounded top-k
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
+      iter.foreach { row =>
+        val key = keyProj(row).copy()
+        val heap = heaps.getOrElseUpdate(key,
+          scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+            ord.asInstanceOf[Ordering[UnsafeRow]]))
+        if (heap.size < kLocal) {
+          heap.enqueue(rowProj(row).copy())
+        } else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(rowProj(row).copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}

@@ -250,5 +250,27 @@ object CoreQueries {
             GROUP BY e.event_type""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew)
+  /** O2 depth — the custom per-key top-k physical operator
+    * ([[graft.plans.TopKPerKeyPlan]] + Strategy + Exec): bounded heap per
+    * key, O(n log k) with NO partition sort, vs the window form's full
+    * O(n log n) sort. The oracle is the window formulation — proving the
+    * custom operator computes identical rows. */
+  val topkCustom = Q(
+    "o2_topk_custom",
+    "Custom LogicalPlan/Strategy/SparkPlan per-key top-k: bounded heap after a hash exchange, no sort; top-3 events per user by value.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.ops.TopK.perKey(
+          t.events.filter(col("user_id") < 25),
+          Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+        .select(col("user_id"), col("event_id"), col("value"))
+    },
+    Some("""SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+              FROM events WHERE user_id < 25)
+            WHERE rn <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.TopK
+import org.apache.spark.sql.functions._
+
+/** Custom per-key top-k physical operator: result equivalence with the
+  * window row_number form, plan shape (custom exec present, no sort),
+  * and the clustered-distribution requirement. */
+class TopKPerKeySpec extends SparkSpecBase {
+
+  private def events = Tables(spark, "/root/testdata/sf0.001").events
+
+  test("matches the window row_number formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val ours = TopK.perKey(events, Seq("user_id"),
+      Seq(col("value").desc, col("event_id").asc), 3)
+      .select("user_id", "event_id")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val window = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("user_id", "event_id")
+    assert(ours.count() == window.count())
+    assert(ours.exceptAll(window).count() == 0)
+    assert(window.exceptAll(ours).count() == 0)
+  }
+
+  test("plans the custom exec with a hash exchange and WITHOUT any sort") {
+    val df = TopK.perKey(events, Seq("user_id"), Seq(col("value").desc), 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"custom exec missing:\n${p.take(1500)}")
+    assert(p.contains("Exchange hashpartitioning(user_id"),
+      s"keys not clustered:\n${p.take(1500)}")
+    assert(!p.contains("Sort "), s"a sort crept in — the operator's whole point:\n${p.take(1500)}")
+  }
+
+  test("k larger than any group degenerates to the identity") {
+    val all = TopK.perKey(events.filter(col("user_id") < 5), Seq("user_id"),
+      Seq(col("value").desc), 1000000)
+    assert(all.count() == events.filter(col("user_id") < 5).count())
+  }
+}
