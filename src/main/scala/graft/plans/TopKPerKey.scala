@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -55,9 +55,13 @@ case class TopKPerKeyExec(
   override def outputPartitioning = child.outputPartitioning
 
   /** Rows of one key must be co-located for the per-partition heap to be
-    * complete — the planner inserts the hash exchange on the keys. */
+    * complete — the planner inserts the hash exchange on the keys. With
+    * no keys the top-k is GLOBAL, so all tuples must reach one partition
+    * (for global top-k prefer orderBy.limit → TakeOrderedAndProject,
+    * which merges per-partition top-k without the single-partition
+    * bottleneck; this operator's value is the grouped case). */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -34,6 +34,15 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(!p.contains("Sort "), s"a sort crept in — the operator's whole point:\n${p.take(1500)}")
   }
 
+  test("empty keys computes GLOBAL top-k (AllTuples distribution), not per-partition") {
+    val global = TopK.perKey(events, Seq.empty, Seq(col("value").desc, col("event_id").asc), 5)
+      .select("event_id")
+    val expected = events.orderBy(col("value").desc, col("event_id").asc)
+      .limit(5).select("event_id")
+    assert(global.count() == 5)
+    assert(global.exceptAll(expected).count() == 0)
+  }
+
   test("k larger than any group degenerates to the identity") {
     val all = TopK.perKey(events.filter(col("user_id") < 5), Seq("user_id"),
       Seq(col("value").desc), 1000000)
