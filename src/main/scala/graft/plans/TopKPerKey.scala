@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -36,11 +36,17 @@ case class TopKPerKeyPlan(
     copy(child = newChild)
 }
 
-/** Planner strategy: lower the logical node to the heap-based exec. */
+/** Planner strategy: lower the logical node to a PARTIAL exec (map-side,
+  * no distribution requirement) feeding a FINAL exec (clustered). Top-k
+  * is algebraically composable — topK(A ∪ B) = topK(topK(A) ∪ topK(B)) —
+  * so the partial pass prunes each input partition to ≤ k rows per key
+  * BEFORE the exchange, exactly like partial aggregation: the shuffle
+  * carries ≤ partitions×keys×k rows instead of every row. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: TopKPerKeyPlan =>
-      TopKPerKeyExec(p.keys, p.order, p.k, planLater(p.child)) :: Nil
+      val partial = TopKPerKeyExec(p.keys, p.order, p.k, planLater(p.child), partial = true)
+      TopKPerKeyExec(p.keys, p.order, p.k, partial, partial = false) :: Nil
     case _ => Nil
   }
 }
@@ -49,19 +55,24 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
-  /** Rows of one key must be co-located for the per-partition heap to be
-    * complete — the planner inserts the hash exchange on the keys. With
-    * no keys the top-k is GLOBAL, so all tuples must reach one partition
-    * (for global top-k prefer orderBy.limit → TakeOrderedAndProject,
-    * which merges per-partition top-k without the single-partition
-    * bottleneck; this operator's value is the grouped case). */
+  /** The partial pass runs wherever the data already is (map-side, no
+    * requirement). For the final pass, rows of one key must be co-located
+    * for the heap to be complete — the planner inserts the hash exchange
+    * on the keys. With no keys the top-k is GLOBAL, so all tuples must
+    * reach one partition (for global top-k prefer orderBy.limit →
+    * TakeOrderedAndProject; this operator's value is the grouped case —
+    * and the partial pass caps what that single partition receives). */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) AllTuples :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

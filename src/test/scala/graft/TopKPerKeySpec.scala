@@ -24,13 +24,20 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(window.exceptAll(ours).count() == 0)
   }
 
-  test("plans the custom exec with a hash exchange and WITHOUT any sort") {
+  test("plans partial + final execs around the hash exchange, WITHOUT any sort") {
     val df = TopK.perKey(events, Seq("user_id"), Seq(col("value").desc), 2)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("TopKPerKey"), s"custom exec missing:\n${p.take(1500)}")
+    assert(p.contains("TopKPerKeyPartial"), s"map-side partial missing:\n${p.take(1500)}")
+    assert(p.contains("TopKPerKeyFinal"), s"final exec missing:\n${p.take(1500)}")
     assert(p.contains("Exchange hashpartitioning(user_id"),
       s"keys not clustered:\n${p.take(1500)}")
+    // partial must be BELOW the exchange (map-side), final above
+    val idxPartial = p.indexOf("TopKPerKeyPartial")
+    val idxExchange = p.indexOf("Exchange hashpartitioning")
+    val idxFinal = p.indexOf("TopKPerKeyFinal")
+    assert(idxFinal < idxExchange && idxExchange < idxPartial,
+      s"pass ordering wrong (final→exchange→partial expected top-down):\n${p.take(1500)}")
     assert(!p.contains("Sort "), s"a sort crept in — the operator's whole point:\n${p.take(1500)}")
   }
 
