@@ -18,32 +18,54 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Labels plus the loop's exit state, for callers that need to act on a
+    * blown round budget instead of silently using partially-merged
+    * components. `rounds` counts executed rounds (convergence costs one
+    * verification round beyond the last merging round). */
+  final case class Result(labels: DataFrame, rounds: Int, converged: Boolean)
+
   /** @param edges two columns `src`, `dst` (directed input; symmetrized
     *              internally). Node ids must be numeric (labels use min).
     * @return (node, lbl) — lbl is the min node id of the component.
     */
-  def resolve(edges: DataFrame, maxRounds: Int = 8): DataFrame = {
+  def resolve(edges: DataFrame, maxRounds: Int = 16): DataFrame =
+    resolveChecked(edges, maxRounds).labels
+
+  def resolveChecked(edges: DataFrame, maxRounds: Int = 16): Result = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var prevSum: Option[BigDecimal] = None
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      val nmin = sym.join(lbl.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("lbl"))
-      val stepped = lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-      val jump = stepped.select(col("node").as("jnode"), col("lbl").as("jlbl"))
-      lbl = stepped.join(jump, col("lbl") === col("jnode"), "left")
-        .select(col("node"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val s = BigDecimal(lbl.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0))
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
-      round += 1
+    try {
+      val nodes = sym.select(col("src").as("node")).distinct()
+      var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+      var prevSum: Option[BigDecimal] = None
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val nmin = sym.join(lbl.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("lbl"))
+        val stepped = lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        val jump = stepped.select(col("node").as("jnode"), col("lbl").as("jlbl"))
+        lbl = stepped.join(jump, col("lbl") === col("jnode"), "left")
+          .select(col("node"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+          .localCheckpoint()
+        // sum over an empty frame is null: an empty node set is trivially
+        // converged, not an NPE
+        val s = Option(lbl.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0))
+          .map(BigDecimal(_))
+        converged = s.isEmpty || prevSum == s
+        prevSum = s
+        round += 1
+      }
+      if (!converged) {
+        log.warn(s"ConnectedComponents exhausted maxRounds=$maxRounds before the " +
+          "label sum stabilized; returned components may be partially merged")
+      }
+      Result(lbl, round, converged)
+    } finally {
+      sym.unpersist()
     }
-    lbl
   }
 }

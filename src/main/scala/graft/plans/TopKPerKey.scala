@@ -45,10 +45,25 @@ case class TopKPerKeyPlan(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: TopKPerKeyPlan =>
-      val partial = TopKPerKeyExec(p.keys, p.order, p.k, planLater(p.child), partial = true)
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxPartialKeys",
+          TopKPerKeyExec.DefaultMaxPartialKeys.toString).toInt
+      val partial = TopKPerKeyExec(p.keys, p.order, p.k, planLater(p.child),
+        partial = true, maxPartialKeys = cap)
       TopKPerKeyExec(p.keys, p.order, p.k, partial, partial = false) :: Nil
     case _ => Nil
   }
+}
+
+object TopKPerKeyExec {
+  /** Map-side state cap: distinct keys held per partition in the partial
+    * pass. Beyond it, rows pass through unpruned — the partial pass is
+    * advisory (topK(A ∪ B) = topK(topK(A) ∪ B)), so pass-through is always
+    * correct and the final pass does the pruning. This is the same shape as
+    * partial HashAggregate's sort-based fallback: bounded memory on the map
+    * side no matter the key cardinality. Override with
+    * `spark.graft.topk.maxPartialKeys`. */
+  val DefaultMaxPartialKeys: Int = 1 << 16
 }
 
 case class TopKPerKeyExec(
@@ -56,7 +71,8 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean = false) extends UnaryExecNode {
+    partial: Boolean = false,
+    maxPartialKeys: Int = TopKPerKeyExec.DefaultMaxPartialKeys) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -80,6 +96,10 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
+    // only the map-side pass may shed state: the final pass must see every
+    // key's complete heap, and there each key appears in exactly one
+    // partition already pruned to ≤ partitions×k rows
+    val capKeys = if (partial) maxPartialKeys else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -89,19 +109,31 @@ case class TopKPerKeyExec(
       // top and evicted first — classic bounded top-k
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val key = keyProj(row).copy()
-        val heap = heaps.getOrElseUpdate(key,
-          scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
-            ord.asInstanceOf[Ordering[UnsafeRow]]))
-        if (heap.size < kLocal) {
-          heap.enqueue(rowProj(row).copy())
-        } else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(rowProj(row).copy())
+      val absorbed = iter.flatMap { row =>
+        val probe = keyProj(row) // reused buffer; copied only on insert
+        heaps.get(probe) match {
+          case Some(heap) =>
+            if (heap.size < kLocal) {
+              heap.enqueue(rowProj(row).copy())
+            } else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(rowProj(row).copy())
+            }
+            None
+          case None if heaps.size < capKeys =>
+            val heap = scala.collection.mutable.PriorityQueue.empty[UnsafeRow](
+              ord.asInstanceOf[Ordering[UnsafeRow]])
+            heap.enqueue(rowProj(row).copy())
+            heaps.put(probe.copy(), heap)
+            None
+          case None =>
+            // state cap hit: forward unpruned, the final pass re-merges
+            Some(rowProj(row))
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // `++` is by-name: the heap drain runs only after the input is fully
+      // absorbed, while pass-through rows above stream without buffering
+      absorbed ++ heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

@@ -146,8 +146,11 @@ object MultimodalQueries {
     "Fixed 64-byte window chunking: per-doc chunk rows with index, byte length, and md5 fingerprint - the audio-frame / feature-window unit.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // empty text yields zero chunks: Spark's sequence(0, -1) would infer
+      // step -1 and emit [0, -1] where DuckDB's generate_series(0, -1) is
+      // empty, so filter empties out explicitly (both engines agree)
       t.documents
-        .filter(col("doc_id") < 40)
+        .filter(col("doc_id") < 40 && length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0),
             ceil(length(col("text")) / 64.0).cast("int") - 1)).as("chunk_idx"))
@@ -160,7 +163,7 @@ object MultimodalQueries {
               SELECT doc_id, i AS chunk_idx, substring(text, i*64 + 1, 64) AS chunk
               FROM documents,
                    unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS INT) - 1)) AS t(i)
-              WHERE doc_id < 40
+              WHERE doc_id < 40 AND length(text) > 0
             )
             SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
                    octet_length(encode(chunk)) AS n_bytes, md5(chunk) AS chunk_md5

@@ -166,26 +166,33 @@ object TpchQueries {
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)""")
   )
 
-  /** Q22 shape — customers above the average balance with no orders:
-    * scalar subquery + NOT EXISTS anti-join. */
+  /** Q22 shape — customers above the average balance with no RECENT
+    * orders (every fixture customer has some order, so plain NOT EXISTS
+    * would be vacuously empty): scalar subquery + NOT EXISTS anti-join
+    * over the date-filtered fact. */
   val q22 = Q(
     "q22_scalar_antijoin",
-    "Scalar aggregate subquery (avg balance) + NOT EXISTS anti-join: dormant rich customers per nation.",
+    "Scalar aggregate subquery (avg balance) + NOT EXISTS anti-join on recent orders: dormant rich customers per nation.",
     (s, dir) => {
       val t = Tables(s, dir)
       val avgBal = t.customer.filter(col("c_acctbal") > 0)
         .agg(avg(col("c_acctbal")).as("ab"))
+      val recent = t.orders
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("o_custkey"))
       t.customer
         .join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))
-        .join(t.orders.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
     },
     Some("""SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
             FROM customer
             WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey""")
   )
 
@@ -199,8 +206,8 @@ object TpchQueries {
       val t = Tables(s, dir)
       t.customer
         .join(t.orders.filter(
-          col("o_orderdate") >= to_timestamp(lit("1993-10-01")) &&
-            col("o_orderdate") < to_timestamp(lit("1994-01-01"))),
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01"))),
           col("c_custkey") === col("o_custkey"))
         .join(t.lineitem.filter(col("l_returnflag") === "R"),
           col("o_orderkey") === col("l_orderkey"))
@@ -216,7 +223,7 @@ object TpchQueries {
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             JOIN nation ON c_nationkey = n_nationkey
-            WHERE o_orderdate >= TIMESTAMP '1993-10-01' AND o_orderdate < TIMESTAMP '1994-01-01'
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
               AND l_returnflag = 'R'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey ASC

@@ -44,6 +44,28 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(labelsOf(edges) == unionFind(edges))
   }
 
+  test("an empty edge set returns an empty labelling, not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = ConnectedComponents.resolveChecked(empty)
+    assert(r.labels.count() == 0)
+    assert(r.converged, "empty graph must report converged")
+  }
+
+  test("the round budget is respected and reported: path converges in ≤ maxRounds") {
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val r = ConnectedComponents.resolveChecked(path.toDF("src", "dst"), maxRounds = 16)
+    assert(r.converged, s"40-node path should converge, used ${r.rounds} rounds")
+    assert(r.rounds <= 16)
+    // pointer jumping doubles reach per round: diameter 39 needs ~log2 rounds
+    assert(r.rounds <= 8, s"pointer jumping should need ~7 rounds, used ${r.rounds}")
+  }
+
+  test("a blown round budget is reported as converged=false, not silence") {
+    val path = (0L until 39L).map(i => (i, i + 1))
+    val r = ConnectedComponents.resolveChecked(path.toDF("src", "dst"), maxRounds = 2)
+    assert(!r.converged, "2 rounds cannot resolve a diameter-39 path")
+  }
+
   test("seeded random graphs match the union-find reference") {
     val rnd = new Random(42)
     (1 to 3).foreach { _ =>

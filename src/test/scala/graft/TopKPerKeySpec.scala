@@ -50,6 +50,26 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(global.exceptAll(expected).count() == 0)
   }
 
+  test("partial-pass key cap: overflow passes through unpruned, result unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    // cap far below the distinct user_id count so most rows overflow the
+    // map-side state and are forwarded raw to the final pass
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "4")
+    try {
+      val ours = TopK.perKey(events, Seq("user_id"),
+        Seq(col("value").desc, col("event_id").asc), 3)
+        .select("user_id", "event_id")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      val window = events.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select("user_id", "event_id")
+      assert(ours.exceptAll(window).count() == 0)
+      assert(window.exceptAll(ours).count() == 0)
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxPartialKeys")
+    }
+  }
+
   test("k larger than any group degenerates to the identity") {
     val all = TopK.perKey(events.filter(col("user_id") < 5), Seq("user_id"),
       Seq(col("value").desc), 1000000)
