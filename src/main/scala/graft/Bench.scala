@@ -40,7 +40,13 @@ object Bench {
     val qJson = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+    println(line)
+    // The driver captures stdout with a tail cut that can truncate the
+    // per-query map mid-dict; persist the full line so every query stays
+    // machine-diffable (tools/bench_diff.py reads this file too).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -104,17 +104,20 @@ object CollectPipeline {
   }
 
   /** J1 + A6 — pivot the tall records into one wide row per request with
-    * the success summary. */
+    * the success summary, in ONE aggregate: the explicit-value pivot is a
+    * conditional `first` per source (exactly what Pivot lowers to), and
+    * the summary counts ride the same groupBy — one Exchange on
+    * request_id, no second aggregate + join back. */
   def aggregate(tall: DataFrame): DataFrame =
     tall
       .groupBy(col("request_id"))
-      .pivot("source", Seq("landfire", "modis", "weather", "topography"))
-      .agg(first(col("risk")))
-      .join(
-        tall.groupBy(col("request_id")).agg(
-          count(lit(1)).as("sources_successful"),
-          count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_high_risk")),
-        "request_id")
+      .agg(
+        first(when(col("source") === "landfire", col("risk")), ignoreNulls = true).as("landfire"),
+        first(when(col("source") === "modis", col("risk")), ignoreNulls = true).as("modis"),
+        first(when(col("source") === "weather", col("risk")), ignoreNulls = true).as("weather"),
+        first(when(col("source") === "topography", col("risk")), ignoreNulls = true).as("topography"),
+        count(lit(1)).as("sources_successful"),
+        count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_high_risk"))
 
   /** The full /collect shape. */
   def run(requests: DataFrame): DataFrame = {

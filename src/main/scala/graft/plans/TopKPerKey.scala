@@ -24,6 +24,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * pass a tiebreak column for determinism, exactly as you would to the
   * window form). Output order within/across keys is unspecified, like
   * any aggregate.
+  *
+  * Memory contract: the map-side (partial) pass bounds its state at
+  * `maxPartialKeys` heaps and streams overflow rows through unpruned, so
+  * it is safe at any key cardinality. The FINAL pass holds one k-row heap
+  * per key of its partition with no spill fallback — that is O(output) of
+  * the operator itself (every retained row is an output row), the same
+  * memory class as TakeOrderedAndProject's driver-side array. When
+  * keys×k per partition can't fit an executor, raise shuffle
+  * partitions so each final partition's key slice fits — the exchange on
+  * `keys` distributes state linearly with partition count — or fall back
+  * to the window form, which sorts and therefore spills.
   */
 case class TopKPerKeyPlan(
     keys: Seq[Expression],

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.CollectPipeline
+import graft.ops.{CollectFull, CollectPipeline}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §3.1 — the /collect entry point end-to-end over the four
@@ -94,5 +94,197 @@ object E2EQueries {
             FROM tall GROUP BY request_id""")
   )
 
-  def all: Seq[Q] = Seq(collect)
+  /** SURVEY §3.1 depth — the full-fidelity /collect: real operator
+    * chains (TIFF decode point lookup, broadcast CSV attribute table,
+    * MODIS last-valid argmax, X9 weather risk, masked elevation stats)
+    * over staged fixture files, emitting nested ContainerOutput structs
+    * (shared_schema.py:97-132) pivoted into AggregatedResponse rows
+    * (shared_schema.py:135-191). The oracle independently re-reads the
+    * SAME fixture files (read_csv/read_json) and re-derives raster
+    * pixels from their generating formulas (it cannot decode TIFF —
+    * encode/decode fidelity is pinned separately by d1_tiff_decode),
+    * so every nested field is hash-compared, golden classifications
+    * (README.md:262-266) included.
+    */
+  val collectFull = Q(
+    "e2e_collect_full",
+    "Full-fidelity /collect: 4 container pipelines as real operators over staged fixtures -> nested ContainerOutput envelopes -> AggregatedResponse rows.",
+    (s, _) => CollectFull.run(s),
+    Some("""WITH sites(site, site_name, lat, lon, buffer_m, event_id, k, veg_code, fuel_code, elev_base, elev_amp) AS (VALUES
+    ('req_la', 'Los Angeles', CAST(34.0522 AS DOUBLE), CAST(-118.2437 AS DOUBLE), 1000, 'fire_2024-001', 0, 7299, 93, 50, 40),
+    ('req_yellowstone', 'Yellowstone', CAST(44.6 AS DOUBLE), CAST(-110.5 AS DOUBLE), 5000, NULL, 1, 3215, 122, 2200, 160),
+    ('req_death_valley', 'Death Valley', CAST(36.5 AS DOUBLE), CAST(-117.0 AS DOUBLE), 1000, 'dv_survey_01', 2, 2092, 145, -80, 90),
+    ('req_seattle', 'Seattle', CAST(47.5086 AS DOUBLE), CAST(-122.3551 AS DOUBLE), 2000, 'sea-042', 3, 7292, 95, 30, 120)),
+idx AS (SELECT * FROM read_csv('/root/repo/target/graft_fixtures/text/rasters_index.csv', header=true)),
+attr AS (SELECT * FROM read_csv('/root/repo/target/graft_fixtures/text/landfire_attributes.csv', header=true)),
+tr AS (SELECT site, CAST(x0 AS DOUBLE) AS x0, CAST(dx AS DOUBLE) AS dx, CAST(y0 AS DOUBLE) AS y0, CAST(dy AS DOUBLE) AS dy
+       FROM idx WHERE product = 'elevation'),
+pt AS (SELECT s.*, CAST(floor((lat - y0) / dy) AS INT) AS px_row, CAST(floor((lon - x0) / dx) AS INT) AS px_col
+       FROM sites s JOIN tr USING (site)),
+lf_px AS (SELECT pt.*,
+    CASE WHEN px_row = 8 AND px_col = 8 THEN veg_code ELSE 2000 + ((px_row*31 + px_col*17 + k*7) % 97) END AS veg_px,
+    CASE WHEN px_row = 8 AND px_col = 8 THEN fuel_code ELSE 90 + ((px_row*29 + px_col*19 + k*11) % 60) END AS fuel_px
+    FROM pt),
+lf AS (SELECT p.site,
+    coalesce(av.classname,
+      CASE WHEN veg_px >= 7000 AND veg_px < 8000 THEN 'Urban/Developed'
+           WHEN veg_px >= 6000 AND veg_px < 7000 THEN 'Agriculture/Cropland'
+           WHEN veg_px >= 3000 AND veg_px < 4000 THEN 'Forest'
+           WHEN veg_px >= 2000 AND veg_px < 3000 THEN 'Grassland'
+           WHEN veg_px >= 4000 AND veg_px < 5000 THEN 'Shrubland' END,
+      concat('Unknown (', CAST(veg_px AS VARCHAR), ')')) AS vegetation_class,
+    CAST(veg_px AS INT) AS vegetation_pixel_value,
+    coalesce(af.classname,
+      CASE WHEN fuel_px >= 90 AND fuel_px < 100 THEN 'Non-burnable'
+           WHEN fuel_px >= 100 AND fuel_px < 110 THEN 'Grass'
+           WHEN fuel_px >= 110 AND fuel_px < 130 THEN 'Timber'
+           WHEN fuel_px >= 140 AND fuel_px < 150 THEN 'Shrub' END,
+      concat('Unknown (', CAST(fuel_px AS VARCHAR), ')')) AS fuel_model_class,
+    CAST(fuel_px AS INT) AS fuel_model_pixel_value,
+    px_row, px_col
+    FROM lf_px p
+    LEFT JOIN attr av ON av.product = 'vegetation_type' AND av.value = p.veg_px
+    LEFT JOIN attr af ON af.product = 'fuel_model' AND af.value = p.fuel_px),
+lf2 AS (SELECT *,
+    CASE WHEN regexp_matches(lower(vegetation_class), 'developed|urban|water') THEN 'LOW'
+         WHEN regexp_matches(lower(fuel_model_class), 'chaparral|timber|grass') THEN 'MODERATE_TO_HIGH'
+         ELSE 'MODERATE' END AS lf_risk
+    FROM lf),
+cells AS (SELECT s.site, s.k, s.elev_base, s.elev_amp, r, c
+          FROM sites s, generate_series(0, 15) rs(r), generate_series(0, 15) cs(c)),
+ev AS (SELECT site, CAST(elev_base + ((r*37 + c*23 + k*13) % elev_amp) AS DOUBLE) AS elev
+       FROM cells WHERE ((r + k) * (c + 2*k + 3)) % 19 <> 0),
+topo AS (SELECT site,
+    count(*) AS pixel_count,
+    min(elev) AS min_elevation_m,
+    max(elev) AS max_elevation_m,
+    sum(elev) / count(*) AS mean_elevation_m,
+    sqrt(sum(elev*elev) / count(*) - (sum(elev)/count(*)) * (sum(elev)/count(*))) AS std_elevation_m,
+    max(elev) - min(elev) AS elevation_range_m
+    FROM ev GROUP BY site),
+topo2 AS (SELECT *,
+    CASE WHEN elevation_range_m > 100 THEN 'HIGH'
+         WHEN elevation_range_m > 50 THEN 'MODERATE'
+         ELSE 'LOW' END AS terrain_roughness
+    FROM topo),
+ms AS (SELECT * FROM read_json('/root/repo/target/graft_fixtures/text/modis_subset.jsonl',
+         format='newline_delimited',
+         columns={site: 'VARCHAR', product: 'VARCHAR', band: 'VARCHAR', calendar_date: 'VARCHAR', data: 'INTEGER[]'})),
+msc AS (SELECT *, len(data) AS n_px,
+        CASE WHEN len(data) > 0 THEN data[len(data) // 2 + 1] END AS center FROM ms),
+nd AS (SELECT site, calendar_date, CAST(center AS DOUBLE) * CAST(0.0001 AS DOUBLE) AS scaled
+       FROM msc WHERE band = '250m_16_days_NDVI' AND n_px > 0),
+ndv AS (SELECT site, max_by(scaled, calendar_date) AS ndvi_latest, max(calendar_date) AS last_observation_date
+        FROM nd WHERE scaled BETWEEN CAST(-1.0 AS DOUBLE) AND CAST(1.0 AS DOUBLE) GROUP BY site),
+lstv AS (SELECT site, min_by(temp_c, calendar_date) AS land_surface_temperature_c
+         FROM (SELECT site, calendar_date, CAST(center AS DOUBLE) * CAST(0.02 AS DOUBLE) - CAST(273.15 AS DOUBLE) AS temp_c
+               FROM msc WHERE band = 'LST_Day_1km' AND n_px > 0) t
+         WHERE temp_c BETWEEN CAST(-50.0 AS DOUBLE) AND CAST(60.0 AS DOUBLE) GROUP BY site),
+mcnt AS (SELECT site, CAST(count(*) AS BIGINT) AS n_subset_entries FROM ms GROUP BY site),
+md AS (SELECT ndv.site, ndvi_latest, last_observation_date, land_surface_temperature_c, n_subset_entries,
+    CASE WHEN ndvi_latest > 0.6 THEN 'HEALTHY' WHEN ndvi_latest > 0.3 THEN 'MODERATE'
+         WHEN ndvi_latest > 0.1 THEN 'STRESSED' ELSE 'SEVERELY_STRESSED' END AS vegetation_health,
+    CASE WHEN ndvi_latest > 0.6 THEN 'LOW' WHEN ndvi_latest > 0.3 THEN 'MODERATE'
+         WHEN ndvi_latest > 0.1 THEN 'HIGH' ELSE 'EXTREME' END AS fire_risk_vegetation
+    FROM ndv LEFT JOIN lstv ON ndv.site = lstv.site LEFT JOIN mcnt ON ndv.site = mcnt.site),
+wxr AS (SELECT * FROM read_json('/root/repo/target/graft_fixtures/text/weather_current.jsonl',
+         format='newline_delimited',
+         columns={site: 'VARCHAR', dt: 'BIGINT',
+                  main: 'STRUCT(temp DOUBLE, humidity INTEGER, pressure INTEGER)',
+                  wind: 'STRUCT(speed DOUBLE, deg INTEGER)',
+                  weather: 'STRUCT(main VARCHAR, description VARCHAR)[]',
+                  visibility: 'INTEGER', name: 'VARCHAR',
+                  forecast: 'STRUCT(dt BIGINT, main STRUCT(temp DOUBLE, humidity INTEGER, pressure INTEGER), wind STRUCT(speed DOUBLE, deg INTEGER))[]'})),
+wx AS (SELECT site,
+    main.temp AS temperature_celsius,
+    main.humidity AS humidity_percent,
+    main.pressure AS pressure_hpa,
+    wind.speed AS wind_speed_mps,
+    wind.deg AS wind_direction_deg,
+    weather[1].main AS weather_main,
+    weather[1].description AS weather_description,
+    (CASE WHEN main.temp > 30 THEN 3 WHEN main.temp > 25 THEN 2 WHEN main.temp > 20 THEN 1 ELSE 0 END
+     + CASE WHEN main.humidity < 20 THEN 3 WHEN main.humidity < 40 THEN 2 WHEN main.humidity < 60 THEN 1 ELSE 0 END
+     + CASE WHEN wind.speed > 15 THEN 3 WHEN wind.speed > 10 THEN 2 WHEN wind.speed > 5 THEN 1 ELSE 0 END) AS score,
+    CAST(len(forecast) AS INT) AS forecast_total_points,
+    list_aggregate([f.main.temp FOR f IN forecast], 'max') AS forecast_max_temperature,
+    list_aggregate([f.main.temp FOR f IN forecast], 'min') AS forecast_min_temperature,
+    CAST(len(list_filter(forecast, f ->
+      (CASE WHEN f.main.temp > 30 THEN 3 WHEN f.main.temp > 25 THEN 2 WHEN f.main.temp > 20 THEN 1 ELSE 0 END
+       + CASE WHEN f.main.humidity < 20 THEN 3 WHEN f.main.humidity < 40 THEN 2 WHEN f.main.humidity < 60 THEN 1 ELSE 0 END
+       + CASE WHEN f.wind.speed > 15 THEN 3 WHEN f.wind.speed > 10 THEN 2 WHEN f.wind.speed > 5 THEN 1 ELSE 0 END) >= 5)) AS INT) AS n_fire_risk_periods
+    FROM wxr),
+wx2 AS (SELECT *,
+    CASE WHEN score >= 7 THEN 'EXTREME' WHEN score >= 5 THEN 'HIGH'
+         WHEN score >= 3 THEN 'MODERATE' ELSE 'LOW' END AS fire_weather_risk
+    FROM wx)
+SELECT s.site AS request_id,
+  s.event_id,
+  {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'} AS location,
+  '2024-06-01T12:00:00' AS timestamp,
+  {'event_id': s.event_id, 'source': 'LANDFIRE', 'data_type': 'landfire_vegetation',
+   'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
+   'timestamp': '2024-06-01T12:00:00',
+   'interpreted_data': {
+      'coordinate_specific': {'vegetation_class': l.vegetation_class, 'vegetation_pixel_value': l.vegetation_pixel_value,
+                              'fuel_model_class': l.fuel_model_class, 'fuel_model_pixel_value': l.fuel_model_pixel_value,
+                              'px_row': l.px_row, 'px_col': l.px_col},
+      'area_summary': {'interpreted_products': 'vegetation_type,fuel_model',
+                       'vegetation_interpreted': l.vegetation_class, 'fuel_model_interpreted': l.fuel_model_class},
+      'risk_assessment': l.lf_risk},
+   'metadata': {'processing_time_ms': 0, 'data_currency': '2024-01-01T00:00:00Z', 'retrieved_at': '2024-06-01T12:00:00',
+                'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'landfire-container-0', 'container_version': '1.0.0'},
+   'n_errors': 0, 'n_warnings': 0} AS landfire,
+  {'event_id': s.event_id, 'source': 'MODIS_ORNL', 'data_type': 'modis_vegetation_indices',
+   'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
+   'timestamp': '2024-06-01T12:00:00',
+   'interpreted_data': {
+      'coordinate_specific': {'ndvi_latest': m.ndvi_latest, 'evi_latest': CAST(NULL AS DOUBLE),
+                              'vegetation_health': m.vegetation_health, 'fire_risk_vegetation': m.fire_risk_vegetation,
+                              'last_observation_date': m.last_observation_date,
+                              'land_surface_temperature_c': m.land_surface_temperature_c},
+      'area_summary': {'products_processed': 'MOD13Q1,MOD11A2', 'n_subset_entries': m.n_subset_entries},
+      'risk_assessment': m.fire_risk_vegetation},
+   'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
+                'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'modis-container-0', 'container_version': '1.0.0'},
+   'n_errors': 0, 'n_warnings': 0} AS modis,
+  {'event_id': s.event_id, 'source': 'OpenWeatherMap', 'data_type': 'weather_current',
+   'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
+   'timestamp': '2024-06-01T12:00:00',
+   'interpreted_data': {
+      'coordinate_specific': {'temperature_celsius': w.temperature_celsius, 'humidity_percent': w.humidity_percent,
+                              'wind_speed_mps': w.wind_speed_mps, 'fire_weather_risk': w.fire_weather_risk,
+                              'weather_main': w.weather_main, 'weather_description': w.weather_description},
+      'area_summary': {'forecast_total_points': w.forecast_total_points,
+                       'forecast_max_temperature': w.forecast_max_temperature,
+                       'forecast_min_temperature': w.forecast_min_temperature,
+                       'n_fire_risk_periods': w.n_fire_risk_periods},
+      'risk_assessment': w.fire_weather_risk},
+   'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
+                'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'weather-container-0', 'container_version': '1.0.0'},
+   'n_errors': 0, 'n_warnings': 0} AS weather,
+  {'event_id': s.event_id, 'source': 'USGS_3DEP', 'data_type': 'topography_dem',
+   'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
+   'timestamp': '2024-06-01T12:00:00',
+   'interpreted_data': {
+      'coordinate_specific': {'elevation_m': t.mean_elevation_m, 'terrain_classification': t.terrain_roughness,
+                              'fire_risk_terrain': t.terrain_roughness},
+      'area_summary': {'min_elevation_m': t.min_elevation_m, 'max_elevation_m': t.max_elevation_m,
+                       'mean_elevation_m': t.mean_elevation_m, 'std_elevation_m': t.std_elevation_m,
+                       'elevation_range_m': t.elevation_range_m, 'terrain_roughness': t.terrain_roughness,
+                       'pixel_count': t.pixel_count},
+      'risk_assessment': t.terrain_roughness},
+   'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
+                'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'topography-container-0', 'container_version': '1.0.0'},
+   'n_errors': 0, 'n_warnings': 0} AS topography,
+  {'total_sources': 4, 'successful_sources': 4, 'total_errors': 0, 'success_rate': CAST(4 AS DOUBLE) / 4} AS summary,
+  0 AS total_processing_time_ms
+FROM sites s
+JOIN lf2 l ON s.site = l.site
+JOIN md m ON s.site = m.site
+JOIN wx2 w ON s.site = w.site
+JOIN topo2 t ON s.site = t.site""")
+  )
+
+  def all: Seq[Q] = Seq(collect, collectFull)
 }

@@ -106,19 +106,25 @@ object RasterQueries {
             FROM pts LEFT JOIN g ON g.r = px_row AND g.c = px_col""")
   )
 
-  /** J2 + X14 — pixel classification: exact attribute-table match first,
-    * then range-membership fallback, then the literal "Unknown (v)"
-    * default (landfire_container.py:68-84, 118-132). Both joins
-    * broadcast; precedence via coalesce. */
+  /** J2 + X14 + S7 — pixel classification: exact attribute-table match
+    * first, then range-membership fallback, then the literal
+    * "Unknown (v)" default (landfire_container.py:68-84, 118-132). The
+    * exact table is a REAL broadcast CSV read, cached like the
+    * reference's downloaded-and-cached attribute table
+    * (landfire_container.py:46-65); the range fallback mirrors the
+    * reference's in-code map. Both joins broadcast; precedence via
+    * coalesce. The attribute CSV includes codes that also fall inside a
+    * fallback band (3232 in Forest, 7272 in Urban), which this query's
+    * pixel stream hits — pinning exact-over-range precedence. */
   val j2 = Q(
     "j2_range_classify",
-    "Classification lookup with precedence: broadcast exact equi-join, else broadcast non-equi range join (lo <= v < hi), else formatted default.",
+    "Classification lookup with precedence: broadcast CSV attribute table (exact equi-join), else broadcast non-equi range join (lo <= v < hi), else formatted default.",
     (s, _) => {
       import s.implicits._
       val pixels = s.range(0, 120).select((col("id") * 101 % 12000).cast("int").as("pixel_value"))
-      val exact = broadcast(Seq(
-        (7296, "Developed-Roads"), (7292, "Developed-Medium Intensity"), (3215, "Montane Sagebrush Steppe")
-      ).toDF("code", "exact_label"))
+      val exact = broadcast(graft.ops.CollectFull.attributeTable(s)
+        .filter(col("product") === "vegetation_type")
+        .select(col("value").as("code"), col("classname").as("exact_label")))
       val ranges = broadcast(Seq(
         (7000, 8000, "Urban/Developed"), (6000, 7000, "Agriculture/Cropland"),
         (3000, 4000, "Forest"), (2000, 3000, "Grassland"), (4000, 5000, "Shrubland")
@@ -133,8 +139,9 @@ object RasterQueries {
         .agg(count(lit(1)).as("n_pixels"))
     },
     Some("""WITH px AS (SELECT CAST(i * 101 % 12000 AS INT) AS pixel_value FROM generate_series(0, 119) AS t(i)),
-            ex(code, exact_label) AS (VALUES (7296, 'Developed-Roads'), (7292, 'Developed-Medium Intensity'),
-                                             (3215, 'Montane Sagebrush Steppe')),
+            ex AS (SELECT value AS code, classname AS exact_label
+                   FROM read_csv('/root/repo/target/graft_fixtures/text/landfire_attributes.csv', header=true)
+                   WHERE product = 'vegetation_type'),
             rg(lo, hi, range_label) AS (VALUES (7000, 8000, 'Urban/Developed'), (6000, 7000, 'Agriculture/Cropland'),
                                                (3000, 4000, 'Forest'), (2000, 3000, 'Grassland'), (4000, 5000, 'Shrubland'))
             SELECT coalesce(ex.exact_label, rg.range_label,

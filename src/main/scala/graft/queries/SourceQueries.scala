@@ -60,25 +60,32 @@ object SourceQueries {
             FROM l, unnest(generate_series(1, len(lst))) AS g(i)""")
   )
 
-  /** S1/S6 — binary-file scan: `binaryFile` format over the fixture dir,
-    * yielding (path, length, content) rows — the raster-bytes ingest
-    * shape. Content bytes feed D1-style decode (see MultimodalStub);
-    * here we pin the scan itself: sizes and a content fingerprint.
-    * Oracle-free (DuckDB has no file-metadata source) → driver records
-    * the weaker rows-only check. */
+  /** S1/S6 — binary-file scan: `binaryFile` format over the staged
+    * fixture files ([[graft.ops.Fixtures]]), yielding (path, length,
+    * content) rows — the raster-bytes ingest shape. Content bytes feed
+    * D1-style decode; here we pin the scan itself: sizes and a content
+    * fingerprint. The oracle reads the SAME files through DuckDB's
+    * read_text (its md5 is VARCHAR-only, which is why the scanned dir is
+    * the ASCII fixture set — the TIFF dir's scan is exercised inside
+    * e2e_collect_full). */
   val binaryScan = Q(
     "s1_binaryfile_scan",
-    "binaryFile source scan: per-file name/size/md5 over the fixture directory; the S1/S6 GeoTIFF-bytes ingest shape.",
-    (s, dir) => {
+    "binaryFile source scan: per-file name/size/md5 over the staged fixture directory; the S1/S6 GeoTIFF-bytes ingest shape.",
+    (s, _) => {
+      graft.ops.Fixtures.stage()
       s.read.format("binaryFile")
-        .load(s"$dir/*.parquet")
+        .load(s"${graft.ops.Fixtures.TextDir}/*")
         .select(
           element_at(split(col("path"), "/"), -1).as("file_name"),
           col("length"),
           md5(col("content")).as("content_md5"))
         .orderBy(col("file_name"))
     },
-    None // no SQL-expressible oracle: file-metadata source
+    Some("""SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+                   CAST(size AS BIGINT) AS length,
+                   md5(content) AS content_md5
+            FROM read_text('/root/repo/target/graft_fixtures/text/*')
+            ORDER BY 1""")
   )
 
   /** S1 as a real custom connector — the DataSource V2 source

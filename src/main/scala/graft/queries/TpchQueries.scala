@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
+  /** Exact-decimal revenue term. `l_extendedprice`/`l_discount` land as
+    * parquet doubles, and `round(sum(double), 2)` is engine-dependent at
+    * half-cent ties (round 4 hit one: 307843.595). Casting both factors to
+    * DECIMAL(12,2) makes the multiply-sum exact, so HALF_UP rounding
+    * agrees across engines; callers cast the rounded result back to
+    * double for the dtype compare. */
+  private def decRevenue =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount").cast("decimal(12,2)"))
+
+  private val decRevenueSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+
   /** Q4 shape — order-priority count where an EXISTS lineitem condition
     * holds: decorrelated left-semi join. */
   val q4 = Q(
@@ -61,10 +74,10 @@ object TpchQueries {
         .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
           (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
         .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"))
     },
-    Some("""SELECT c.cust_nation, s.supp_nation, year(l_shipdate) AS l_year,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    Some(s"""SELECT c.cust_nation, s.supp_nation, year(l_shipdate) AS l_year,
+            CAST(round(sum($decRevenueSql), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -110,13 +123,13 @@ object TpchQueries {
         .join(t.part, col("l_partkey") === col("p_partkey"))
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
         .agg(round(
-          sum(when(col("p_brand") === "Brand#1", col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .otherwise(0.0)) * 100.0 /
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
+          sum(when(col("p_brand") === "Brand#1", decRevenue).otherwise(lit(0)))
+            .cast("double") * 100.0 /
+            sum(decRevenue).cast("double"), 4).as("promo_pct"))
     },
-    Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-            round(sum(CASE WHEN p_brand = 'Brand#1' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                  * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    Some(s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+            round(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $decRevenueSql ELSE 0 END) AS DOUBLE)
+                  * 100.0 / CAST(sum($decRevenueSql) AS DOUBLE), 4) AS promo_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY strftime(l_shipdate, '%Y-%m')""")
   )
@@ -156,10 +169,10 @@ object TpchQueries {
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
             (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) && col("l_quantity").between(10, 40)) ||
             (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) && col("l_quantity").between(20, 50)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     },
-    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lines
+    Some(s"""SELECT CAST(round(sum($decRevenueSql), 2) AS DOUBLE) AS revenue, count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
@@ -213,12 +226,12 @@ object TpchQueries {
           col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     },
-    Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+            CAST(round(sum($decRevenueSql), 2) AS DOUBLE) AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey

@@ -10,15 +10,23 @@ import org.apache.spark.sql.streaming._
   * exactly the batch scheme (word 3-grams → one md5 per shingle → 4
   * signature slices → 2 band keys); a `transformWithState` processor
   * keyed by (band, band_key) holds the bucket's member ids in ListState
-  * and emits a candidate pair for every (existing, new) member — so the
-  * candidate stream equals the batch candidate set at every prefix of
-  * the input, which is what lets an ingest pipeline dedup against
-  * everything seen WITHOUT re-scanning the corpus.
+  * and emits a candidate pair for every (existing, new) member — so, as
+  * long as every bucket stays within `MaxBucket`, the candidate stream
+  * equals the batch candidate set at every prefix of the input, which is
+  * what lets an ingest pipeline dedup against everything seen WITHOUT
+  * re-scanning the corpus.
   *
-  * State is bounded per bucket by the same cap as the batch skew guard:
-  * once a bucket holds `maxBucket` members it is degenerate (the shingle
-  * basis is non-discriminative there) and stops pairing. At 100 TB the
-  * bucket key is the shuffle key and per-bucket state is O(bucket size).
+  * Cap semantics differ from batch ABOVE the cap: the batch pipeline
+  * drops an oversized bucket wholesale (its bucket-size filter is
+  * `BETWEEN 2 AND MaxBucket`), while the stream has already emitted
+  * C(MaxBucket, 2) pairs from the first `MaxBucket` members before it
+  * can know the bucket is degenerate, and then stops pairing. The
+  * equivalence guarantee therefore holds only while every bucket stays
+  * within the cap — the precondition the spec asserts on its fixture.
+  * State is bounded per bucket by the cap either way: a bucket at
+  * `MaxBucket` members is degenerate (the shingle basis is
+  * non-discriminative there). At 100 TB the bucket key is the shuffle
+  * key and per-bucket state is O(min(bucket size, MaxBucket)).
   */
 object StreamingNearDup {
 

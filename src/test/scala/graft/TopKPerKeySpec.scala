@@ -70,6 +70,30 @@ class TopKPerKeySpec extends SparkSpecBase {
     }
   }
 
+  test("final pass is correct when key count far exceeds the partial cap (high-cardinality stress)") {
+    // 50k distinct keys, 4 rows each, against a 16-key map-side cap: the
+    // partial pass passes nearly everything through raw, so the FINAL pass
+    // builds one heap per key of its partition — the memory-contract case
+    // the scaladoc documents (state = O(output): keys×k retained rows).
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "16")
+    try {
+      val n = 200000L
+      val df = spark.range(n).select(
+        (col("id") % 50000).as("k"),
+        (col("id") * 2654435761L % 1000003).as("v"))
+      val top = TopK.perKey(df, Seq("k"), Seq(col("v").desc, col("k").asc), 2)
+      // every key retains min(4, 2) rows → exactly 100k output rows
+      assert(top.count() == 100000L)
+      // spot-check one key against a direct sort
+      val k0 = top.filter(col("k") === 123).orderBy(col("v").desc).collect().map(_.getLong(1))
+      val expect = df.filter(col("k") === 123).orderBy(col("v").desc).limit(2)
+        .collect().map(_.getLong(1))
+      assert(k0.sameElements(expect), s"key 123: got ${k0.toSeq}, want ${expect.toSeq}")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxPartialKeys")
+    }
+  }
+
   test("k larger than any group degenerates to the identity") {
     val all = TopK.perKey(events.filter(col("user_id") < 5), Seq("user_id"),
       Seq(col("value").desc), 1000000)
