@@ -170,5 +170,47 @@ object MultimodalQueries {
             FROM c""")
   )
 
-  def all: Seq[Q] = Seq(m1, m2, m3, m4)
+  /** Overlapping hop-window framing — the audio/waveform analysis shape
+    * m4's disjoint chunks don't cover: frames of 16 samples advancing by
+    * a hop of 8 (50% overlap, the STFT default), each frame reduced to
+    * energy + peak — the unit a spectral-feature UDF consumes. Row-local
+    * explode × fold, no shuffle; per-frame doubles are identical across
+    * engines because both fold left-to-right from 0.0 over the same
+    * casted elements (no rounding needed). */
+  val m5 = Q(
+    "m5_audio_frames",
+    "Hop-window audio framing: 16-sample frames at hop 8 over the embedding waveform, per-frame energy and peak amplitude.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def el(i: org.apache.spark.sql.Column) =
+        element_at(col("embedding"), (i + 1).cast("int")).cast("double")
+      t.embeddings
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(6))).as("frame_idx"))
+        .withColumn("energy",
+          aggregate(
+            transform(sequence(lit(0), lit(15)), j => {
+              val x = el(col("frame_idx") * 8 + j)
+              x * x
+            }),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("peak",
+          aggregate(
+            transform(sequence(lit(0), lit(15)), j => abs(el(col("frame_idx") * 8 + j))),
+            lit(0.0), (acc, x) => greatest(acc, x)))
+        .select(col("vec_id"), col("frame_idx"), col("energy"), col("peak"))
+    },
+    Some("""SELECT vec_id, CAST(f AS INT) AS frame_idx,
+              list_reduce(list_transform(generate_series(0, 15),
+                j -> CAST(embedding[f*8 + j + 1] AS DOUBLE) * CAST(embedding[f*8 + j + 1] AS DOUBLE)),
+                (x, y) -> x + y) AS energy,
+              list_reduce(list_transform(generate_series(0, 15),
+                j -> abs(CAST(embedding[f*8 + j + 1] AS DOUBLE))),
+                (x, y) -> greatest(x, y)) AS peak
+            FROM embeddings, unnest(generate_series(0, 6)) AS t(f)
+            WHERE vec_id < 50""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
 }

