@@ -79,7 +79,10 @@ object CollectFull {
   }
 
   /** Decoded raster joined to its transform + request, with the
-    * inverse-affine point location (landfire_container.py:89-96). */
+    * inverse-affine point location (landfire_container.py:89-96) and the
+    * bounds check (:96-113) — an out-of-bounds coordinate yields a null
+    * pixel, which downstream becomes the reference's
+    * "Coordinates outside raster bounds" interpretation error. */
   private def pixelLookup(s: SparkSession, products: Seq[String]): DataFrame =
     rasterFiles(s)
       .join(broadcast(rasterIndex(s).filter(col("product").isin(products: _*))), "file_name")
@@ -88,7 +91,8 @@ object CollectFull {
       .withColumn("px_row", floor((col("lat") - col("y0")) / col("dy")).cast("int"))
       .withColumn("px_col", floor((col("lon") - col("x0")) / col("dx")).cast("int"))
       .withColumn("pixel_int",
-        element_at(col("ras.px"), col("px_row") * col("ras.w") + col("px_col") + 1).cast("int"))
+        when(col("px_row").between(0, col("ras.h") - 1) && col("px_col").between(0, col("ras.w") - 1),
+          element_at(col("ras.px"), col("px_row") * col("ras.w") + col("px_col") + 1).cast("int")))
 
   /** LANDFIRE: veg + fuel point classification over the real TIFFs. */
   def landfire(s: SparkSession): DataFrame = {
@@ -109,8 +113,9 @@ object CollectFull {
               .when(col("pixel_int") >= 110 && col("pixel_int") < 130, "Timber")
               .when(col("pixel_int") >= 140 && col("pixel_int") < 150, "Shrub")))
       .withColumn("interpreted",
-        coalesce(col("classname"), col("range_label"),
-          concat(lit("Unknown ("), col("pixel_int"), lit(")"))))
+        when(col("pixel_int").isNotNull,
+          coalesce(col("classname"), col("range_label"),
+            concat(lit("Unknown ("), col("pixel_int"), lit(")")))))
     classified
       .groupBy(col("site"))
       .agg(
@@ -121,7 +126,9 @@ object CollectFull {
         first(col("px_row")).as("px_row"),
         first(col("px_col")).as("px_col"))
       .withColumn("lf_risk",
-        when(lower(col("vegetation_class")).rlike("developed|urban|water"), "LOW")
+        // the reference's rule needs BOTH classes (landfire_container.py:455-465)
+        when(col("vegetation_class").isNull || col("fuel_model_class").isNull, "UNKNOWN")
+          .when(lower(col("vegetation_class")).rlike("developed|urban|water"), "LOW")
           .when(lower(col("fuel_model_class")).rlike("chaparral|timber|grass"), "MODERATE_TO_HIGH")
           .otherwise("MODERATE"))
   }
@@ -165,6 +172,7 @@ object CollectFull {
           .when(col("ndvi_latest") > 0.3, "MODERATE")
           .when(col("ndvi_latest") > 0.1, "HIGH")
           .otherwise("EXTREME"))
+      .withColumn("modis_ok", lit(true))
   }
 
   /** X9 fire-weather risk score (weather_container.py:187-233). */
@@ -204,16 +212,21 @@ object CollectFull {
           f.getField("wind").getField("speed")) >= 5)).as("n_fire_risk_periods"))
   }
 
+  /** Decoded elevation raster as (site, pos, elev) pixel rows — shared
+    * by the stats aggregate and the visualization downsample. */
+  def elevationPixels(s: SparkSession): DataFrame =
+    rasterFiles(s)
+      .join(broadcast(rasterIndex(s).filter(col("product") === "elevation")), "file_name")
+      .withColumn("ras", decodeRaster(col("content")))
+      .select(col("site"), posexplode(col("ras.px")).as(Seq("pos", "elev")))
+
   /** Topography: masked elevation stats over the decoded raster
     * (topography_container.py:233-296). Sums stay exact because the
     * fixture elevations are integral doubles; mean/std are single
     * divisions/sqrt over those exact sums, mirrored verbatim in the
     * oracle so both engines produce bit-identical doubles. */
   def topography(s: SparkSession): DataFrame =
-    rasterFiles(s)
-      .join(broadcast(rasterIndex(s).filter(col("product") === "elevation")), "file_name")
-      .withColumn("ras", decodeRaster(col("content")))
-      .select(col("site"), explode(col("ras.px")).as("elev"))
+    elevationPixels(s)
       .filter(col("elev") =!= NoData)
       .groupBy("site")
       .agg(
@@ -238,36 +251,51 @@ object CollectFull {
     col("buffer_m").as("buffer_meters"),
     lit("EPSG:4326").as("coordinate_system"))
 
-  private def metadataStruct(containerId: String, currency: String): Column = struct(
+  private def metadataStruct(containerId: String, currency: String, ok: Column): Column = struct(
     lit(0).as("processing_time_ms"),
     lit(currency).as("data_currency"),
     lit(RetrievedAt).as("retrieved_at"),
-    lit(1.0).as("quality_score"),
+    // 1.0 clean, 0.0 on a failed fetch — the reference's error_output
+    // metadata (topography_container.py:442)
+    when(ok, lit(1.0)).otherwise(lit(0.0)).as("quality_score"),
     lit(containerId).as("container_id"),
     lit("1.0.0").as("container_version"))
 
   /** ContainerOutput envelope (shared_schema.py:97-132 / to_dict order
-    * :114-132), minus raw_data and with errors/warnings as counts. */
+    * :114-132), minus raw_data and with errors/warnings as counts. A
+    * failed source still gets an envelope — the reference's error-output
+    * shape (topography_container.py:430-460): null interpreted_data,
+    * quality_score 0.0, one error — rather than an absent key, which a
+    * fixed-schema row can't express. */
   private def containerStruct(source: String, dataType: String, containerId: String,
-      currency: String, interpreted: Column): Column = struct(
+      currency: String, interpreted: Column, ok: Column): Column = struct(
     col("event_id"),
     lit(source).as("source"),
     lit(dataType).as("data_type"),
     locationStruct.as("location"),
     lit(RetrievedAt).as("timestamp"),
-    interpreted.as("interpreted_data"),
-    metadataStruct(containerId, currency).as("metadata"),
-    lit(0).as("n_errors"),
+    when(ok, interpreted).as("interpreted_data"),
+    metadataStruct(containerId, currency, ok).as("metadata"),
+    when(ok, lit(0)).otherwise(lit(1)).as("n_errors"),
     lit(0).as("n_warnings"))
 
-  /** The AggregatedResponse rows for the four golden requests. */
+  /** The AggregatedResponse rows: one per request — golden coordinates
+    * fully populated, the off-grid request with a null-field landfire
+    * interpretation (UNKNOWN risk) and a NULL modis envelope plus the
+    * orchestrator's failure accounting (orchestrator.py:735-741,
+    * :783-790). */
   def run(s: SparkSession): DataFrame = {
     Fixtures.stage()
     val joined = requests(s)
-      .join(landfire(s), "site")
-      .join(modis(s), "site")
-      .join(weather(s), "site")
-      .join(topography(s), "site")
+      .join(landfire(s), Seq("site"), "left")
+      .join(modis(s), Seq("site"), "left")
+      .join(weather(s), Seq("site"), "left")
+      .join(topography(s), Seq("site"), "left")
+
+    val landfireOk = col("px_row").isNotNull
+    val modisOk = col("modis_ok").isNotNull
+    val weatherOk = col("temperature_celsius").isNotNull
+    val topoOk = col("pixel_count").isNotNull
 
     val landfireEnv = containerStruct("LANDFIRE", "landfire_vegetation", "landfire-container-0",
       LandfireCurrency,
@@ -280,7 +308,7 @@ object CollectFull {
           lit("vegetation_type,fuel_model").as("interpreted_products"),
           col("vegetation_class").as("vegetation_interpreted"),
           col("fuel_model_class").as("fuel_model_interpreted")).as("area_summary"),
-        col("lf_risk").as("risk_assessment")))
+        col("lf_risk").as("risk_assessment")), landfireOk)
 
     val modisEnv = containerStruct("MODIS_ORNL", "modis_vegetation_indices", "modis-container-0",
       RetrievedAt,
@@ -295,7 +323,7 @@ object CollectFull {
         struct(
           lit("MOD13Q1,MOD11A2").as("products_processed"),
           col("n_subset_entries")).as("area_summary"),
-        col("fire_risk_vegetation").as("risk_assessment")))
+        col("fire_risk_vegetation").as("risk_assessment")), modisOk)
 
     val weatherEnv = containerStruct("OpenWeatherMap", "weather_current", "weather-container-0",
       RetrievedAt,
@@ -308,7 +336,7 @@ object CollectFull {
           col("forecast_max_temperature"),
           col("forecast_min_temperature"),
           col("n_fire_risk_periods")).as("area_summary"),
-        col("fire_weather_risk").as("risk_assessment")))
+        col("fire_weather_risk").as("risk_assessment")), weatherOk)
 
     val topoEnv = containerStruct("USGS_3DEP", "topography_dem", "topography-container-0",
       RetrievedAt,
@@ -321,7 +349,14 @@ object CollectFull {
           col("min_elevation_m"), col("max_elevation_m"), col("mean_elevation_m"),
           col("std_elevation_m"), col("elevation_range_m"), col("terrain_roughness"),
           col("pixel_count")).as("area_summary"),
-        col("terrain_roughness").as("risk_assessment")))
+        col("terrain_roughness").as("risk_assessment")), topoOk)
+
+    // the orchestrator's success accounting: a container counts as
+    // successful iff it returned an envelope (orchestrator.py:744,783);
+    // a missing one adds an orchestrator-level error (:735-741)
+    val successfulSources =
+      when(landfireOk, 1).otherwise(0) + when(modisOk, 1).otherwise(0) +
+        when(weatherOk, 1).otherwise(0) + when(topoOk, 1).otherwise(0)
 
     joined.select(
       col("site").as("request_id"),
@@ -334,9 +369,9 @@ object CollectFull {
       topoEnv.as("topography"),
       struct(
         lit(4).as("total_sources"),
-        lit(4).as("successful_sources"),
-        lit(0).as("total_errors"),
-        (lit(4).cast("double") / lit(4)).as("success_rate")).as("summary"),
+        successfulSources.as("successful_sources"),
+        (lit(4) - successfulSources).as("total_errors"),
+        (successfulSources.cast("double") / lit(4.0)).as("success_rate")).as("summary"),
       lit(0).as("total_processing_time_ms"))
   }
 }

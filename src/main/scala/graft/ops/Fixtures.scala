@@ -35,22 +35,28 @@ object Fixtures {
   val WeatherJsonl = s"$TextDir/weather_current.jsonl"
 
   /** Bump when any generated content changes (stale-dir guard). */
-  private val Version = "v5"
+  private val Version = "v6"
 
   /** One golden coordinate (README.md:262-266) + its fixture parameters:
     * center-pixel product codes and the elevation field's base/amplitude
     * (which pin the terrain class: amp 40 → LOW, 90 → MODERATE,
-    * 120/160 → HIGH per topography_container.py:265-274). */
+    * 120/160 → HIGH per topography_container.py:265-274). `offGrid`
+    * sites get rasters whose transform misses the coordinate — the
+    * "Coordinates outside raster bounds" path
+    * (landfire_container.py:113); they also have no MODIS subset rows,
+    * exercising the missing-container path (orchestrator.py:735-741). */
   final case class Site(
       idx: Int, id: String, name: String,
       lat: Double, lon: Double, bufferM: Int, eventId: Option[String],
-      vegCode: Int, fuelCode: Int, elevBase: Int, elevAmp: Int)
+      vegCode: Int, fuelCode: Int, elevBase: Int, elevAmp: Int,
+      offGrid: Boolean = false)
 
   val sites: Seq[Site] = Seq(
     Site(0, "req_la", "Los Angeles", 34.0522, -118.2437, 1000, Some("fire_2024-001"), 7299, 93, 50, 40),
     Site(1, "req_yellowstone", "Yellowstone", 44.6, -110.5, 5000, None, 3215, 122, 2200, 160),
     Site(2, "req_death_valley", "Death Valley", 36.5, -117.0, 1000, Some("dv_survey_01"), 2092, 145, -80, 90),
-    Site(3, "req_seattle", "Seattle", 47.5086, -122.3551, 2000, Some("sea-042"), 7292, 95, 30, 120))
+    Site(3, "req_seattle", "Seattle", 47.5086, -122.3551, 2000, Some("sea-042"), 7292, 95, 30, 120),
+    Site(4, "req_mono", "Monowi", 40.0, -115.0, 1000, None, 0, 0, 0, 40, offGrid = true))
 
   /** 16×16 north-up grids at 0.01°/pixel, centered so the site lands on
     * pixel (8,8): col = floor((lon-x0)/dx), row = floor((lat-y0)/dy). */
@@ -59,8 +65,8 @@ object Fixtures {
   val Dx = 0.01
   val Dy = -0.01
   val NoData = -9999.0
-  def x0(s: Site): Double = s.lon - 0.085
-  def y0(s: Site): Double = s.lat + 0.085
+  def x0(s: Site): Double = s.lon - (if (s.offGrid) 0.25 else 0.085)
+  def y0(s: Site): Double = s.lat + (if (s.offGrid) 0.25 else 0.085)
 
   /** Vegetation-type pixel field: Grassland-range background (2000-2999,
     * landfire_container.py:68-76) with the golden code at the center. */
@@ -157,7 +163,9 @@ object Fixtures {
       w("req_death_valley", "Death Valley", 26.0, 30, 11.0, "Clear", "clear sky",
         Seq(fc(27.5, 28, 12.5), fc(25.0, 35, 9.0), fc(30.5, 25, 14.0), fc(28.0, 30, 10.5)).mkString(",")),
       w("req_seattle", "Seattle", 15.0, 80, 2.0, "Rain", "light rain",
-        Seq(fc(16.0, 78, 3.0), fc(14.5, 85, 2.5), fc(13.0, 90, 1.0), fc(17.5, 70, 4.0)).mkString(","))
+        Seq(fc(16.0, 78, 3.0), fc(14.5, 85, 2.5), fc(13.0, 90, 1.0), fc(17.5, 70, 4.0)).mkString(",")),
+      w("req_mono", "Monowi", 18.0, 65, 4.5, "Clouds", "broken clouds",
+        Seq(fc(19.0, 62, 5.5), fc(16.5, 70, 3.0)).mkString(","))
     ).mkString("", "\n", "\n")
   }
 

@@ -104,7 +104,11 @@ object E2EQueries {
     * pixels from their generating formulas (it cannot decode TIFF —
     * encode/decode fidelity is pinned separately by d1_tiff_decode),
     * so every nested field is hash-compared, golden classifications
-    * (README.md:262-266) included.
+    * (README.md:262-266) included. A fifth, off-grid request exercises
+    * the error paths: out-of-bounds pixel lookup (null landfire
+    * interpretation, UNKNOWN risk) and a missing MODIS container
+    * (error envelope with quality 0.0 + the orchestrator's failure
+    * accounting in summary).
     */
   val collectFull = Q(
     "e2e_collect_full",
@@ -114,7 +118,8 @@ object E2EQueries {
     ('req_la', 'Los Angeles', CAST(34.0522 AS DOUBLE), CAST(-118.2437 AS DOUBLE), 1000, 'fire_2024-001', 0, 7299, 93, 50, 40),
     ('req_yellowstone', 'Yellowstone', CAST(44.6 AS DOUBLE), CAST(-110.5 AS DOUBLE), 5000, NULL, 1, 3215, 122, 2200, 160),
     ('req_death_valley', 'Death Valley', CAST(36.5 AS DOUBLE), CAST(-117.0 AS DOUBLE), 1000, 'dv_survey_01', 2, 2092, 145, -80, 90),
-    ('req_seattle', 'Seattle', CAST(47.5086 AS DOUBLE), CAST(-122.3551 AS DOUBLE), 2000, 'sea-042', 3, 7292, 95, 30, 120)),
+    ('req_seattle', 'Seattle', CAST(47.5086 AS DOUBLE), CAST(-122.3551 AS DOUBLE), 2000, 'sea-042', 3, 7292, 95, 30, 120),
+    ('req_mono', 'Monowi', CAST(40.0 AS DOUBLE), CAST(-115.0 AS DOUBLE), 1000, NULL, 4, 0, 0, 0, 40)),
 idx AS (SELECT * FROM read_csv('/root/repo/target/graft_fixtures/text/rasters_index.csv', header=true)),
 attr AS (SELECT * FROM read_csv('/root/repo/target/graft_fixtures/text/landfire_attributes.csv', header=true)),
 tr AS (SELECT site, CAST(x0 AS DOUBLE) AS x0, CAST(dx AS DOUBLE) AS dx, CAST(y0 AS DOUBLE) AS y0, CAST(dy AS DOUBLE) AS dy
@@ -122,8 +127,12 @@ tr AS (SELECT site, CAST(x0 AS DOUBLE) AS x0, CAST(dx AS DOUBLE) AS dx, CAST(y0 
 pt AS (SELECT s.*, CAST(floor((lat - y0) / dy) AS INT) AS px_row, CAST(floor((lon - x0) / dx) AS INT) AS px_col
        FROM sites s JOIN tr USING (site)),
 lf_px AS (SELECT pt.*,
-    CASE WHEN px_row = 8 AND px_col = 8 THEN veg_code ELSE 2000 + ((px_row*31 + px_col*17 + k*7) % 97) END AS veg_px,
-    CASE WHEN px_row = 8 AND px_col = 8 THEN fuel_code ELSE 90 + ((px_row*29 + px_col*19 + k*11) % 60) END AS fuel_px
+    CASE WHEN px_row BETWEEN 0 AND 15 AND px_col BETWEEN 0 AND 15 THEN
+      CASE WHEN px_row = 8 AND px_col = 8 THEN veg_code ELSE 2000 + ((px_row*31 + px_col*17 + k*7) % 97) END
+    END AS veg_px,
+    CASE WHEN px_row BETWEEN 0 AND 15 AND px_col BETWEEN 0 AND 15 THEN
+      CASE WHEN px_row = 8 AND px_col = 8 THEN fuel_code ELSE 90 + ((px_row*29 + px_col*19 + k*11) % 60) END
+    END AS fuel_px
     FROM pt),
 lf AS (SELECT p.site,
     coalesce(av.classname,
@@ -132,21 +141,22 @@ lf AS (SELECT p.site,
            WHEN veg_px >= 3000 AND veg_px < 4000 THEN 'Forest'
            WHEN veg_px >= 2000 AND veg_px < 3000 THEN 'Grassland'
            WHEN veg_px >= 4000 AND veg_px < 5000 THEN 'Shrubland' END,
-      concat('Unknown (', CAST(veg_px AS VARCHAR), ')')) AS vegetation_class,
+      CASE WHEN veg_px IS NOT NULL THEN concat('Unknown (', CAST(veg_px AS VARCHAR), ')') END) AS vegetation_class,
     CAST(veg_px AS INT) AS vegetation_pixel_value,
     coalesce(af.classname,
       CASE WHEN fuel_px >= 90 AND fuel_px < 100 THEN 'Non-burnable'
            WHEN fuel_px >= 100 AND fuel_px < 110 THEN 'Grass'
            WHEN fuel_px >= 110 AND fuel_px < 130 THEN 'Timber'
            WHEN fuel_px >= 140 AND fuel_px < 150 THEN 'Shrub' END,
-      concat('Unknown (', CAST(fuel_px AS VARCHAR), ')')) AS fuel_model_class,
+      CASE WHEN fuel_px IS NOT NULL THEN concat('Unknown (', CAST(fuel_px AS VARCHAR), ')') END) AS fuel_model_class,
     CAST(fuel_px AS INT) AS fuel_model_pixel_value,
     px_row, px_col
     FROM lf_px p
     LEFT JOIN attr av ON av.product = 'vegetation_type' AND av.value = p.veg_px
     LEFT JOIN attr af ON af.product = 'fuel_model' AND af.value = p.fuel_px),
 lf2 AS (SELECT *,
-    CASE WHEN regexp_matches(lower(vegetation_class), 'developed|urban|water') THEN 'LOW'
+    CASE WHEN vegetation_class IS NULL OR fuel_model_class IS NULL THEN 'UNKNOWN'
+         WHEN regexp_matches(lower(vegetation_class), 'developed|urban|water') THEN 'LOW'
          WHEN regexp_matches(lower(fuel_model_class), 'chaparral|timber|grass') THEN 'MODERATE_TO_HIGH'
          ELSE 'MODERATE' END AS lf_risk
     FROM lf),
@@ -226,8 +236,8 @@ SELECT s.site AS request_id,
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
    'interpreted_data': {
-      'coordinate_specific': {'vegetation_class': l.vegetation_class, 'vegetation_pixel_value': l.vegetation_pixel_value,
-                              'fuel_model_class': l.fuel_model_class, 'fuel_model_pixel_value': l.fuel_model_pixel_value,
+      'coordinate_specific': {'vegetation_class': l.vegetation_class, 'vegetation_pixel_value': CAST(l.vegetation_pixel_value AS DOUBLE),
+                              'fuel_model_class': l.fuel_model_class, 'fuel_model_pixel_value': CAST(l.fuel_model_pixel_value AS DOUBLE),
                               'px_row': l.px_row, 'px_col': l.px_col},
       'area_summary': {'interpreted_products': 'vegetation_type,fuel_model',
                        'vegetation_interpreted': l.vegetation_class, 'fuel_model_interpreted': l.fuel_model_class},
@@ -238,16 +248,17 @@ SELECT s.site AS request_id,
   {'event_id': s.event_id, 'source': 'MODIS_ORNL', 'data_type': 'modis_vegetation_indices',
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
-   'interpreted_data': {
+   'interpreted_data': CASE WHEN m.site IS NOT NULL THEN {
       'coordinate_specific': {'ndvi_latest': m.ndvi_latest, 'evi_latest': CAST(NULL AS DOUBLE),
                               'vegetation_health': m.vegetation_health, 'fire_risk_vegetation': m.fire_risk_vegetation,
                               'last_observation_date': m.last_observation_date,
                               'land_surface_temperature_c': m.land_surface_temperature_c},
-      'area_summary': {'products_processed': 'MOD13Q1,MOD11A2', 'n_subset_entries': m.n_subset_entries},
-      'risk_assessment': m.fire_risk_vegetation},
+      'area_summary': {'products_processed': 'MOD13Q1,MOD11A2', 'n_subset_entries': CAST(m.n_subset_entries AS DOUBLE)},
+      'risk_assessment': m.fire_risk_vegetation} END,
    'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
-                'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'modis-container-0', 'container_version': '1.0.0'},
-   'n_errors': 0, 'n_warnings': 0} AS modis,
+                'quality_score': CAST(CASE WHEN m.site IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE),
+                'container_id': 'modis-container-0', 'container_version': '1.0.0'},
+   'n_errors': CASE WHEN m.site IS NOT NULL THEN 0 ELSE 1 END, 'n_warnings': 0} AS modis,
   {'event_id': s.event_id, 'source': 'OpenWeatherMap', 'data_type': 'weather_current',
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
@@ -277,13 +288,20 @@ SELECT s.site AS request_id,
    'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
                 'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'topography-container-0', 'container_version': '1.0.0'},
    'n_errors': 0, 'n_warnings': 0} AS topography,
-  {'total_sources': 4, 'successful_sources': 4, 'total_errors': 0, 'success_rate': CAST(4 AS DOUBLE) / 4} AS summary,
+  {'total_sources': 4,
+   'successful_sources': (CASE WHEN l.site IS NULL THEN 0 ELSE 1 END + CASE WHEN m.site IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN w.site IS NULL THEN 0 ELSE 1 END + CASE WHEN t.site IS NULL THEN 0 ELSE 1 END),
+   'total_errors': (4 - (CASE WHEN l.site IS NULL THEN 0 ELSE 1 END + CASE WHEN m.site IS NULL THEN 0 ELSE 1 END
+                         + CASE WHEN w.site IS NULL THEN 0 ELSE 1 END + CASE WHEN t.site IS NULL THEN 0 ELSE 1 END)),
+   'success_rate': CAST(CASE WHEN l.site IS NULL THEN 0 ELSE 1 END + CASE WHEN m.site IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN w.site IS NULL THEN 0 ELSE 1 END + CASE WHEN t.site IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+                   / CAST(4.0 AS DOUBLE)} AS summary,
   0 AS total_processing_time_ms
 FROM sites s
-JOIN lf2 l ON s.site = l.site
-JOIN md m ON s.site = m.site
-JOIN wx2 w ON s.site = w.site
-JOIN topo2 t ON s.site = t.site""")
+LEFT JOIN lf2 l ON s.site = l.site
+LEFT JOIN md m ON s.site = m.site
+LEFT JOIN wx2 w ON s.site = w.site
+LEFT JOIN topo2 t ON s.site = t.site""")
   )
 
   def all: Seq[Q] = Seq(collect, collectFull)

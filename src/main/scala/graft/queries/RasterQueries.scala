@@ -152,6 +152,75 @@ object RasterQueries {
             GROUP BY 1""")
   )
 
+  /** §1.1 VisualizationData (shared_schema.py:80-86) — the reference
+    * returns a PLACEHOLDER 3×3 array (topography_container.py:357-375,
+    * "Placeholder" comment); this implements the real thing: a 4×4
+    * block-mean downsample of the decoded elevation raster (masked
+    * against nodata), the legend color per cell from the reference's
+    * elevation_ranges legend, and the ±0.005° bounds box. One row per
+    * (request, viz row) with the row's cell arrays — the shape a map
+    * front-end consumes. Block means are exact-integer sums over
+    * nodata-filtered counts, so doubles agree bit-for-bit across
+    * engines. */
+  val v1 = Q(
+    "v1_viz_grid",
+    "VisualizationData: real 4x4 block-mean downsample of the elevation raster + legend colors + bounds box (the reference stubs this with a placeholder).",
+    (s, _) => {
+      import graft.ops.CollectFull
+      def colorOf(m: org.apache.spark.sql.Column) =
+        when(m < 50, "#1a9850").when(m < 100, "#91bfdb")
+          .when(m < 200, "#fee08b").otherwise("#d73027")
+      val cells = CollectFull.elevationPixels(s)
+        .filter(col("elev") =!= -9999.0)
+        .withColumn("br", ((col("pos") / 16).cast("int") / 4).cast("int"))
+        .withColumn("bc", (pmod(col("pos"), lit(16)).cast("int") / 4).cast("int"))
+        .groupBy(col("site"), col("br"), col("bc"))
+        .agg((sum(col("elev")) / count(lit(1))).as("mean"))
+      cells
+        .groupBy(col("site"), col("br"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("bc"), col("mean")))),
+            x => x.getField("mean")).as("viz_values"),
+          transform(array_sort(collect_list(struct(col("bc"), col("mean")))),
+            x => colorOf(x.getField("mean"))).as("viz_colors"))
+        .join(broadcast(CollectFull.requests(s)), "site")
+        .select(
+          col("site").as("request_id"),
+          col("br").as("viz_row"),
+          col("viz_values"),
+          col("viz_colors"),
+          (col("lat") + lit(0.005)).as("north"),
+          (col("lat") - lit(0.005)).as("south"),
+          (col("lon") + lit(0.005)).as("east"),
+          (col("lon") - lit(0.005)).as("west"),
+          lit(30.0).as("resolution_meters"))
+    },
+    Some("""WITH sites(site, lat, lon, k, elev_base, elev_amp) AS (VALUES
+              ('req_la', CAST(34.0522 AS DOUBLE), CAST(-118.2437 AS DOUBLE), 0, 50, 40),
+              ('req_yellowstone', CAST(44.6 AS DOUBLE), CAST(-110.5 AS DOUBLE), 1, 2200, 160),
+              ('req_death_valley', CAST(36.5 AS DOUBLE), CAST(-117.0 AS DOUBLE), 2, -80, 90),
+              ('req_seattle', CAST(47.5086 AS DOUBLE), CAST(-122.3551 AS DOUBLE), 3, 30, 120),
+              ('req_mono', CAST(40.0 AS DOUBLE), CAST(-115.0 AS DOUBLE), 4, 0, 40)),
+            cells AS (SELECT site, lat, lon, k, elev_base, elev_amp, r, c
+                      FROM sites, generate_series(0, 15) rs(r), generate_series(0, 15) cs(c)),
+            ev AS (SELECT site, lat, lon, r, c,
+                     CAST(elev_base + ((r*37 + c*23 + k*13) % elev_amp) AS DOUBLE) AS elev
+                   FROM cells WHERE ((r + k) * (c + 2*k + 3)) % 19 <> 0),
+            blocks AS (SELECT site, lat, lon, r // 4 AS br, c // 4 AS bc,
+                         sum(elev) / count(*) AS mean
+                       FROM ev GROUP BY 1, 2, 3, 4, 5)
+            SELECT site AS request_id, CAST(br AS INT) AS viz_row,
+                   array_agg(mean ORDER BY bc) AS viz_values,
+                   array_agg(CASE WHEN mean < 50 THEN '#1a9850' WHEN mean < 100 THEN '#91bfdb'
+                                  WHEN mean < 200 THEN '#fee08b' ELSE '#d73027' END ORDER BY bc) AS viz_colors,
+                   lat + CAST(0.005 AS DOUBLE) AS north,
+                   lat - CAST(0.005 AS DOUBLE) AS south,
+                   lon + CAST(0.005 AS DOUBLE) AS east,
+                   lon - CAST(0.005 AS DOUBLE) AS west,
+                   CAST(30.0 AS DOUBLE) AS resolution_meters
+            FROM blocks GROUP BY site, br, lat, lon""")
+  )
+
   /** A8 — class-percentage histogram over the buffer area
     * (shared_schema.py:242-249): per-class pixel share of the valid
     * total, via a windowed ratio. */
@@ -295,5 +364,5 @@ object RasterQueries {
             FROM l""")
   )
 
-  def all: Seq[Q] = Seq(a1, a1Welford, j3, j3Binary, j2, a8, d1)
+  def all: Seq[Q] = Seq(a1, a1Welford, j3, j3Binary, j2, a8, d1, v1)
 }

@@ -13,9 +13,9 @@ class CollectFullSpec extends SparkSpecBase {
     df.collect().map(r => r.getString(0) -> r).toMap
   }
 
-  test("emits one AggregatedResponse row per golden request, nested ContainerOutput per source") {
+  test("emits one AggregatedResponse row per request, nested ContainerOutput per source") {
     val df = CollectFull.run(spark)
-    assert(df.count() == 4)
+    assert(df.count() == 5)
     val schema = df.schema
     // envelope columns are structs, with the ContainerOutput shape
     for (src <- Seq("landfire", "modis", "weather", "topography")) {
@@ -86,6 +86,25 @@ class CollectFullSpec extends SparkSpecBase {
     val s = rows("req_la").getStruct(8)
     assert(s.getInt(0) == 4 && s.getInt(1) == 4 && s.getInt(2) == 0)
     assert(s.getDouble(3) == 1.0)
+  }
+
+  test("off-grid request: null landfire interpretation with UNKNOWN risk, MODIS error envelope, 3/4 summary") {
+    val r = rows("req_mono")
+    // landfire: container succeeded but the pixel lookup is out of bounds
+    val lfInterp = r.getStruct(4).getStruct(5)
+    val lfCs = lfInterp.getStruct(0)
+    assert(lfCs.isNullAt(0) && lfCs.isNullAt(2), "veg/fuel classes should be null off-grid")
+    assert(lfInterp.getString(2) == "UNKNOWN")
+    assert(r.getStruct(4).getInt(7) == 0, "landfire fetch itself succeeded -> no errors")
+    // modis: missing container -> error envelope (null interpreted_data, quality 0.0, 1 error)
+    val modisEnv = r.getStruct(5)
+    assert(modisEnv.isNullAt(5), "interpreted_data must be null for the missing source")
+    assert(modisEnv.getStruct(6).getDouble(3) == 0.0, "quality_score must be 0.0")
+    assert(modisEnv.getInt(7) == 1, "one fetch error")
+    // orchestrator accounting: 3 of 4 succeeded
+    val sm = r.getStruct(8)
+    assert(sm.getInt(1) == 3 && sm.getInt(2) == 1)
+    assert(sm.getDouble(3) == 0.75)
   }
 
   test("staging is idempotent and deterministic") {
