@@ -59,11 +59,12 @@ object DedupQueries {
     * identical md5 MinHash, so candidate sets (and therefore results)
     * match exactly. */
   /** The MinHash → banded candidates → exact-Jaccard-verify pipeline,
-    * shared by the pair query ([[neardup]]) and the cluster resolution
-    * ([[dedupClusters]]). Returns verified pairs (i < j, jac >= 0.9). */
-  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-      val t = Tables(s, dir)
-      val toks = tokenSets(t.documents)
+    * shared by the pair query ([[neardup]]), the cluster resolution
+    * ([[dedupClusters]]), and the composed LLM curation pipeline
+    * (e2e_llm_pipeline). Returns verified pairs (i < j, jac >= 0.9)
+    * over WHATEVER document set is passed — dedup stages compose. */
+  private[queries] def verifiedPairsOver(docs: DataFrame): DataFrame = {
+      val toks = tokenSets(docs)
 
       // One md5 per token; the 6 signature functions are disjoint 20-bit
       // (5 hex char) slices of the single digest — same MinHash family
@@ -113,7 +114,7 @@ object DedupQueries {
   val neardup = Q(
     "a10_neardup_minhash",
     "MinHash+LSH near-duplicate pairs: single-md5 sliced min signatures, banded bucket equi-join (no all-pairs), exact Jaccard >= 0.9 verification.",
-    (s, dir) => verifiedPairs(s, dir),
+    (s, dir) => verifiedPairsOver(Tables(s, dir).documents),
     Some("""WITH d AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
             ), hs AS (
@@ -357,7 +358,7 @@ object DedupQueries {
     "a10_dedup_clusters",
     "Near-dup cluster resolution: verified pair graph -> connected components via min-label propagation + pointer jumping (log-diameter rounds) -> per-cluster survivor stats.",
     (s, dir) => {
-      val pairs = verifiedPairs(s, dir)
+      val pairs = verifiedPairsOver(Tables(s, dir).documents)
         .select(col("i").as("src"), col("j").as("dst"))
       graft.ops.ConnectedComponents.resolve(pairs)
         .groupBy(col("lbl").as("cluster_id"))

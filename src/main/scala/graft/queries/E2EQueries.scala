@@ -304,5 +304,128 @@ LEFT JOIN wx2 w ON s.site = w.site
 LEFT JOIN topo2 t ON s.site = t.site""")
   )
 
-  def all: Seq[Q] = Seq(collect, collectFull)
+  /** North-star composition — the LLM training-data curation pipeline as
+    * ONE operator chain over the documents table: C4-style quality gate
+    * (x28_filter_chain rules) → exact dedup (min-id survivor per md5
+    * fingerprint) → MinHash-LSH near-dup pair graph over the SURVIVORS →
+    * connected-components cluster resolution (pointer jumping) → drop
+    * cluster losers → 64-byte chunking + subword token census. Emits the
+    * per-source curation funnel every data pipeline dashboards.
+    *
+    * Every stage reuses a proven component (TextQueries rules,
+    * DedupQueries.verifiedPairsOver, ops/ConnectedComponents, the m4
+    * chunker, x28 token census) — what's verified HERE is their
+    * composition: stage N runs on stage N-1's survivor set, not the full
+    * corpus. Scale: the funnel is monotone shrinking; the only non-local
+    * stages are the LSH band join (bucket-capped) and the CC rounds
+    * (log-diameter), both already bounded — and the oracle recomputes
+    * the whole funnel independently, components via recursive closure.
+    */
+  val llmPipeline = Q(
+    "e2e_llm_pipeline",
+    "LLM curation funnel: quality cascade -> exact dedup -> near-dup clusters over survivors -> chunk + token census, per-source.",
+    (s, dir) => {
+      val t = graft.Tables(s, dir)
+      val docs = t.documents
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("mean_word_len",
+          (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+        .withColumn("symbol_ratio",
+          size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double") / col("n_chars"))
+        .withColumn("has_stopword",
+          arrays_overlap(split(col("text"), " "),
+            array(lit("the"), lit("a"), lit("and"), lit("of"))))
+      val quality = docs.filter(
+        col("n_chars").between(100, 20000) && col("mean_word_len").between(3, 10) &&
+          col("symbol_ratio") < 0.1 && col("has_stopword"))
+        .select("doc_id", "source", "text")
+
+      val withFp = quality.withColumn("fp", md5(col("text")))
+      val keepIds = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val exact = withFp.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
+
+      val pairs = DedupQueries.verifiedPairsOver(exact)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val losers = graft.ops.ConnectedComponents.resolve(pairs)
+        .filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      val fin = exact.join(losers, Seq("doc_id"), "left_anti")
+
+      val chunks = fin
+        .filter(length(col("text")) > 0)
+        .select(col("source"),
+          explode(sequence(lit(0), ceil(length(col("text")) / 64.0).cast("int") - 1)).as("ci"))
+
+      t.documents.groupBy("source").agg(count(lit(1)).as("n_input"))
+        .join(quality.groupBy("source").agg(count(lit(1)).as("n_quality")), Seq("source"), "left")
+        .join(exact.groupBy("source").agg(count(lit(1)).as("n_exact")), Seq("source"), "left")
+        .join(fin.groupBy("source").agg(count(lit(1)).as("n_final"),
+          sum(size(expr("regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\\\s]', 0)")))
+            .as("total_subword_tokens")), Seq("source"), "left")
+        .join(chunks.groupBy("source").agg(count(lit(1)).as("n_chunks")), Seq("source"), "left")
+        .na.fill(0)
+    },
+    Some("""WITH RECURSIVE d1 AS (
+              SELECT source, doc_id, text, n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                  / len(string_split(text, ' ')) AS mwl,
+                CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / n_chars AS sr,
+                len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'and', 'of'))) > 0 AS hs
+              FROM documents),
+            quality AS (SELECT source, doc_id, text FROM d1
+              WHERE n_chars BETWEEN 100 AND 20000 AND mwl BETWEEN 3 AND 10 AND sr < 0.1 AND hs),
+            minfp AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id FROM quality GROUP BY 1),
+            ex AS (SELECT q.* FROM quality q JOIN minfp ON md5(q.text) = minfp.fp AND q.doc_id = minfp.keep_id),
+            dtk AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM ex),
+            hs2 AS (SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM dtk),
+            sig AS (SELECT doc_id, toks,
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM hs2),
+            all_bands AS (SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 2)) AS t(b)),
+            keep AS (SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100),
+            bands AS (SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)),
+            cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id),
+            ver AS (SELECT i, j,
+                CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE) /
+                (len(da.toks) + len(db.toks)
+                   - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) AS jac
+              FROM cand JOIN dtk da ON da.doc_id = i JOIN dtk db ON db.doc_id = j),
+            p AS (SELECT i, j FROM ver WHERE jac >= 0.9),
+            edges AS (SELECT i AS src, j AS dst FROM p UNION SELECT j AS src, i AS dst FROM p),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach AS (
+              SELECT node AS src, node AS dst FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            comp AS (SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src),
+            losers AS (SELECT node AS doc_id FROM comp WHERE node <> cluster_id),
+            fin AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+            chunks AS (SELECT source, i
+              FROM fin, unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS INT) - 1)) AS t(i)
+              WHERE length(text) > 0),
+            base AS (SELECT source, count(*) AS n_input FROM documents GROUP BY 1),
+            qc AS (SELECT source, count(*) AS n_quality FROM quality GROUP BY 1),
+            ec AS (SELECT source, count(*) AS n_exact FROM ex GROUP BY 1),
+            fc AS (SELECT source, count(*) AS n_final,
+                CAST(sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]'))) AS BIGINT) AS total_subword_tokens
+              FROM fin GROUP BY 1),
+            cnt AS (SELECT source, count(*) AS n_chunks FROM chunks GROUP BY 1)
+            SELECT b.source, n_input,
+              coalesce(n_quality, 0) AS n_quality,
+              coalesce(n_exact, 0) AS n_exact,
+              coalesce(n_final, 0) AS n_final,
+              coalesce(total_subword_tokens, 0) AS total_subword_tokens,
+              coalesce(n_chunks, 0) AS n_chunks
+            FROM base b
+            LEFT JOIN qc USING (source) LEFT JOIN ec USING (source)
+            LEFT JOIN fc USING (source) LEFT JOIN cnt USING (source)""")
+  )
+
+  def all: Seq[Q] = Seq(collect, collectFull, llmPipeline)
 }
