@@ -343,7 +343,9 @@ LEFT JOIN topo2 t ON s.site = t.site""")
       val withFp = quality.withColumn("fp", md5(col("text")))
       val keepIds = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
         .select("doc_id")
-      val exact = withFp.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
+      // consumed by the pair graph, the survivor anti-join, and the
+      // funnel counts — cache once (CacheManager dedups by plan)
+      val exact = withFp.join(keepIds, Seq("doc_id"), "left_semi").drop("fp").cache()
 
       val pairs = DedupQueries.verifiedPairsOver(exact)
         .select(col("i").as("src"), col("j").as("dst"))

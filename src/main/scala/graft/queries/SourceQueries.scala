@@ -115,5 +115,33 @@ object SourceQueries {
             FROM t GROUP BY sensor""")
   )
 
-  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2)
+  /** S9 depth — Hive-style partitioned parquet sink + PRUNED re-read:
+    * events written `partitionBy(event_type)`, then scanned with a
+    * partition-key predicate. At 100 TB this is the difference between
+    * touching 2 directories and touching all of them — the plan carries
+    * the predicate as PartitionFilters (asserted in PlanShapeSpec), so
+    * pruning happens at file-listing time, before any IO. The staged
+    * dataset is written once per scale factor (idempotent marker). */
+  val partitionPruning = Q(
+    "s9_partition_pruning",
+    "Partitioned parquet sink + partition-pruned scan: write events by event_type, re-read two types; the filter prunes directories at listing time.",
+    (s, dir) => {
+      import graft.Tables
+      val path = s"${graft.ops.Fixtures.Root}/events_by_type_${new java.io.File(dir).getName}"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables(s, dir).events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          count_distinct(col("user_id")).as("n_users"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+            count(DISTINCT user_id) AS n_users
+            FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, partitionPruning)
 }

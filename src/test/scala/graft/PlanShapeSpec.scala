@@ -31,6 +31,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges(p) == 1)
   }
 
+  test("s9_partition_pruning: the event_type predicate prunes at listing time (PartitionFilters)") {
+    val p = plan("s9_partition_pruning")
+    assert(p.contains("PartitionFilters: [") && p.contains("event_type"),
+      s"partition predicate not pushed to listing:\n${p.take(2000)}")
+    // the predicate must NOT degrade into a data filter over all partitions
+    assert(p.contains("in(event_type") || p.contains("event_type#"),
+      s"unexpected plan:\n${p.take(2000)}")
+  }
+
   test("q3_join_topk: TakeOrderedAndProject, never a global sort") {
     val p = plan("q3_join_topk")
     assert(p.contains("TakeOrderedAndProject"))
