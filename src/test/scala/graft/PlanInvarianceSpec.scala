@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.QueryRegistry
+
+/** Results must be invariant to the PHYSICAL plan: the same query run
+  * with broadcasts disabled (every join degrades to shuffle/sort-merge)
+  * and AQE off must produce byte-identical rows. This is the property
+  * that makes the engine safe at 100 TB, where the planner WILL make
+  * different choices than at fixture scale — broadcast thresholds trip,
+  * AQE re-plans, statistics shift. A query whose answer depends on a
+  * build side or a partition count is a latent scale bug. */
+class PlanInvarianceSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // join-heavy + aggregate-heavy representatives across the surface
+  private val names = Seq(
+    "q3_join_topk", "q5_multijoin", "q7_nation_volume", "q10_returned_top",
+    "q2_min_cost_supplier", "q20_avail_semi", "j2_range_classify",
+    "a10_neardup_minhash", "j5_lsh_bucketed", "e2e_collect")
+
+  test("results are invariant to the shuffle partition count") {
+    for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
+        "w3_tumbling", "e2e_llm_pipeline")) {
+      val fn = QueryRegistry.queries(name)
+      val baseline = fn(spark, dir).collect().map(_.toString).sorted
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      try {
+        val repartitioned = fn(spark, dir).collect().map(_.toString).sorted
+        assert(repartitioned.sameElements(baseline),
+          s"$name: result depends on spark.sql.shuffle.partitions (fold-order or partition-count leak)")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+      }
+    }
+  }
+
+  test("join-heavy queries produce identical rows with broadcasts and AQE disabled") {
+    for (name <- names) {
+      val fn = QueryRegistry.queries(name)
+      val baseline = fn(spark, dir).collect().map(_.toString).sorted
+
+      val old = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        spark.conf.get("spark.sql.adaptive.enabled"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val degraded = fn(spark, dir).collect().map(_.toString).sorted
+        assert(degraded.sameElements(baseline),
+          s"$name: result depends on the physical plan (broadcast/AQE)")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._1)
+        spark.conf.set("spark.sql.adaptive.enabled", old._2)
+      }
+    }
+  }
+}
