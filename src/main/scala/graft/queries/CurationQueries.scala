@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** A10 ⊕ depth — two curation operators every LLM training-data pipeline
+  * runs besides dedup: deterministic dataset SPLIT assignment and
+  * benchmark DECONTAMINATION. Both are pure hash/shingle relational
+  * shapes — no state, no randomness (split hashing is seeded and
+  * reproducible, the property that makes splits stable across reruns and
+  * machines at 100 TB).
+  */
+object CurationQueries {
+
+  /** Deterministic train/val/test split: a seeded md5 of the document id
+    * maps to a 16-bit bucket, thresholded at 90%/95% — the standard
+    * hash-split that (unlike random()) is reproducible, stable under
+    * re-partitioning, and assigns a document identically no matter which
+    * machine or run processes it. One scan + one tiny aggregate. */
+  val splitAssign = Q(
+    "a10_split_assign",
+    "Deterministic hash split: md5('split:'||doc_id) -> 16-bit bucket -> train/val/test at 90/95%; per-(source, split) doc and char counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("int")
+      t.documents
+        .withColumn("split",
+          when(bucket < 58982, "train").when(bucket < 62259, "val").otherwise("test"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    },
+    Some("""WITH hx AS (
+              SELECT source, n_chars, md5('split:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+            ), b AS (
+              SELECT source, n_chars,
+                ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                 + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                 + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                 + (strpos('0123456789abcdef', h[4]) - 1)) AS bucket
+              FROM hx)
+            SELECT source,
+              CASE WHEN bucket < 58982 THEN 'train' WHEN bucket < 62259 THEN 'val' ELSE 'test' END AS split,
+              count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM b GROUP BY 1, 2""")
+  )
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word 5-gram with the held-out eval set (doc_id % 50 == 0 stands in
+    * for the benchmark corpus). The overlap test is a shingle equi-join —
+    * explode both sides to (gram, doc) and hash-join on the gram, never
+    * doc×doc — so at 100 TB the shuffle key is the n-gram and the eval
+    * side (tiny by construction) broadcasts. */
+  val decontaminate = Q(
+    "a10_decontaminate",
+    "Decontamination: training docs sharing any word 5-gram with the eval slice, via a gram equi-join (no doc x doc); per-source contamination census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def grams5(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("toks")) - 4),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+              element_at(col("toks"), i + 4))))).as("gram"))
+      val docs = t.documents
+      val evalGrams = grams5(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("gram")).distinct()
+      // no broadcast hint: the eval side is usually benchmark-sized, but
+      // it's derived from the corpus here — let AQE pick the build side
+      val flagged = grams5(docs.filter(col("doc_id") % 50 =!= 0))
+        .join(evalGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(flagged.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_train"),
+          count(col("contaminated")).as("n_flagged"),
+          (count(col("contaminated")).cast("double") / count(lit(1))).as("flagged_share"))
+    },
+    Some("""WITH d AS (
+              SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT source, doc_id,
+                list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+                               for i in generate_series(1, len(toks) - 4)]) AS grams
+              FROM d WHERE len(toks) >= 5
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+            ), fl AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0) t
+              WHERE gram IN (SELECT gram FROM ev)
+            )
+            SELECT d.source,
+              count(*) AS n_train,
+              count(fl.doc_id) AS n_flagged,
+              CAST(count(fl.doc_id) AS DOUBLE) / count(*) AS flagged_share
+            FROM d LEFT JOIN fl ON d.doc_id = fl.doc_id
+            WHERE d.doc_id % 50 <> 0
+            GROUP BY d.source""")
+  )
+
+  def all: Seq[Q] = Seq(splitAssign, decontaminate)
+}

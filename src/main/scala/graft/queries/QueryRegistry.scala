@@ -28,6 +28,7 @@ object QueryRegistry {
       RasterQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++
+      CurationQueries.all ++
       SimilarityQueries.all ++
       StreamQueries.all ++
       MultimodalQueries.all ++
