@@ -105,5 +105,50 @@ object CurationQueries {
             GROUP BY d.source""")
   )
 
-  def all: Seq[Q] = Seq(splitAssign, decontaminate)
+  /** Sequence packing: assign documents to fixed token-budget context
+    * windows (4096 here) by cumulative token count in deterministic
+    * doc_id order, PER SOURCE SHARD — the shape that scales, because
+    * packing is embarrassingly parallel across shards while a single
+    * global order would serialize the corpus through one partition. A
+    * document lands in window floor(tokens_before / budget); the
+    * summary reports windows and fill per shard. One running-sum window
+    * + one aggregate, all exact integer arithmetic. */
+  val packSequences = Q(
+    "a10_pack_sequences",
+    "Context-window packing: per-source cumulative token count -> 4096-token window ids -> windows/fill-ratio census. Running sum + aggregate, exact ints.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val packed = t.documents
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .withColumn("window_id", ((col("cum") - col("n_toks")) / lit(4096)).cast("long"))
+      packed
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          (max(col("window_id")) + 1).as("n_windows"),
+          (sum(col("n_toks")).cast("double") / ((max(col("window_id")) + 1) * 4096))
+            .as("fill_ratio"))
+    },
+    Some("""WITH p AS (
+              SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks,
+                sum(len(string_split(text, ' '))) OVER
+                  (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM documents
+            ), w AS (
+              SELECT source, n_toks, CAST((cum - n_toks) // 4096 AS BIGINT) AS window_id FROM p
+            )
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+              CAST(max(window_id) + 1 AS BIGINT) AS n_windows,
+              CAST(sum(n_toks) AS DOUBLE) / ((max(window_id) + 1) * 4096) AS fill_ratio
+            FROM w GROUP BY source""")
+  )
+
+  def all: Seq[Q] = Seq(splitAssign, decontaminate, packSequences)
 }
