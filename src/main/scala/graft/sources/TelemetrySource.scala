@@ -58,12 +58,13 @@ class TelemetryTable(rows: Long, partitions: Int) extends Table with SupportsRea
   override def name(): String = s"telemetry($rows)"
   override def schema(): StructType = TelemetrySource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TelemetryScanBuilder(rows, partitions)
+    new TelemetryScanBuilder(rows, partitions,
+      options.getLong("rowsPerBatch", math.max(1L, rows / 4)))
 }
 
-class TelemetryScanBuilder(rows: Long, partitions: Int)
+class TelemetryScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = TelemetrySource.schema
@@ -97,13 +98,18 @@ class TelemetryScanBuilder(rows: Long, partitions: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TelemetryScan(requiredSchema, math.max(lo, 0L), math.max(hi, lo), partitions)
+  override def build(): Scan =
+    new TelemetryScan(requiredSchema, math.max(lo, 0L), math.max(hi, lo), partitions, rowsPerBatch)
 }
 
-class TelemetryScan(requiredSchema: StructType, lo: Long, hi: Long, partitions: Int)
+class TelemetryScan(requiredSchema: StructType, lo: Long, hi: Long, partitions: Int,
+    rowsPerBatch: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TelemetryMicroBatchStream(requiredSchema, lo, hi, partitions, rowsPerBatch)
   override def description(): String = s"TelemetryScan[$lo,$hi) cols=${requiredSchema.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -141,4 +147,48 @@ class TelemetryReaderFactory(requiredSchema: StructType) extends PartitionReader
       override def close(): Unit = ()
     }
   }
+}
+
+/** S1 × T depth — the custom connector's STREAMING read path: the same
+  * deterministic telemetry served as a rate-limited micro-batch stream.
+  * Offsets are plain row ids; each trigger advances the available offset
+  * by `rowsPerBatch` (the maxFilesPerTrigger analogue), and
+  * planInputPartitions splits the [start, end) offset range across the
+  * configured partitions — so a live fetcher would pull its slice where
+  * the executor runs, exactly like the batch path. Offsets are
+  * checkpointable (json = the row id), making recovery exactly-once:
+  * re-planning [committed, end) regenerates identical rows.
+  */
+class TelemetryMicroBatchStream(requiredSchema: StructType, lo: Long, hi: Long,
+    partitions: Int, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class RowOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+  // rate limit: each latestOffset() call exposes one more batch worth
+  private var planned: Long = lo
+
+  override def initialOffset(): Offset = RowOffset(lo)
+  override def latestOffset(): Offset = {
+    planned = math.min(hi, math.max(planned, lo) + rowsPerBatch)
+    RowOffset(planned)
+  }
+  override def deserializeOffset(json: String): Offset = RowOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RowOffset].v
+    val e = end.asInstanceOf[RowOffset].v
+    val n = math.max(1, partitions)
+    val span = math.max(0L, e - s)
+    (0 until n).map { p =>
+      TelemetryPartition(s + span * p / n, s + span * (p + 1) / n): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TelemetryReaderFactory(requiredSchema)
 }
