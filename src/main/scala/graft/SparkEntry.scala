@@ -9,10 +9,13 @@ import graft.queries.QueryRegistry
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * e2e_collect is the reference's signature operation end-to-end:
-    * validate → per-source enrichment → union → pivot → summary. */
+    * e2e_collect_full is the reference's signature operation at full
+    * fidelity: real TIFF-decode point lookups, broadcast CSV attribute
+    * classify, MODIS argmax selection, fire-weather risk, masked
+    * elevation stats — pivoted into nested ContainerOutput /
+    * AggregatedResponse envelopes, error paths included. */
   def entry(spark: SparkSession): DataFrame =
-    queries("e2e_collect")(spark, "/root/testdata/sf0.001")
+    queries("e2e_collect_full")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

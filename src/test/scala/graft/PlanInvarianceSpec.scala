@@ -21,7 +21,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
-        "w3_tumbling", "e2e_llm_pipeline")) {
+        "w3_tumbling", "e2e_llm_pipeline", "a10_split_assign",
+        "a10_pack_sequences", "a10_decontaminate")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
