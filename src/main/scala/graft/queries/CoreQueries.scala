@@ -272,5 +272,41 @@ object CoreQueries {
             WHERE rn <= 3""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
+  /** J6 ⊕ — backward as-of join ([[graft.ops.AsOfJoin]]): each click
+    * joined to the user's newest purchase at or before it. The union +
+    * carry-forward-window formulation costs ONE shuffle on user_id
+    * (linear, no range join); the oracle is DuckDB's native ASOF LEFT
+    * JOIN — an independent engine's implementation of the same
+    * semantics, including the `>=` equal-instant match and null
+    * no-match rows. Build side pre-aggregated per (user_id, ts)
+    * (argmax by event_id) so the as-of row is well-defined in both
+    * engines. */
+  val asofJoin = Q(
+    "j6_asof",
+    "Backward as-of join via single-shuffle union+window carry-forward: newest at-or-before purchase per click per user; DuckDB ASOF JOIN oracle.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val probe = t.events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val build = t.events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("purchase"))
+      graft.ops.AsOfJoin.leftBackward(
+        probe, build, keys = Seq("user_id"), tsCol = "ts",
+        buildPayload = Seq("purchase"))
+    },
+    Some("""WITH b AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     max_by(value, event_id) AS purchase
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), p AS (
+              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.event_id, p.ts, p.value,
+                   b.purchase AS asof_purchase, b.ts AS asof_ts
+            FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
 }

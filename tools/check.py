@@ -55,11 +55,19 @@ def compare(name, spark_df, oracle_df):
             if fam(ka) != fam(kb):
                 return (f"DTYPE mismatch col={col}: spark={a[col].dtype} "
                         f"oracle={b[col].dtype} (driver hashes these differently)")
+    def null_scalar(v):
+        # NaN/NaT/None -> None; leave arrays/lists/strings alone (pd.isna
+        # on those is elementwise or False).
+        if v is None:
+            return None
+        if not hasattr(v, "__len__") and pd.isna(v):
+            return None
+        return v
+
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            x = None if (isinstance(x, float) and pd.isna(x)) else x
-            y = None if (isinstance(y, float) and pd.isna(y)) else y
+            x, y = null_scalar(x), null_scalar(y)
             if not values_equal(x, y):
                 return f"VALUE mismatch col={col} row={i}: spark={x!r} oracle={y!r}"
     return None
