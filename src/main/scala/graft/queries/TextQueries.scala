@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.8 X28 ⊕ — text analysis over the `documents` fixture:
@@ -223,5 +224,123 @@ object TextQueries {
             FROM d GROUP BY 1, 2""")
   )
 
-  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint, tokenCount, filterChain)
+  /** X28 depth — Gopher-style repetition signals (Rae et al. 2021,
+    * Table A1): repeated n-grams and repeated-token runs are the
+    * strongest single predictor of low-quality machine-generated text.
+    * Four signals per document: top-word occurrence share, top-2-gram
+    * share, duplicate-5-gram fraction, and the longest same-word run.
+    *
+    * Cross-engine exactness: every metric is an integer numerator /
+    * denominator pair — never a rounded ratio (quotients land on round()
+    * half-boundaries; see w3_tumbling) — and the verdict compares by
+    * integer cross-multiplication. The Gopher thresholds (2-gram share
+    * > 0.18, dup-5-gram > 0.30) are kept verbatim but never fire on this
+    * low-repetition fixture, so two corpus-scaled rules (top word > 10%,
+    * run >= 3) keep both verdict branches exercised (46/120 drop at
+    * sf0.001 — no vacuous predicates).
+    *
+    * Scale shape: every shuffle keys on doc_id (windows and n-gram
+    * counts are per-document, bounded by document length); no cross-doc
+    * join anywhere, so the query is embarrassingly key-parallel at
+    * 100 TB. */
+  val repetition = Q(
+    "x28_repetition",
+    "Gopher repetition filters: top-word/top-2-gram share, duplicate-5-gram fraction, longest same-word run; exact integer-ratio verdict.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val d = t.documents.filter(col("doc_id") < 120)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .withColumn("n_words", size(col("words")).cast("long"))
+      val pos = d.select(col("doc_id"), col("n_words"),
+        posexplode(col("words")).as(Seq("pos", "word")))
+
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      val maxRun = pos
+        .withColumn("new_run",
+          when(col("word") === lag(col("word"), 1).over(byPos), 0).otherwise(1))
+        .withColumn("run_id", sum(col("new_run")).over(byPos))
+        .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_run"))
+
+      // argmax by (count DESC, word ASC) — min over the (-count, word)
+      // struct makes the tie-break deterministic in both engines
+      val topWord = pos.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("c")).as("neg"), col("word").as("w"))).as("m"))
+        .select(col("doc_id"), col("m.w").as("top_word"), (-col("m.neg")).as("top_word_cnt"))
+
+      def grams(n: Int): DataFrame = d.filter(col("n_words") >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, cast(n_words - ${n - 1} as int)), i -> concat_ws(' ', " +
+            (0 until n).map(k => s"element_at(words, i + $k)").mkString(", ") + "))")).as("g"))
+      val topBigram = grams(2).groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_cnt"))
+      val dup5 = grams(5).groupBy(col("doc_id"))
+        .agg((count(lit(1)) - countDistinct(col("g"))).as("dup5_cnt"))
+
+      d.select(col("doc_id"), col("n_words"))
+        .join(topWord, Seq("doc_id")).join(maxRun, Seq("doc_id"))
+        .join(topBigram, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
+        .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
+        .withColumn("n_bigrams", greatest(col("n_words") - 1, lit(0L)))
+        .withColumn("dup5_cnt", coalesce(col("dup5_cnt"), lit(0L)))
+        .withColumn("n_5grams", greatest(col("n_words") - 4, lit(0L)))
+        .withColumn("verdict",
+          when(col("top_bigram_cnt") * 100 > col("n_bigrams") * 18 ||
+            col("dup5_cnt") * 100 > col("n_5grams") * 30 ||
+            col("top_word_cnt") * 10 > col("n_words") ||
+            col("max_run") >= 3, "drop").otherwise("keep"))
+        .select(col("doc_id"), col("n_words"), col("top_word"), col("top_word_cnt"),
+          col("top_bigram_cnt"), col("n_bigrams"), col("dup5_cnt"), col("n_5grams"),
+          col("max_run"), col("verdict"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS words,
+                     len(string_split(text, ' ')) AS n_words
+              FROM documents WHERE doc_id < 120
+            ), p AS (
+              SELECT doc_id, words, n_words, unnest(generate_series(1, n_words)) AS pos FROM d
+            ), wp AS (
+              SELECT doc_id, pos, words[pos] AS word,
+                     CASE WHEN pos > 1 AND words[pos] = words[pos-1] THEN 0 ELSE 1 END AS nr
+              FROM p
+            ), runs AS (
+              SELECT doc_id, sum(nr) OVER (PARTITION BY doc_id ORDER BY pos) AS rid FROM wp
+            ), rl AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run FROM (
+                SELECT doc_id, rid, count(*) AS c FROM runs GROUP BY 1, 2) GROUP BY 1
+            ), tw AS (
+              SELECT doc_id, word AS top_word, CAST(c AS BIGINT) AS top_word_cnt FROM (
+                SELECT doc_id, word, count(*) AS c,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, word ASC) AS rn
+                FROM wp GROUP BY doc_id, word)
+              WHERE rn = 1
+            ), tb AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt FROM (
+                SELECT doc_id, words[pos] || ' ' || words[pos+1] AS g, count(*) AS c
+                FROM p WHERE pos < n_words GROUP BY 1, 2) GROUP BY 1
+            ), d5 AS (
+              SELECT doc_id, CAST(count(*) - count(DISTINCT g) AS BIGINT) AS dup5_cnt FROM (
+                SELECT doc_id, words[pos] || ' ' || words[pos+1] || ' ' || words[pos+2]
+                       || ' ' || words[pos+3] || ' ' || words[pos+4] AS g
+                FROM p WHERE pos + 4 <= n_words) GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(d.n_words AS BIGINT) AS n_words,
+                   tw.top_word, tw.top_word_cnt,
+                   COALESCE(tb.top_bigram_cnt, 0) AS top_bigram_cnt,
+                   CAST(greatest(d.n_words - 1, 0) AS BIGINT) AS n_bigrams,
+                   COALESCE(d5.dup5_cnt, 0) AS dup5_cnt,
+                   CAST(greatest(d.n_words - 4, 0) AS BIGINT) AS n_5grams,
+                   rl.max_run,
+                   CASE WHEN COALESCE(tb.top_bigram_cnt, 0) * 100 > 18 * greatest(d.n_words - 1, 0)
+                          OR COALESCE(d5.dup5_cnt, 0) * 100 > 30 * greatest(d.n_words - 4, 0)
+                          OR tw.top_word_cnt * 10 > d.n_words
+                          OR rl.max_run >= 3
+                        THEN 'drop' ELSE 'keep' END AS verdict
+            FROM d JOIN tw USING (doc_id) JOIN rl USING (doc_id)
+                   LEFT JOIN tb USING (doc_id) LEFT JOIN d5 USING (doc_id)""")
+  )
+
+  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition)
 }
