@@ -383,5 +383,189 @@ object TpchQueries {
             LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(q2, q4, q7, q10, q11, q12, q14, q18, q19, q20, q22)
+  /** Q6 shape — the classic forecasting-revenue-change scan: no join at
+    * all, every predicate pushed to the parquet scan, one global sum.
+    * The discount band compares integer basis points (round(d*100)), not
+    * raw doubles, so the band edges cannot flip between engines. */
+  val q6 = Q(
+    "q6_forecast_revenue",
+    "Pure pushdown scan + global agg: one-year window, discount band in integer basis points, quantity cap; revenue = sum(price x discount).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          round(col("l_discount") * 100).cast("long").between(3, 7) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).as("rev_e4"),
+          count(lit(1)).as("n_lines"))
+        .withColumn("revenue", e4ToDollars("rev_e4")).drop("rev_e4")
+    },
+    Some(s"""SELECT count(*) AS n_lines,
+            ${e4ToDollarsSql(
+              "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))")} AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 3 AND 7
+              AND l_quantity < 24""")
+  )
+
+  /** Q15 shape — top supplier by windowed revenue: a derived "view"
+    * aggregated once, its scalar max broadcast back, equality selecting
+    * the winner(s). Revenue stays in exact integer e4 units through the
+    * max-compare, so ties are engine-stable; conversion to dollars
+    * happens after selection. */
+  val q15 = Q(
+    "q15_top_supplier",
+    "View + scalar-max selection: per-supplier revenue over a quarter, keep the supplier(s) achieving the maximum (exact integer compare).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rev = t.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenueE4).as("rev_e4"))
+      rev.crossJoin(broadcast(rev.agg(max(col("rev_e4")).as("max_e4"))))
+        .filter(col("rev_e4") === col("max_e4"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("total_revenue", e4ToDollars("rev_e4"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+    Some(s"""WITH r AS (
+              SELECT l_suppkey, CAST(sum($revenueE4Sql) AS BIGINT) AS rev_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, ${e4ToDollarsSql("rev_e4")} AS total_revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_e4 = (SELECT max(rev_e4) FROM r)""")
+  )
+
+  /** Q16 shape — supplier-count census with a NOT IN exclusion: distinct
+    * ps_suppkey per (brand, type, size) over the synthesized partsupp,
+    * minus a deterministic supplier blacklist (s_suppkey % 7 = 0 stands
+    * in for TPC-H's comment-pattern complaints filter — the fixture has
+    * no comment column; % 7 keeps the anti-join non-vacuous). The NOT IN
+    * decorrelates to a null-safe anti-join; the census is one
+    * distinct-aggregate on the grouping keys. */
+  val q16 = Q(
+    "q16_supplier_census",
+    "Distinct-count census over partsupp with NOT IN supplier blacklist -> anti-join; supplier variety per (brand, type, size).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val blacklist = t.supplier.filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey"))
+      partsupp(t)
+        .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#13" && col("p_size") <= 25)),
+          col("ps_partkey") === col("p_partkey"))
+        .join(blacklist, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    },
+    Some(s"""WITH $partsuppSql
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+            FROM ps JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_size <= 25
+              AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+            GROUP BY p_brand, p_type, p_size""")
+  )
+
+  /** Q17 shape — small-quantity-order revenue: lines below 20% of their
+    * part's average quantity. The correlated avg decorrelates into ONE
+    * per-part aggregate joined back; the 0.2×avg compare is done by
+    * integer cross-multiplication (qty × 5 × n < sum — quantities are
+    * integral), so no division boundary exists to diverge on. Final
+    * /7.0 happens once, after an exact integer sum. */
+  val q17 = Q(
+    "q17_small_qty_revenue",
+    "Correlated-avg threshold decorrelated to agg+join, exact cross-multiplied compare: weekly revenue of below-average-quantity brand lines.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val brandLines = t.lineitem
+        .join(broadcast(t.part
+          .filter(col("p_brand").isin("Brand#13", "Brand#22", "Brand#25"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+      val perPart = brandLines.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+      brandLines
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("n") < col("sum_qty"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n_lines"))
+        .select(
+          (col("cents").cast("double") / lit(100.0) / lit(7.0)).as("avg_yearly"),
+          col("n_lines"))
+    },
+    Some("""WITH bl AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand IN ('Brand#13', 'Brand#22', 'Brand#25')
+            ), pp AS (
+              SELECT l_partkey AS pk, count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              FROM bl GROUP BY 1)
+            SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                     / CAST(100.0 AS DOUBLE) / CAST(7.0 AS DOUBLE) AS DOUBLE) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM bl JOIN pp ON l_partkey = pk
+            WHERE CAST(l_quantity AS BIGINT) * 5 * n < sum_qty""")
+  )
+
+  /** Q21 shape — suppliers who kept orders waiting: the only supplier
+    * with a late line (ship > order + 60 days — the fixture has no
+    * commit/receipt dates) in a multi-supplier finalized order. The
+    * classic EXISTS + NOT-EXISTS double correlation is re-expressed as
+    * per-order supplier censuses (distinct suppliers, distinct LATE
+    * suppliers) joined once — two aggregates + one join instead of two
+    * correlated probes of the fact table; the oracle keeps the textbook
+    * double-correlated form, proving the rewrite. */
+  val q21 = Q(
+    "q21_waiting_supplier",
+    "EXISTS + NOT EXISTS double correlation as per-order censuses: sole-late-supplier counts in multi-supplier 'F' orders, top-10.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val fOrders = t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = t.lineitem
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val census = lines.groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      lines.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(census, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    },
+    Some("""SELECT s_name, count(*) AS numwait FROM (
+              SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+              FROM lineitem l1
+              JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+              WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+            ) w JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 10""")
+  )
+
+  def all: Seq[Q] = Seq(q2, q4, q6, q7, q10, q11, q12, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
