@@ -150,5 +150,60 @@ object CurationQueries {
             FROM w GROUP BY source""")
   )
 
-  def all: Seq[Q] = Seq(splitAssign, decontaminate, packSequences)
+  /** Stratified downsampling to a balanced language mixture: every
+    * stratum is sampled down to (about) the MINORITY stratum's size —
+    * the class-rebalancing step before training-mixture assembly. The
+    * per-stratum rate is derived from the data as an exact 16-bit
+    * integer (65536·n_min div n_stratum — no float rate, so the
+    * threshold is bit-identical everywhere), and membership is the same
+    * seeded-md5 bucket as a10_split_assign: a document's fate depends
+    * only on its id, never on partitioning, run order, or machine
+    * count. Two scans + a 5-row broadcast — at 100 TB the census
+    * aggregate is the only shuffle. */
+  val sampleStratified = Q(
+    "a10_sample_stratified",
+    "Stratified hash downsampling: per-lang integer rate (65536*n_min div n) + seeded md5 bucket; per-stratum sampled doc/char census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val census = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val rate = census
+        .crossJoin(broadcast(census.agg(min(col("n_total")).as("n_min"))))
+        .withColumn("rate16", expr("(65536 * n_min) div n_total"))
+        .select(col("lang").as("r_lang"), col("n_total"), col("rate16"))
+      val bucket = conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+      t.documents
+        .join(broadcast(rate), col("lang") === col("r_lang"))
+        .withColumn("sampled", bucket < col("rate16"))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n_total")).as("n_total"),
+          max(col("rate16")).as("rate16"),
+          count(when(col("sampled"), 1)).as("n_sampled"),
+          coalesce(sum(when(col("sampled"), col("n_chars"))), lit(0L)).as("n_chars_sampled"))
+    },
+    Some("""WITH census AS (
+              SELECT lang, count(*) AS n_total FROM documents GROUP BY 1
+            ), rate AS (
+              SELECT lang, n_total,
+                     CAST((65536 * (SELECT min(n_total) FROM census)) // n_total AS BIGINT) AS rate16
+              FROM census
+            ), b AS (
+              SELECT d.lang, d.n_chars, r.rate16, r.n_total,
+                ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                 + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                 + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                 + (strpos('0123456789abcdef', h[4]) - 1)) AS bucket
+              FROM (SELECT lang, n_chars,
+                           md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents) d
+              JOIN rate r USING (lang)
+            )
+            SELECT lang, CAST(max(n_total) AS BIGINT) AS n_total, max(rate16) AS rate16,
+                   CAST(count(CASE WHEN bucket < rate16 THEN 1 END) AS BIGINT) AS n_sampled,
+                   CAST(COALESCE(sum(CASE WHEN bucket < rate16 THEN n_chars END), 0) AS BIGINT) AS n_chars_sampled
+            FROM b GROUP BY lang""")
+  )
+
+  def all: Seq[Q] = Seq(splitAssign, decontaminate, packSequences, sampleStratified)
 }
