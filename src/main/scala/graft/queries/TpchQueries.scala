@@ -567,5 +567,111 @@ object TpchQueries {
             LIMIT 10""")
   )
 
-  def all: Seq[Q] = Seq(q2, q4, q6, q7, q10, q11, q12, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+  /** Q8 shape — national market share: one nation's revenue fraction of
+    * a region×part-type market per year. The share is a conditional
+    * numerator over the same aggregate's denominator (one pass, no
+    * self-join); both sums are exact integer e4 units, so the single
+    * final division is bit-identical across engines and round(…, 6) is
+    * safe. */
+  val q8 = Q(
+    "q8_market_share",
+    "National market share per year: 7-way join, conditional-over-total e4 revenue ratio in one aggregate pass.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val custNation = t.nation.select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val suppNation = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", revenueE4).otherwise(lit(0L))).as("nat_e4"),
+          sum(revenueE4).as("tot_e4"))
+        .select(col("o_year"),
+          round(col("nat_e4").cast("double") / col("tot_e4").cast("double"), 6).as("mkt_share"))
+    },
+    Some(s"""SELECT year(o_orderdate) AS o_year,
+            round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN $revenueE4Sql ELSE 0 END) AS DOUBLE)
+                  / CAST(sum($revenueE4Sql) AS DOUBLE), 6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY year(o_orderdate)""")
+  )
+
+  /** Q9 shape — product-type profit by nation and year: revenue minus
+    * supply cost, both lifted to exact e4 integer units (cost cents ×
+    * qty × 100), summed per (nation, year). Joins lineitem to the
+    * synthesized partsupp on (part, supplier) — inner join semantics
+    * documented: only synthesized (part, supplier) slots participate,
+    * deterministically on both sides. */
+  val q9 = Q(
+    "q9_product_profit",
+    "Profit per supplier-nation per year: lineitem x partsupp(cost) x supplier x nation; exact integer e4 revenue-minus-cost.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(partsupp(t),
+          col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(sum(revenueE4 -
+          col("ps_cost_cents") * col("l_quantity").cast("long") * 100L).as("profit_e4"))
+        .withColumn("profit", e4ToDollars("profit_e4")).drop("profit_e4")
+    },
+    Some(s"""WITH $partsuppSql
+            SELECT n_name, year(l_shipdate) AS o_year,
+            ${e4ToDollarsSql(
+              s"sum($revenueE4Sql - ps_cost_cents * CAST(l_quantity AS BIGINT) * 100)")} AS profit
+            FROM lineitem
+            JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, year(l_shipdate)""")
+  )
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join so
+    * order-less customers survive into the zero bucket, then a
+    * two-level aggregate (count per customer → histogram of counts).
+    * The date filter belongs in the JOIN CONDITION, not a WHERE (a
+    * where-filter would silently turn the outer join inner and drop the
+    * zero bucket — the classic Q13 trap). */
+  val q13 = Q(
+    "q13_order_distribution",
+    "Outer-join count histogram: per-customer recent-order counts including the zero bucket, then the distribution of those counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val recent = t.orders
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+        .select(col("o_custkey"), col("o_orderkey"))
+      t.customer
+        .join(recent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
+              GROUP BY c_custkey)
+            GROUP BY c_count""")
+  )
+
+  def all: Seq[Q] = Seq(q2, q4, q6, q7, q8, q9, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
