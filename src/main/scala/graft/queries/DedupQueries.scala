@@ -403,5 +403,92 @@ object DedupQueries {
             FROM comp GROUP BY cluster_id""")
   )
 
-  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup, dedupClusters)
+  /** A10 ⊕ depth — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic deduplication that bounds the quadratic term by CLUSTERING
+    * first — assign every embedding to its nearest centroid, then
+    * compute pairwise cosine only WITHIN each cell and greedily drop the
+    * higher-id member of every similar pair (keep-first election; no
+    * component resolution needed since the relation "has a smaller-id
+    * similar neighbor" is already a deterministic drop predicate).
+    *
+    * Scale shape: the centroid table broadcasts; assignment is one
+    * corpus scan; the pairwise stage equi-joins on the cell id, so its
+    * cost is Σ|cell|² not |corpus|² — exactly the paper's design (they
+    * run k=110k clusters over 5B embeddings). A production run sizes k
+    * so cells stay ~1k vectors and caps degenerate cells the way the
+    * LSH pipeline caps mega-buckets (MaxBucket guard above).
+    *
+    * Threshold 0.40 is corpus-scaled (the fixture's embeddings are
+    * near-random; the global max pairwise cosine is 0.479), keeping the
+    * drop census non-vacuous: 19 similar pairs at sf0.001. */
+  val semDedup = Q(
+    "a10_semdedup",
+    "SemDeDup: nearest-centroid cells, within-cell pairwise cosine >= 0.40, greedy keep-first drop; per-cell census.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val dot = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val base = t.embeddings
+        .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val cents = broadcast(base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id").asc)
+      val assign = base.join(cents)
+        .withColumn("ccos", dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"), col("embedding"), col("nrm"))
+        .cache()
+      val left = assign.select(col("cell"), col("vec_id").as("i"),
+        col("embedding").as("e_i"), col("nrm").as("n_i"))
+      val right = assign.select(col("cell"), col("vec_id").as("j"),
+        col("embedding").as("e_j"), col("nrm").as("n_j"))
+      val pairs = left.join(right, Seq("cell"))
+        .filter(col("i") < col("j"))
+        .withColumn("cos", dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")))
+        .filter(col("cos") >= 0.40)
+        .select(col("cell"), col("i"), col("j"))
+        .cache()
+      assign.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .join(pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_sim_pairs")), Seq("cell"), "left")
+        .join(pairs.select(col("cell"), col("j")).distinct()
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")), Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_sim_pairs"), lit(0L)).as("n_sim_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nrm
+              FROM embeddings
+            ), cent AS (
+              SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm FROM n WHERE vec_id < 16
+            ), assign AS (
+              SELECT vec_id, c_id AS cell, embedding, nrm FROM (
+                SELECT n.vec_id, cent.c_id, n.embedding, n.nrm,
+                  row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                    list_reduce(list_transform(generate_series(1, 64),
+                      k -> CAST(n.embedding[k] AS DOUBLE) * CAST(cent.c_emb[k] AS DOUBLE)), (x, y) -> x + y)
+                      / (n.nrm * cent.c_nrm) DESC, cent.c_id ASC) AS rk
+                FROM n, cent) WHERE rk = 1
+            ), pairs AS (
+              SELECT a.cell, a.vec_id AS i, b.vec_id AS j
+              FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_reduce(list_transform(generate_series(1, 64),
+                      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), (x, y) -> x + y)
+                    / (a.nrm * b.nrm) >= 0.40
+            )
+            SELECT cell, CAST(v.n_vecs AS BIGINT) AS n_vecs,
+                   CAST(COALESCE(p.n_sim_pairs, 0) AS BIGINT) AS n_sim_pairs,
+                   CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped
+            FROM (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY 1) v
+            LEFT JOIN (SELECT cell, count(*) AS n_sim_pairs FROM pairs GROUP BY 1) p USING (cell)
+            LEFT JOIN (SELECT cell, count(*) AS n_dropped FROM
+                         (SELECT DISTINCT cell, j FROM pairs) GROUP BY 1) d USING (cell)""")
+  )
+
+  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup, dedupClusters, semDedup)
 }
