@@ -88,6 +88,28 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("j6_asof: the as-of join plans NO join operator — union + one window pass") {
+    val p = plan("j6_asof")
+    assert(!p.contains("Join"), "as-of join degraded to a real join (range-join blowup risk)")
+    assert(p.contains("Window"), "expected the carry-forward window")
+    // build-side dedup aggregate + the window's key shuffle, nothing else
+    assert(exchanges(p) <= 2, s"as-of join gained shuffles: ${exchanges(p)}")
+  }
+
+  test("q6_forecast_revenue: every predicate reaches the scan") {
+    val p = plan("q6_forecast_revenue")
+    // (toString truncates the PushedFilters list; the date bound is
+    // visible, the quantity cap was verified via explain("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date window not pushed to the scan")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"), "scan reads more than the 4 needed columns")
+  }
+
+  test("q13_order_distribution: the zero bucket survives (outer join not degraded to inner)") {
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), "left outer join was degraded — zero bucket lost")
+  }
+
   test("j5_ivf_probe: codebook pass is cached (index build); probe joins are hash joins") {
     val p = plan("j5_ivf_probe")
     // the 16-row codebook broadcast may print once per cached-plan mention,
