@@ -213,7 +213,14 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cosine"))
     },
-    Some("""WITH n AS (
+    Some(s"""WITH $ivfCtes
+            SELECT q_id, vec_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 3""")
+  )
+
+  /** The IVF pipeline's shared oracle CTE chain (norms → codebook →
+    * assignment → cells → nprobe=2 probes → candidates → rerank). */
+  private def ivfCtes: String =
+    """n AS (
               SELECT vec_id, embedding,
                 sqrt(list_reduce(list_transform(generate_series(1,64),
                   i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)), (x,y)->x+y)) AS nrm
@@ -244,9 +251,59 @@ object SimilarityQueries {
             ), ranked AS (
               SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored
+            )"""
+
+  /** J5 depth — recall@3 of the IVF probe against the exact brute-force
+    * answer, per query: the metric that closes the ANN loop (an
+    * approximate index without a measured recall is not an operator, it
+    * is a hope). Both rankings are deterministic (cos DESC, vec_id ASC),
+    * so recall is an exact integer hit count — and the oracle recomputes
+    * BOTH pipelines independently. A production run executes exactly
+    * this query over a sampled probe set to tune nlist/nprobe. */
+  val ivfRecall = Q(
+    "j5_ivf_recall",
+    "ANN quality loop: recall@3 of the nprobe=2 IVF probe vs exact brute-force top-3, per probe query; exact integer hit counts.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val approx = ivf.fn(s, dir).select(col("q_id"), col("vec_id"))
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val qs = broadcast(base.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = qs.join(base, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+    },
+    Some(s"""WITH $ivfCtes,
+            ivf3 AS (SELECT q_id, vec_id FROM ranked WHERE rank <= 3),
+            expairs AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                list_reduce(list_transform(generate_series(1,64),
+                  k -> CAST(q.embedding[k] AS DOUBLE)*CAST(e.embedding[k] AS DOUBLE)), (x,y)->x+y)
+                  / (q.nrm * e.nrm) AS cos
+              FROM n q JOIN n e ON q.vec_id BETWEEN 450 AND 459 AND q.vec_id <> e.vec_id
+            ), exr AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM expairs) WHERE rank <= 3
+            ), hits AS (
+              SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM exr JOIN ivf3 USING (q_id, vec_id) GROUP BY 1
             )
-            SELECT q_id, vec_id, rank, round(cos, 6) AS cosine FROM ranked WHERE rank <= 3""")
+            SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 3.0, 6) AS recall
+            FROM (SELECT DISTINCT q_id FROM exr) q
+            LEFT JOIN hits h USING (q_id)""")
   )
 
-  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf)
+  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall)
 }
