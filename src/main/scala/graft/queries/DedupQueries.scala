@@ -490,5 +490,67 @@ object DedupQueries {
                          (SELECT DISTINCT cell, j FROM pairs) GROUP BY 1) d USING (cell)""")
   )
 
-  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup, dedupClusters, semDedup)
+  /** A10 ⊕ depth — MinHash sketch calibration: the quality loop for the
+    * LSH pipeline, pairing each signature-agreement count (0..6 of the 6
+    * sliced-md5 signatures) with the EXACT Jaccard mass of the pairs in
+    * that bin. E[sig-agreement]/6 estimates Jaccard, and this census is
+    * how a production run validates that before trusting band/row
+    * parameters at 100 TB — the sketch analogue of j5_ivf_recall.
+    *
+    * All-pairs over a 60-doc calibration SAMPLE (1770 pairs) — the
+    * quadratic stage is on the sample only, by design; the sums are
+    * integer token counts, exact in any fold order. */
+  val minhashQuality = Q(
+    "a10_minhash_quality",
+    "MinHash calibration census: pairs bucketed by 0..6 signature agreements vs exact Jaccard numerator/denominator sums (sample all-pairs).",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents.filter(col("doc_id") < 60)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
+      val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
+        df.withColumn(s"mh$i",
+          array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
+      }.drop("hs")
+      val a = sigs.select(col("doc_id").as("i") +: col("toks").as("toks_i") +:
+        (0 until NumHashes).map(k => col(s"mh$k").as(s"a_mh$k")): _*)
+      val b = sigs.select(col("doc_id").as("j") +: col("toks").as("toks_j") +:
+        (0 until NumHashes).map(k => col(s"mh$k").as(s"b_mh$k")): _*)
+      broadcast(a).join(b, col("i") < col("j"))
+        .withColumn("n_sig_match",
+          (0 until NumHashes).map(k =>
+            when(col(s"a_mh$k") === col(s"b_mh$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("n_inter", size(array_intersect(col("toks_i"), col("toks_j"))).cast("long"))
+        .withColumn("n_union",
+          (size(col("toks_i")) + size(col("toks_j"))).cast("long") - col("n_inter"))
+        .groupBy(col("n_sig_match"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("n_inter")).as("sum_inter"),
+          sum(col("n_union")).as("sum_union"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+              FROM documents WHERE doc_id < 60
+            ), hs AS (
+              SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
+            ), sig AS (
+              SELECT doc_id, toks,
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM hs
+            ), pairs AS (
+              SELECT a.doc_id AS i, b.doc_id AS j,
+                CAST(len(list_filter(generate_series(1, 6), k -> a.mh[k] = b.mh[k])) AS BIGINT) AS n_sig_match,
+                CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+                CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_union
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            )
+            SELECT n_sig_match, count(*) AS n_pairs,
+                   CAST(sum(n_inter) AS BIGINT) AS sum_inter,
+                   CAST(sum(n_union) AS BIGINT) AS sum_union
+            FROM pairs GROUP BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup,
+    dedupClusters, semDedup, minhashQuality)
 }
