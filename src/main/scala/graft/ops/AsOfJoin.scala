@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,13 +34,42 @@ object AsOfJoin {
     * `build` must be unique per (keys, tsCol). The build columns named in
     * `buildPayload` (which must exclude the keys) are emitted as
     * `asof_<name>`, plus `asof_ts` = the matched build row's timestamp.
+    *
+    * `tolerance` (optional) bounds the match window: a backward match
+    * further than `tolerance` before the probe row is nulled out (the
+    * "don't join to stale state" guard). Express it in the timestamp
+    * column's algebra — `expr("INTERVAL 7 DAYS")` for timestamps,
+    * `lit(10L)` for numeric event times.
     */
   def leftBackward(
       probe: DataFrame,
       build: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      buildPayload: Seq[String]): DataFrame = {
+      buildPayload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame =
+    asOf(probe, build, keys, tsCol, buildPayload, forward = false, tolerance)
+
+  /** Left forward as-of join: the EARLIEST build row at or after each
+    * probe row per key (the "next event" lookup) — the time-mirrored
+    * traversal of [[leftBackward]], same single-shuffle cost. */
+  def leftForward(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      buildPayload: Seq[String],
+      tolerance: Option[Column] = None): DataFrame =
+    asOf(probe, build, keys, tsCol, buildPayload, forward = true, tolerance)
+
+  private def asOf(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      buildPayload: Seq[String],
+      forward: Boolean,
+      tolerance: Option[Column]): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     require(!buildPayload.exists(keys.contains),
       s"buildPayload must not repeat the keys, got $buildPayload vs $keys")
@@ -62,9 +91,12 @@ object AsOfJoin {
         payload.map(c => col(c).as(s"__b_$c")): _*)
 
     // side ASC puts a build row BEFORE probe rows at the same instant, so
-    // equal timestamps match (the `>=` in ASOF semantics).
+    // equal timestamps match (the `>=`/`<=` in ASOF semantics). Forward
+    // direction = the same carry-forward traversal over REVERSED time:
+    // the last build seen walking ts DESC is the earliest at-or-after.
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(ord, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // The build side is unique per (keys, ts), so `last(..., ignoreNulls)`
     // of each payload column under ONE ordering reads the SAME build row —
@@ -75,8 +107,16 @@ object AsOfJoin {
           payload.map(c => last(col(s"__b_$c"), ignoreNulls = true).over(w)
             .as(if (c == tsCol) "asof_ts" else s"asof_$c")): _*)
 
-    carried.filter(col("__side") === 1)
+    val joined = carried.filter(col("__side") === 1)
       .select(probeCols.map(c => col(s"__probe.$c").as(c)) ++
         (buildPayload.map(c => col(s"asof_$c")) :+ col("asof_ts")): _*)
+    tolerance.fold(joined) { tol =>
+      val within =
+        if (forward) col("asof_ts") <= col(tsCol) + tol
+        else col("asof_ts") >= col(tsCol) - tol
+      val asofCols = buildPayload.map(c => s"asof_$c") :+ "asof_ts"
+      asofCols.foldLeft(joined)((df, c) =>
+        df.withColumn(c, when(within, col(c))))
+    }
   }
 }

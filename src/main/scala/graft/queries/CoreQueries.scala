@@ -308,5 +308,36 @@ object CoreQueries {
             FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
+  /** J6 ⊕ forward direction — the "next event" lookup: each error event
+    * joined to the user's EARLIEST signup at or after it. Same
+    * single-shuffle traversal as j6_asof over reversed time; DuckDB's
+    * ASOF with `<=` is again the independent oracle. */
+  val asofForward = Q(
+    "j6_asof_forward",
+    "Forward as-of join: earliest at-or-after signup per error event per user; single-shuffle reversed-time carry-forward, DuckDB ASOF <= oracle.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val probe = t.events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val build = t.events.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("signup"))
+      graft.ops.AsOfJoin.leftForward(
+        probe, build, keys = Seq("user_id"), tsCol = "ts",
+        buildPayload = Seq("signup"))
+    },
+    Some("""WITH b AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                     max_by(value, event_id) AS signup
+              FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+            ), p AS (
+              SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT p.user_id, p.event_id, p.ts, p.value,
+                   b.signup AS asof_signup, b.ts AS asof_ts
+            FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
 }

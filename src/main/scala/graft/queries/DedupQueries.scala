@@ -441,9 +441,18 @@ object DedupQueries {
         .filter(col("rk") === 1)
         .select(col("vec_id"), col("c_id").as("cell"), col("embedding"), col("nrm"))
         .cache()
-      val left = assign.select(col("cell"), col("vec_id").as("i"),
+      // Skew guard, same contract as the LSH MaxBucket cap: a degenerate
+      // centroid attracting far more than corpus/k vectors would make its
+      // |cell|² pairwise stage dominate the job — bound it and let the
+      // census still report the cell's size. No fixture cell comes near
+      // the cap (max ≈ 125 at sf0.1); this is the 100 TB guard.
+      val bounded = assign.join(
+        broadcast(assign.groupBy(col("cell")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn").between(2, 500)).select(col("cell"))),
+        Seq("cell"))
+      val left = bounded.select(col("cell"), col("vec_id").as("i"),
         col("embedding").as("e_i"), col("nrm").as("n_i"))
-      val right = assign.select(col("cell"), col("vec_id").as("j"),
+      val right = bounded.select(col("cell"), col("vec_id").as("j"),
         col("embedding").as("e_j"), col("nrm").as("n_j"))
       val pairs = left.join(right, Seq("cell"))
         .filter(col("i") < col("j"))
@@ -474,9 +483,13 @@ object DedupQueries {
                       k -> CAST(n.embedding[k] AS DOUBLE) * CAST(cent.c_emb[k] AS DOUBLE)), (x, y) -> x + y)
                       / (n.nrm * cent.c_nrm) DESC, cent.c_id ASC) AS rk
                 FROM n, cent) WHERE rk = 1
+            ), keepc AS (
+              SELECT cell FROM (SELECT cell, count(*) AS bn FROM assign GROUP BY 1)
+              WHERE bn BETWEEN 2 AND 500
             ), pairs AS (
               SELECT a.cell, a.vec_id AS i, b.vec_id AS j
               FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              JOIN keepc ON a.cell = keepc.cell
               WHERE list_reduce(list_transform(generate_series(1, 64),
                       k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), (x, y) -> x + y)
                     / (a.nrm * b.nrm) >= 0.40

@@ -43,6 +43,28 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(got === Set(Row(9, 1L, 4.2, null, null)))
   }
 
+  test("forward direction picks the earliest at-or-after build row") {
+    val p = Seq((1, 10L, 1.0), (1, 25L, 2.0), (2, 7L, 3.0)).toDF("k", "t", "v")
+    val b = Seq((1, 5L, "a"), (1, 20L, "b"), (2, 3L, "z")).toDF("k", "t", "tag")
+    val got = AsOfJoin.leftForward(p, b, Seq("k"), "t", Seq("tag"))
+      .select("k", "t", "v", "asof_tag", "asof_ts").collect().toSet
+    assert(got === Set(
+      Row(1, 10L, 1.0, "b", 20L),  // earliest at-or-after 10 is 20
+      Row(1, 25L, 2.0, null, null), // nothing after 25
+      Row(2, 7L, 3.0, null, null))) // key 2's only build is before
+  }
+
+  test("tolerance nulls out matches outside the window, keeps rows") {
+    val p = Seq((1, 100L, 1.0), (1, 200L, 2.0)).toDF("k", "t", "v")
+    val b = Seq((1, 95L, "near"), (1, 120L, "x")).toDF("k", "t", "tag")
+    val got = AsOfJoin.leftBackward(p, b, Seq("k"), "t", Seq("tag"),
+        tolerance = Some(lit(10L)))
+      .select("k", "t", "v", "asof_tag", "asof_ts").collect().toSet
+    assert(got === Set(
+      Row(1, 100L, 1.0, "near", 95L),  // 95 within [90, 100]
+      Row(1, 200L, 2.0, null, null))) // nearest (120) is 80 behind — stale
+  }
+
   test("matches the naive range-join + argmax formulation on fixture data") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val probe = t.events.filter(col("event_type") === "view")
