@@ -339,5 +339,50 @@ object CoreQueries {
             FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts <= b.ts""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
+  /** J7 ⊕ — interval-overlap join ([[graft.ops.OverlapJoin]]): sessions
+    * derived from click and error events (start = ts, length = value
+    * scaled to hours) overlap-joined per user via 6-hour bin equi-keys —
+    * a hash join where the naive range predicate would plan a nested
+    * loop. The oracle runs the NAIVE range join (DuckDB's IEJoin handles
+    * it at fixture scale), independently validating the binning +
+    * dedup + exact-filter pipeline. Overlap lengths are integer ms. */
+  val overlapJoin = Q(
+    "j7_interval_overlap",
+    "Binned interval-overlap join: explode to 6h time bins, hash equi-join (user, bin), exact overlap filter + dedup; per-user overlap census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // value*100 (exact 2-decimal lift) scaled to ~0.1-40h sessions —
+      // deterministic interval derivation reproduced in the oracle
+      def intervals(kind: String, p: String) = t.events
+        .filter(col("event_type") === kind)
+        .select(col("user_id"), col("event_id").as(s"${p}_id"),
+          unix_millis(col("ts").cast("timestamp")).as(s"${p}_start"),
+          (unix_millis(col("ts").cast("timestamp")) +
+            round(col("value") * 100).cast("long") * 3600).as(s"${p}_end"))
+      graft.ops.OverlapJoin.binnedOverlapJoin(
+          intervals("click", "l"), intervals("error", "r"),
+          keys = Seq("user_id"), binWidthMs = 21600000L,
+          lStart = "l_start", lEnd = "l_end", rStart = "r_start", rEnd = "r_end")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_ms")).as("sum_overlap_ms"))
+    },
+    Some("""WITH l AS (
+              SELECT user_id, event_id AS l_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS l_start,
+                     epoch_ms(CAST(ts AS TIMESTAMP)) + CAST(round(value*100) AS BIGINT) * 3600 AS l_end
+              FROM events WHERE event_type = 'click'
+            ), r AS (
+              SELECT user_id, event_id AS r_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS r_start,
+                     epoch_ms(CAST(ts AS TIMESTAMP)) + CAST(round(value*100) AS BIGINT) * 3600 AS r_end
+              FROM events WHERE event_type = 'error'
+            ), pairs AS (
+              SELECT l.user_id, l_id, r_id,
+                     least(l_end, r_end) - greatest(l_start, r_start) AS overlap_ms
+              FROM l JOIN r ON l.user_id = r.user_id AND l_start <= r_end AND r_start <= l_end
+            )
+            SELECT user_id, count(*) AS n_pairs,
+                   CAST(sum(overlap_ms) AS BIGINT) AS sum_overlap_ms
+            FROM pairs GROUP BY user_id""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
 }

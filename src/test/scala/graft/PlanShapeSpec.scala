@@ -105,6 +105,12 @@ class PlanShapeSpec extends SparkSpecBase {
       "l_discount:double,l_shipdate"), "scan reads more than the 4 needed columns")
   }
 
+  test("j7_interval_overlap: binning makes the range join a hash join (no nested loop)") {
+    val p = plan("j7_interval_overlap")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      "overlap join degraded to a quadratic plan")
+  }
+
   test("q13_order_distribution: the zero bucket survives (outer join not degraded to inner)") {
     val p = plan("q13_order_distribution")
     assert(p.contains("LeftOuter"), "left outer join was degraded — zero bucket lost")
