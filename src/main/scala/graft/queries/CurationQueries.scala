@@ -205,5 +205,61 @@ object CurationQueries {
             FROM b GROUP BY lang""")
   )
 
-  def all: Seq[Q] = Seq(splitAssign, decontaminate, packSequences, sampleStratified)
+  /** Weighted systematic sampling: walk the corpus in doc_id order and
+    * take one document per stratum of total_chars/50 cumulative weight —
+    * longer documents are proportionally likelier, the sample size is
+    * EXACTLY 50, and everything is integer arithmetic (no pow/log priority
+    * keys, which are libm-dependent and can flip ties across engines).
+    *
+    * The cumulative weight is a DISTRIBUTED prefix sum — per-shard
+    * partial sums, a tiny shard-level running total broadcast back, then
+    * a within-shard window — never a global single-partition sort (the
+    * unpartitioned-window trap). The oracle recomputes with a plain
+    * global window, independently validating the decomposition. */
+  val sampleWeighted = Q(
+    "a10_sample_weighted",
+    "Weighted systematic sample (1 doc per total/50 cumulative chars) via distributed prefix sum; per-source selection census.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("shard", expr("doc_id div 100"))
+      val wShards = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // shard count is corpus/100 — the shard-level running total is
+      // driver-scale even at 100 TB; the big table never globally sorts
+      val offsets = docs.groupBy(col("shard")).agg(sum(col("n_chars")).as("ssum"))
+        .withColumn("offset", coalesce(sum(col("ssum")).over(wShards), lit(0L)))
+        .select(col("shard"), col("offset"))
+      val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = docs.agg(sum(col("n_chars")).as("total"))
+      docs.join(broadcast(offsets), Seq("shard"))
+        .withColumn("cum", col("offset") + sum(col("n_chars")).over(wIn))
+        .crossJoin(broadcast(total))
+        .withColumn("step", greatest(expr("total div 50"), lit(1L)))
+        .withColumn("sel",
+          expr("(cum - n_chars) div step") < expr("cum div step"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("sel"), 1)).as("n_selected"),
+          coalesce(sum(when(col("sel"), col("n_chars"))), lit(0L)).as("chars_selected"))
+    },
+    Some("""WITH w AS (
+              SELECT doc_id, source, n_chars,
+                sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents
+            ), tot AS (
+              SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 50, 1) AS step FROM documents
+            ), sel AS (
+              SELECT w.*, (cum - n_chars) // step < cum // step AS sel FROM w, tot
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(CASE WHEN sel THEN 1 END) AS n_selected,
+                   CAST(COALESCE(sum(CASE WHEN sel THEN n_chars END), 0) AS BIGINT) AS chars_selected
+            FROM sel GROUP BY source""")
+  )
+
+  def all: Seq[Q] = Seq(splitAssign, decontaminate, packSequences, sampleStratified, sampleWeighted)
 }
