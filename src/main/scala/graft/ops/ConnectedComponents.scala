@@ -52,7 +52,10 @@ object ConnectedComponents {
     }
     try {
       val nodes = sym.select(col("src").as("node")).distinct()
-      var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+      // Lazy checkpoints: each round's convergence-sum action is the one
+      // job that both materializes the round's labels and measures them —
+      // eager checkpointing would run a second, redundant job per round.
+      var lbl = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint(false)
       var prevSum: Option[BigDecimal] = None
       var round = 0
       var converged = false
@@ -60,7 +63,7 @@ object ConnectedComponents {
         val nmin = sym.join(lbl.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), col("lbl"))
         val stepped = lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        lbl = jump(stepped).localCheckpoint()
+        lbl = jump(stepped).localCheckpoint(false)
         // sum over an empty frame is null: an empty node set is trivially
         // converged, not an NPE
         val s = Option(lbl.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0))
