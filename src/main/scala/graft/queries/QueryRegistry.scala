@@ -30,6 +30,7 @@ object QueryRegistry {
       DedupQueries.all ++
       CurationQueries.all ++
       SimilarityQueries.all ++
+      VectorQueries.all ++
       StreamQueries.all ++
       MultimodalQueries.all ++
       E2EQueries.all

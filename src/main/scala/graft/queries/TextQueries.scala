@@ -342,5 +342,85 @@ object TextQueries {
                    LEFT JOIN tb USING (doc_id) LEFT JOIN d5 USING (doc_id)""")
   )
 
-  def all: Seq[Q] = Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition)
+  /** X28 depth — PII detection + redaction, the scrub pass every
+    * training-data pipeline runs before tokenization. The fixture corpus
+    * is synthetic word-salad with no PII, so the query PLANTS
+    * deterministic PII (emails / phone fragments / IPv4s, keyed off
+    * doc_id) and then proves the scrubber removes exactly what was
+    * planted: `residual_max` re-runs all three detectors on the redacted
+    * text and must be 0 — a self-verifying invariant, not just a census.
+    *
+    * Patterns avoid regex-dialect edges (no backslash classes, dots as
+    * `[.]`) so Java regex and RE2-style DuckDB agree literally. All work
+    * is row-local regexp (codegen'd), one low-cardinality roll-up — the
+    * 100 TB shape is a pure map stage. */
+  val piiScrub = Q(
+    "x28_pii_scrub",
+    "PII scrub: plant deterministic emails/phones/IPs, regex-redact, census per source + zero-residual invariant on the redacted text.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val email = "[a-z0-9]+@[a-z0-9]+[.]com"
+      val phone = "555-[0-9]+"
+      val ip = "10[.]0[.][0-9]+[.]1"
+      def nHits(colName: String) = Seq(email, phone, ip).map(p =>
+        size(expr(s"regexp_extract_all($colName, '$p', 0)"))).reduce(_ + _)
+      t.documents
+        .withColumn("txt", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@mail"), pmod(col("doc_id"), lit(10)), lit(".com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call 555-01"), pmod(col("doc_id"), lit(10)), lit(" ok"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".1 end"))).otherwise(lit(""))))
+        .withColumn("n_email", size(expr(s"regexp_extract_all(txt, '$email', 0)")))
+        .withColumn("n_phone", size(expr(s"regexp_extract_all(txt, '$phone', 0)")))
+        .withColumn("n_ip", size(expr(s"regexp_extract_all(txt, '$ip', 0)")))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(regexp_replace(col("txt"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>"))
+        .withColumn("residual", nHits("redacted"))
+        .groupBy(col("source"))
+        .agg(
+          count(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1)).as("docs_with_pii"),
+          sum(col("n_email")).as("emails"),
+          sum(col("n_phone")).as("phones"),
+          sum(col("n_ip")).as("ips"),
+          sum(length(col("txt")) - length(col("redacted"))).as("chars_delta"),
+          max(col("residual")).as("residual_max"))
+    },
+    Some("""WITH seeded AS (
+              SELECT source, text
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' contact user' || doc_id || '@mail' || (doc_id % 10) || '.com now'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN ' call 555-01' || (doc_id % 10) || ' ok' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0
+                        THEN ' from 10.0.' || (doc_id % 256) || '.1 end' ELSE '' END AS txt
+              FROM documents
+            ), hits AS (
+              SELECT source, txt,
+                len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9]+[.]com')) AS n_email,
+                len(regexp_extract_all(txt, '555-[0-9]+')) AS n_phone,
+                len(regexp_extract_all(txt, '10[.]0[.][0-9]+[.]1')) AS n_ip,
+                regexp_replace(regexp_replace(regexp_replace(txt,
+                  '[a-z0-9]+@[a-z0-9]+[.]com', '<EMAIL>', 'g'),
+                  '555-[0-9]+', '<PHONE>', 'g'),
+                  '10[.]0[.][0-9]+[.]1', '<IP>', 'g') AS redacted
+              FROM seeded
+            )
+            SELECT source,
+              count(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 END) AS docs_with_pii,
+              CAST(sum(n_email) AS BIGINT) AS emails,
+              CAST(sum(n_phone) AS BIGINT) AS phones,
+              CAST(sum(n_ip) AS BIGINT) AS ips,
+              CAST(sum(length(txt) - length(redacted)) AS BIGINT) AS chars_delta,
+              CAST(max(len(regexp_extract_all(redacted, '[a-z0-9]+@[a-z0-9]+[.]com'))
+                 + len(regexp_extract_all(redacted, '555-[0-9]+'))
+                 + len(regexp_extract_all(redacted, '10[.]0[.][0-9]+[.]1'))) AS INT) AS residual_max
+            FROM hits GROUP BY source""")
+  )
+
+  def all: Seq[Q] =
+    Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub)
 }

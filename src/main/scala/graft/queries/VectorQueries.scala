@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 J5 / §2.8 X29 ⊕ depth — the vector-index *training*
+  * and *compression* operators that sit beside ANN search in a production
+  * embedding pipeline: a distributed k-means (Lloyd) iteration to train
+  * the IVF codebook that `j5_ivf_probe` consumes, and scalar int8 (SQ8)
+  * quantization with an exact reconstruction-error census.
+  *
+  * Cross-engine exactness: every per-element value is first fixed-pointed
+  * with `floor(x * 1e6)` (floor is exact on identical doubles, unlike
+  * round's half-tie), after which all distances, assignments, codes, and
+  * error sums are pure Long arithmetic — order-independent and
+  * bit-identical in Spark and DuckDB. No double accumulates across rows
+  * anywhere (the q10 lesson from round 4).
+  *
+  * Scale shapes:
+  *  - k-means: the codebook is broadcast (K rows); assignment is one
+  *    corpus scan with row-local distance math; the recompute is one hash
+  *    aggregate on (centroid, dim) — 100 TB of vectors stream through two
+  *    narrow stages per Lloyd round, exactly how Spark MLlib's KMeans
+  *    schedules it.
+  *  - SQ8: per-dimension min/max is one tiny aggregate (64 groups),
+  *    broadcast back; encoding is row-local. Compressed vectors are 4x
+  *    smaller, which is the difference between an in-memory and a spilled
+  *    ANN probe at corpus scale.
+  */
+object VectorQueries {
+
+  private val Micro = 1000000L
+
+  /** Fixed-point quantization of the embedding: exact Long micro-units. */
+  private def quantized = transform(col("embedding"),
+    x => floor(x.cast("double") * Micro).cast("long"))
+
+  /** J5 ⊕ — one Lloyd iteration of k-means over the embeddings: assign
+    * every vector to its nearest of K=8 seed centroids (the first 8
+    * corpus vectors, the same deterministic seeding as j5_ivf_probe's
+    * codebook), then emit the new centroid as exact fixed-point sums —
+    * (c_id, dim, sum_micro, n_members) is the numerator/denominator pair
+    * of the updated mean, 8x64 rows. */
+  val kmeansIter = Q(
+    "j5_kmeans_iter",
+    "Distributed Lloyd iteration: broadcast K=8 codebook, exact integer L2 assignment, new centroids as (sum_micro, n) fixed-point pairs per dim.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+      val cents = broadcast(q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("qe").as("ce")))
+      val d2 = aggregate(
+        zip_with(col("qe"), col("ce"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val best = q.join(cents)
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.c_id").as("c_id"))
+      q.join(best, "vec_id")
+        .select(col("c_id"), posexplode(col("qe")).as(Seq("dim", "v")))
+        .groupBy(col("c_id"), col("dim"))
+        .agg(sum(col("v")).as("sum_micro"), count(lit(1)).as("n_members"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), cent AS (
+              SELECT vec_id AS c_id, qe AS ce FROM q WHERE vec_id < 8
+            ), d AS (
+              SELECT q.vec_id, cent.c_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                  i -> (q.qe[i] - cent.ce[i]) * (q.qe[i] - cent.ce[i])), (x, y) -> x + y) AS d2
+              FROM q, cent
+            ), best AS (
+              SELECT vec_id, c_id FROM (
+                SELECT vec_id, c_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+                FROM d) WHERE rn = 1
+            ), ex AS (
+              SELECT b.c_id, g.dim, q.qe[g.dim + 1] AS v
+              FROM best b JOIN q USING (vec_id)
+              CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) g
+            )
+            SELECT c_id, CAST(dim AS INT) AS dim,
+                   CAST(sum(v) AS BIGINT) AS sum_micro,
+                   count(*) AS n_members
+            FROM ex GROUP BY c_id, dim""")
+  )
+
+  /** X29 ⊕ — SQ8 scalar quantization: per-dimension [min, max] over the
+    * corpus defines a 256-level grid; each element encodes to
+    * `floor((x - min) * 255 / (max - min))` and reconstructs to the cell
+    * midpoint. The per-vector census is exact: working in doubled scaled
+    * units (err_510 = |2*255*(x - min) - (2*code + 1)*(max - min)|, all
+    * Long) removes every fractional midpoint, so the total absolute error
+    * and clip counts are integer-exact in both engines. */
+  val sq8 = Q(
+    "j5_sq8_quantize",
+    "SQ8 scalar quantization: per-dim min/max grid (one 64-group agg, broadcast back), int codes, exact integer reconstruction-error census per vector.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val el = t.embeddings
+        .select(col("vec_id"), posexplode(quantized).as(Seq("dim", "x")))
+      val dims = broadcast(el.groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx")))
+      el.join(dims, "dim")
+        .withColumn("den", col("mx") - col("mn"))
+        .withColumn("code",
+          when(col("den") === 0, 0L)
+            .otherwise(expr("((x - mn) * 255) div den")))
+        .withColumn("err510",
+          when(col("den") === 0, 0L)
+            .otherwise(abs((col("x") - col("mn")) * 510 - (col("code") * 2 + 1) * col("den"))))
+        .groupBy(col("vec_id"))
+        .agg(
+          sum(col("err510")).as("total_err_510"),
+          sum(col("code")).as("code_sum"),
+          count(when(col("code") === 0, 1)).as("n_floor"),
+          count(when(col("code") === 255, 1)).as("n_ceil"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), el AS (
+              SELECT vec_id, g.dim, qe[g.dim + 1] AS x
+              FROM q CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) g
+            ), dims AS (
+              SELECT dim, min(x) AS mn, max(x) AS mx FROM el GROUP BY dim
+            ), coded AS (
+              SELECT vec_id,
+                CASE WHEN mx = mn THEN 0 ELSE ((x - mn) * 255) // (mx - mn) END AS code,
+                CASE WHEN mx = mn THEN 0
+                     ELSE abs((x - mn) * 510 - ((((x - mn) * 255) // (mx - mn)) * 2 + 1) * (mx - mn))
+                END AS err510
+              FROM el JOIN dims USING (dim)
+            )
+            SELECT vec_id,
+                   CAST(sum(err510) AS BIGINT) AS total_err_510,
+                   CAST(sum(code) AS BIGINT) AS code_sum,
+                   count(CASE WHEN code = 0 THEN 1 END) AS n_floor,
+                   count(CASE WHEN code = 255 THEN 1 END) AS n_ceil
+            FROM coded GROUP BY vec_id""")
+  )
+
+  def all: Seq[Q] = Seq(kmeansIter, sq8)
+}
