@@ -63,35 +63,45 @@ object DedupQueries {
     * ([[dedupClusters]]), and the composed LLM curation pipeline
     * (e2e_llm_pipeline). Returns verified pairs (i < j, jac >= 0.9)
     * over WHATEVER document set is passed — dedup stages compose. */
+  /** MinHash signature → banded (doc_id, b, band_key) rows. One md5 per
+    * token; the 6 signature functions are disjoint 20-bit (5 hex char)
+    * slices of the single digest — same MinHash family trick as
+    * jaccardNgram at 1/6 the hashing cost. */
+  private def bandsOf(toks: DataFrame): DataFrame = {
+    val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
+    val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
+      df.withColumn(s"mh$i",
+        array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
+    }
+    val bandStructs: Seq[Column] = (0 until NumHashes / BandRows).map { b =>
+      struct(lit(b).as("b"),
+        concat(col(s"mh${BandRows * b}"), col(s"mh${BandRows * b + 1}")).as("band_key"))
+    }
+    sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+  }
+
+  /** Banded rows with degenerate mega-buckets dropped (the skew guard);
+    * shared by the all-pairs and incremental variants. */
+  private def cappedBandsOf(toks: DataFrame): DataFrame = {
+    val allBands = bandsOf(toks)
+    val keep = allBands.groupBy(col("b"), col("band_key"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2, MaxBucket))
+      .select(col("b"), col("band_key"))
+    allBands.join(keep, Seq("b", "band_key"))
+  }
+
   private[queries] def verifiedPairsOver(docs: DataFrame): DataFrame = {
       val toks = tokenSets(docs)
-
-      // One md5 per token; the 6 signature functions are disjoint 20-bit
-      // (5 hex char) slices of the single digest — same MinHash family
-      // trick as jaccardNgram at 1/6 the hashing cost.
-      val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
-      val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
-        df.withColumn(s"mh$i",
-          array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
-      }
-      val bandStructs: Seq[Column] = (0 until NumHashes / BandRows).map { b =>
-        struct(lit(b).as("b"),
-          concat(col(s"mh${BandRows * b}"), col(s"mh${BandRows * b + 1}")).as("band_key"))
-      }
-      val allBands = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-        .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
 
       // Skew guard (production LSH practice): drop degenerate mega-buckets.
       // A bucket holding >MaxBucket docs means the shingle basis is
       // non-discriminative there, and its O(n²) pair expansion would
       // dominate the job (observed: one bucket with 63% of the corpus →
       // 15.5M candidate pairs). Singleton buckets produce no pairs.
-      val keep = allBands.groupBy(col("b"), col("band_key"))
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn").between(2, MaxBucket))
-        .select(col("b"), col("band_key"))
-      val bands = allBands.join(keep, Seq("b", "band_key"))
+      val bands = cappedBandsOf(toks)
 
       val left = bands.select(col("b"), col("band_key"), col("doc_id").as("i"))
       val right = bands.select(col("b"), col("band_key"), col("doc_id").as("j"))
@@ -564,6 +574,130 @@ object DedupQueries {
             FROM pairs GROUP BY 1""")
   )
 
+  /** A10 ⊕ incremental — dedup an incoming batch AGAINST the existing
+    * corpus, the shape every recurring crawl/snapshot ingest runs: no
+    * batch×batch or history×history comparisons, only batch→history
+    * probes. The split is deterministic (doc_id % 5 == 0 is "the new
+    * batch") so it works at every sf. Verdict precedence per batch doc:
+    * exact fingerprint hit → MinHash-verified near-dup (Jaccard ≥ 0.9) →
+    * new.
+    *
+    * The fixture has no exact-duplicate texts, so the query PLANTS them
+    * (the x28_pii_scrub pattern): every batch doc with doc_id % 25 == 0
+    * takes the text of its history neighbor (doc_id - 1), and the
+    * verdict census then proves the exact path catches exactly those —
+    * all three verdict branches fire at every sf.
+    *
+    * Scale shape: at 100 TB the history side's fingerprints and LSH
+    * bands are a PERSISTED index (computed once, partitioned by fp /
+    * (b, band_key)); per-ingest cost is O(batch) hashing plus two hash
+    * equi-joins against that index — the batch never scans history
+    * row-by-row. Here both sides derive from one fixture scan, but the
+    * join keys are exactly the index keys a production run would store. */
+  val incremental = Q(
+    "a10_incremental",
+    "Incremental batch-vs-corpus dedup: exact fp semi-join + asymmetric banded MinHash probe (batch->history only), per-doc verdict census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val raw = t.documents.select(col("doc_id"), col("text"))
+      val partner = raw.select((col("doc_id") + 1).as("doc_id"), col("text").as("p_text"))
+      val docs = raw.join(partner, Seq("doc_id"), "left")
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(25)) === 0 && col("p_text").isNotNull,
+            col("p_text")).otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+        .withColumn("fp", md5(lower(col("text"))))
+        .withColumn("is_batch", pmod(col("doc_id"), lit(5)) === 0)
+        .cache()
+      val toks = tokenSets(docs)
+      val bands = cappedBandsOf(toks)
+      val flags = docs.select(col("doc_id"), col("is_batch"))
+
+      val bBands = bands.join(flags.filter(col("is_batch")), "doc_id")
+        .select(col("b"), col("band_key"), col("doc_id").as("q"))
+      val hBands = bands.join(flags.filter(!col("is_batch")), "doc_id")
+        .select(col("b"), col("band_key"), col("doc_id").as("h"))
+      val cands = bBands.join(hBands, Seq("b", "band_key"))
+        .select(col("q"), col("h")).distinct()
+
+      val ta = toks.select(col("doc_id").as("q"), col("toks").as("toks_q"))
+      val tb = toks.select(col("doc_id").as("h"), col("toks").as("toks_h"))
+      val near = cands.join(ta, "q").join(tb, "h")
+        .withColumn("inter", size(array_intersect(col("toks_q"), col("toks_h"))))
+        .filter(col("inter").cast("double") /
+          (size(col("toks_q")) + size(col("toks_h")) - col("inter")) >= 0.9)
+        .groupBy(col("q")).agg(count(lit(1)).as("n_near"))
+        .withColumnRenamed("q", "doc_id")
+
+      val exactHit = docs.filter(col("is_batch")).select(col("doc_id"), col("fp"))
+        .join(docs.filter(!col("is_batch")).select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(true).as("is_exact"))
+
+      docs.filter(col("is_batch")).select(col("doc_id"))
+        .join(exactHit, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          when(col("is_exact"), "exact_dup")
+            .when(coalesce(col("n_near"), lit(0L)) > 0, "near_dup")
+            .otherwise("new").as("verdict"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+    },
+    Some("""WITH seeded AS (
+              SELECT a.doc_id,
+                CASE WHEN a.doc_id % 25 = 0 AND b.text IS NOT NULL
+                     THEN b.text ELSE a.text END AS text
+              FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id - 1
+            ), d AS (
+              SELECT doc_id, md5(lower(text)) AS fp,
+                     list_distinct(string_split(text, ' ')) AS toks,
+                     doc_id % 5 = 0 AS is_batch
+              FROM seeded
+            ), hs AS (
+              SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM d
+            ), sig AS (
+              SELECT doc_id,
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM hs
+            ), all_bands AS (
+              SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 2)) AS t(b)
+            ), keep AS (
+              SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100
+            ), bands AS (
+              SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)
+            ), cand AS (
+              SELECT DISTINCT q.doc_id AS qid, h.doc_id AS hid
+              FROM bands q JOIN bands h USING (b, band_key)
+              JOIN d dq ON dq.doc_id = q.doc_id
+              JOIN d dh ON dh.doc_id = h.doc_id
+              WHERE dq.is_batch AND NOT dh.is_batch
+            ), near AS (
+              SELECT qid AS doc_id, count(*) AS n_near FROM cand
+              JOIN d da ON da.doc_id = qid
+              JOIN d db ON db.doc_id = hid
+              WHERE CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE) /
+                    (len(da.toks) + len(db.toks)
+                       - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) >= 0.9
+              GROUP BY 1
+            ), ex AS (
+              SELECT DISTINCT b.doc_id
+              FROM d b JOIN d h ON b.fp = h.fp AND NOT h.is_batch
+              WHERE b.is_batch
+            )
+            SELECT b.doc_id,
+              CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                   WHEN COALESCE(near.n_near, 0) > 0 THEN 'near_dup'
+                   ELSE 'new' END AS verdict,
+              CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near
+            FROM d b
+            LEFT JOIN ex ON ex.doc_id = b.doc_id
+            LEFT JOIN near ON near.doc_id = b.doc_id
+            WHERE b.is_batch""")
+  )
+
   def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup,
-    dedupClusters, semDedup, minhashQuality)
+    dedupClusters, semDedup, minhashQuality, incremental)
 }

@@ -27,6 +27,7 @@ object QueryRegistry {
       PivotQueries.all ++
       RasterQueries.all ++
       TextQueries.all ++
+      RetrievalQueries.all ++
       DedupQueries.all ++
       CurationQueries.all ++
       SimilarityQueries.all ++

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 X28 ⊕ depth — lexical retrieval over the `documents`
+  * fixture: BM25 keyword scoring, the ranking function behind every
+  * inverted-index search engine and the standard first-stage retriever
+  * in RAG pipelines (the lexical complement to J5's vector search).
+  *
+  * Determinism across engines: tf, df, N and dl are exact integers; avgdl
+  * is one exact-integer division; the only transcendental is ln(), whose
+  * ≤1-ulp libm wobble sits ~10 orders of magnitude below the 1e-6
+  * rounding grid and the (tf, dl)-quantized score gaps. The three
+  * per-term scores sum in a FIXED expression order (never a groupBy fold
+  * over doubles), so both engines evaluate the identical double tree.
+  */
+object RetrievalQueries {
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val Terms = Seq("spark", "join", "stream")
+
+  /** X28 ⊕ — BM25 top-20 for a fixed 3-term keyword query.
+    *
+    * Scale shape: the (doc, term) tf table is the inverted-index posting
+    * list — at 100 TB it is built once (one explode + hash aggregate,
+    * shuffling only matched postings, never full documents) and
+    * persisted partitioned by term; df and avgdl are tiny side
+    * aggregates that broadcast; scoring is row-local on the postings of
+    * the queried terms only; and the top-k is TakeOrderedAndProject —
+    * no global sort ever materializes. */
+  val bm25 = Q(
+    "x28_bm25",
+    "BM25 retrieval: posting-list tf, broadcast df/avgdl, Robertson idf, fixed-order per-term score sum, top-20 via TakeOrdered.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val docs = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+        .filter(col("w").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfc = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+      val scored = tf.join(broadcast(dfc), "w").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .withColumn("score",
+          col("idf") * col("tf") * (K1 + 1) /
+            (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      def termCol(w: String) = coalesce(
+        max(when(col("w") === w, col("score"))), lit(0.0))
+      def termTf(w: String) = coalesce(
+        max(when(col("w") === w, col("tf"))), lit(0.0)).cast("long")
+      val ranked = scored.groupBy(col("doc_id"))
+        .agg(
+          termTf("spark").as("tf_spark"),
+          termTf("join").as("tf_join"),
+          termTf("stream").as("tf_stream"),
+          (termCol("spark") + termCol("join") + termCol("stream")).as("total"))
+        .orderBy(col("total").desc, col("doc_id").asc)
+        .limit(20)
+      ranked
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("total").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("tf_spark"), col("tf_join"), col("tf_stream"),
+          round(col("total"), 6).as("bm25"), col("rank"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d
+            ), tf AS (
+              SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+                SELECT doc_id, dl, unnest(toks) AS w FROM d)
+              WHERE w IN ('spark', 'join', 'stream')
+              GROUP BY doc_id, dl, w
+            ), dfc AS (
+              SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+            ), scored AS (
+              SELECT doc_id, w, tf,
+                ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+              FROM tf JOIN dfc USING (w) CROSS JOIN stats
+            ), piv AS (
+              SELECT doc_id,
+                CAST(COALESCE(max(CASE WHEN w = 'spark' THEN tf END), 0) AS BIGINT) AS tf_spark,
+                CAST(COALESCE(max(CASE WHEN w = 'join' THEN tf END), 0) AS BIGINT) AS tf_join,
+                CAST(COALESCE(max(CASE WHEN w = 'stream' THEN tf END), 0) AS BIGINT) AS tf_stream,
+                COALESCE(max(CASE WHEN w = 'spark' THEN score END), 0)
+                  + COALESCE(max(CASE WHEN w = 'join' THEN score END), 0)
+                  + COALESCE(max(CASE WHEN w = 'stream' THEN score END), 0) AS total
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, tf_spark, tf_join, tf_stream,
+                   round(total, 6) AS bm25,
+                   CAST(row_number() OVER (ORDER BY total DESC, doc_id ASC) AS INT) AS rank
+            FROM piv ORDER BY total DESC, doc_id ASC LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(bm25)
+}

@@ -20,14 +20,15 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "a10_neardup_minhash", "j5_lsh_bucketed", "e2e_collect",
     "j6_asof", "q15_top_supplier", "q16_supplier_census",
     "q17_small_qty_revenue", "q21_waiting_supplier",
-    "j5_kmeans_iter", "j5_sq8_quantize")
+    "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
         "w3_tumbling", "e2e_llm_pipeline", "a10_split_assign",
         "a10_pack_sequences", "a10_decontaminate", "j6_asof",
         "x28_repetition", "a10_sample_stratified",
-        "j5_kmeans_iter", "j5_sq8_quantize", "x28_pii_scrub")) {
+        "j5_kmeans_iter", "j5_sq8_quantize", "x28_pii_scrub",
+        "a10_incremental", "x28_bm25")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
