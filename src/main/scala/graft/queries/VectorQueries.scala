@@ -53,12 +53,16 @@ object VectorQueries {
       val d2 = aggregate(
         zip_with(col("qe"), col("ce"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, x) => acc + x)
+      // argmin and the vector ride the SAME aggregate (qe is constant per
+      // vec_id, so first() is deterministic) — one shuffle on vec_id, no
+      // join-back; map-side partial agg collapses the K-way expansion
+      // before the exchange
       val best = q.join(cents)
         .withColumn("d2", d2)
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("c_id"))).as("m"))
-        .select(col("vec_id"), col("m.c_id").as("c_id"))
-      q.join(best, "vec_id")
+        .agg(min(struct(col("d2"), col("c_id"))).as("m"), first(col("qe")).as("qe"))
+        .select(col("m.c_id").as("c_id"), col("qe"))
+      best
         .select(col("c_id"), posexplode(col("qe")).as(Seq("dim", "v")))
         .groupBy(col("c_id"), col("dim"))
         .agg(sum(col("v")).as("sum_micro"), count(lit(1)).as("n_members"))
@@ -148,5 +152,98 @@ object VectorQueries {
             FROM coded GROUP BY vec_id""")
   )
 
-  def all: Seq[Q] = Seq(kmeansIter, sq8)
+  /** J5 ⊕ — product quantization with asymmetric distance computation
+    * (Jégou et al. 2011, the FAISS IVF-PQ search core): 64 dims split
+    * into M=8 sub-spaces of 8; each sub-vector encodes to its nearest of
+    * 16 sub-codewords (the first 16 corpus vectors' sub-vectors, same
+    * deterministic seeding as the IVF codebook); a query builds a tiny
+    * (M x 16) distance look-up table and scores every DB vector by
+    * summing LUT entries addressed by its codes — the DB vectors are
+    * never touched, only their 8-code rows.
+    *
+    * All distances are exact Long sums in fixed-point micro-units, so
+    * codes, LUTs, ADC totals, and ranks are bit-identical across engines
+    * (ties break on lowest codeword / vec_id).
+    *
+    * Scale shape: codes are ~1/32 the vector bytes (the compressed
+    * corpus IS the index); the LUT is query-local and broadcast; the
+    * scoring pass is one scan of the codes table with a broadcast hash
+    * join on (m, code) + one partial-agged shuffle on (q_id, vec_id).
+    * Encoding is one broadcast join + one argmin aggregate — the same
+    * two-stage shape as j5_kmeans_iter. */
+  val pqAdc = Q(
+    "j5_pq_adc",
+    "Product-quantization ANN: 8x8 sub-spaces, 16-codeword argmin encode, per-query broadcast LUT, exact integer ADC scan, top-3 per query.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+      val sub = q
+        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"), col("qe"))
+        .withColumn("sub", slice(col("qe"), col("m") * 8 + 1, lit(8)))
+        .select(col("vec_id"), col("m"), col("sub"))
+      val cw = broadcast(sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw")))
+      def d2 = aggregate(
+        zip_with(col("sub"), col("cw"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      val codes = sub.join(cw, "m")
+        .withColumn("d2", d2)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d2"), col("cw_id"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.cw_id").as("code"))
+      val lut = broadcast(sub.filter(col("vec_id").between(450, 459))
+        .withColumnRenamed("vec_id", "q_id")
+        .join(cw, "m")
+        .withColumn("d2", d2)
+        .select(col("q_id"), col("m").as("lm"), col("cw_id"), col("d2")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
+      codes.join(lut, col("lm") === col("m") && col("cw_id") === col("code"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d2")).as("adc_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("adc_dist"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), sub AS (
+              SELECT vec_id, g.m,
+                list_transform(generate_series(1, 8), i -> qe[g.m * 8 + i]) AS sub
+              FROM q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g
+            ), cw AS (
+              SELECT m, vec_id AS cw_id, sub AS cw FROM sub WHERE vec_id < 16
+            ), codes AS (
+              SELECT vec_id, m, cw_id AS code FROM (
+                SELECT s.vec_id, s.m, c.cw_id,
+                  row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_reduce(list_transform(generate_series(1, 8),
+                      i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])), (x, y) -> x + y) ASC,
+                    c.cw_id ASC) AS rn
+                FROM sub s JOIN cw c USING (m))
+              WHERE rn = 1
+            ), lut AS (
+              SELECT s.vec_id AS q_id, s.m, c.cw_id,
+                list_reduce(list_transform(generate_series(1, 8),
+                  i -> (s.sub[i] - c.cw[i]) * (s.sub[i] - c.cw[i])), (x, y) -> x + y) AS d2
+              FROM sub s JOIN cw c USING (m)
+              WHERE s.vec_id BETWEEN 450 AND 459
+            ), adc AS (
+              SELECT l.q_id, co.vec_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
+              FROM codes co JOIN lut l ON l.m = co.m AND l.cw_id = co.code
+              WHERE l.q_id <> co.vec_id
+              GROUP BY 1, 2
+            )
+            SELECT q_id, vec_id, rank, adc_dist FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+              FROM adc)
+            WHERE rank <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc)
 }

@@ -20,7 +20,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "a10_neardup_minhash", "j5_lsh_bucketed", "e2e_collect",
     "j6_asof", "q15_top_supplier", "q16_supplier_census",
     "q17_small_qty_revenue", "q21_waiting_supplier",
-    "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25")
+    "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25",
+    "j5_pq_adc")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",

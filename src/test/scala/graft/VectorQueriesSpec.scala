@@ -56,6 +56,22 @@ class VectorQueriesSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n_ceil")).sum > 0)
   }
 
+  test("pq adc: top-3 per probe query with exact non-negative distances " +
+    "in rank order") {
+    val rows = QueryRegistry.queries("j5_pq_adc")(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 10) // probe set 450..459
+    for ((q, rs) <- byQ) {
+      assert(rs.length == 3, s"query $q returned ${rs.length} rows")
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).sameElements(Array(1, 2, 3)))
+      val dists = sorted.map(_.getAs[Long]("adc_dist"))
+      assert(dists.forall(_ >= 0) && (dists, dists.tail).zipped.forall(_ <= _),
+        s"query $q ADC distances not ascending: ${dists.mkString(",")}")
+      assert(rs.forall(_.getAs[Long]("vec_id") != q))
+    }
+  }
+
   test("pii scrub: redaction leaves zero residual detections and only " +
     "planted docs count") {
     val out = QueryRegistry.queries("x28_pii_scrub")(spark, dir).collect()
