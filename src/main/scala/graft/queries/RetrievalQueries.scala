@@ -105,5 +105,67 @@ object RetrievalQueries {
             FROM piv ORDER BY total DESC, doc_id ASC LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(bm25)
+  /** X28 ⊕ — count-min sketch heavy hitters: the fixed-size frequency
+    * sketch (Cormode & Muthukrishnan 2005) a vocabulary/stopword pass
+    * uses when the term universe is too large to count exactly. Four
+    * hash rows of 16 buckets (deliberately tight so collisions actually
+    * occur at fixture scale); each row's bucket is a disjoint hex-char
+    * slice of the word's single md5 (the MinHash digest-slicing trick, so
+    * both engines hash identically and buckets stay strings — no hex
+    * parsing). The estimate is the min over rows; the output checks the
+    * sketch against exact truth for the top-10 words: `overcount =
+    * est - true` must be >= 0 (CMS never underestimates — a structural
+    * invariant, not a tuned threshold).
+    *
+    * Scale shape: the sketch folds over the PRE-AGGREGATED (word, count)
+    * table (add is distributive, so map-side combine does most of it)
+    * into 4x16 counters — constant memory at any corpus size; the
+    * probe side is 10 words x 4 rows joined against those 64 counters
+    * broadcast. */
+  val heavyHitters = Q(
+    "x28_heavy_hitters",
+    "Count-min sketch: 4x16 md5-sliced buckets over word counts, min-over-rows estimate vs exact truth for top-10 words, overcount >= 0.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val wc = t.documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      def buckets = array((0 until 4).map(r =>
+        struct(lit(r).as("r"), substring(md5(col("w")), 1 + r, 1).as("bkt"))): _*)
+      val cms = wc
+        .select(explode(buckets).as("rb"), col("cnt"))
+        .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+        .agg(sum(col("cnt")).as("bcnt"))
+      val top = wc.orderBy(col("cnt").desc, col("w").asc).limit(10)
+      top
+        .select(col("w"), col("cnt"), explode(buckets).as("rb"))
+        .select(col("w"), col("cnt"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+        .join(broadcast(cms), Seq("r", "bkt"))
+        .groupBy(col("w"), col("cnt"))
+        .agg(min(col("bcnt")).as("est_cnt"))
+        .select(col("w"), col("cnt").as("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("cnt")).as("overcount"))
+    },
+    Some("""WITH wc AS (
+              SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY w
+            ), cms AS (
+              SELECT r, substring(md5(w), 1 + r, 1) AS bkt,
+                     CAST(sum(cnt) AS BIGINT) AS bcnt
+              FROM wc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+              GROUP BY 1, 2
+            ), top AS (
+              SELECT w, cnt FROM wc ORDER BY cnt DESC, w ASC LIMIT 10
+            ), probe AS (
+              SELECT w, cnt, r, substring(md5(w), 1 + r, 1) AS bkt
+              FROM top CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+            )
+            SELECT w, cnt AS true_cnt, min(bcnt) AS est_cnt,
+                   min(bcnt) - cnt AS overcount
+            FROM probe JOIN cms USING (r, bkt)
+            GROUP BY w, cnt""")
+  )
+
+  def all: Seq[Q] = Seq(bm25, heavyHitters)
 }

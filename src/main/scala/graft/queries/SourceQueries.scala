@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -143,5 +144,83 @@ object SourceQueries {
             FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1""")
   )
 
-  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, partitionPruning)
+  /** S9 ⊕ — Z-order (Morton) data layout vs linear time layout: the
+    * multi-dimensional clustering technique (Delta OPTIMIZE ZORDER /
+    * Iceberg sort orders) that makes min/max file-stat pruning work for
+    * MORE than one filter column. Events get an 8-bit quantized
+    * (user, hour) key, the Morton code interleaves the bits
+    * (z = Σ 4^i·(x_i + 2·y_i), pure integer arithmetic — no engine bit
+    * operators), and rows land in 32 fixed z-range "files"; the linear
+    * layout files the same rows by time only. The emitted comparison is
+    * the pruning index itself: how many of the 32 files a
+    * single-user point query and a 16-hour range query would touch
+    * under each layout. Z-order should cut the user query by ~the
+    * square-root factor while the linear layout must open every file.
+    *
+    * Scale shape: quantization bounds are one tiny broadcast aggregate;
+    * the z computation is row-local; each layout's file stats are one
+    * partial-agged 32-group aggregate — this IS the stats-collection
+    * pass a 100 TB OPTIMIZE job runs, and the file_id would be the
+    * range-partitioning key of the rewrite. */
+  val zorder = Q(
+    "s9_zorder_layout",
+    "Z-order vs linear layout: Morton-coded 32-file assignment, per-file min/max stats, files-touched comparison for point and range queries.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(
+        col("user_id").cast("long").as("u"),
+        expr("timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)").as("h"))
+      val mx = e.agg(max(col("u")).as("mu"), max(col("h")).as("mh"))
+      val zExpr = (0 until 8).map(i =>
+        s"(((u8 div ${1 << i}) % 2) * ${1L << (2 * i)} + ((h8 div ${1 << i}) % 2) * ${1L << (2 * i + 1)})")
+        .mkString(" + ")
+      val files = e.crossJoin(broadcast(mx))
+        .withColumn("u8", expr("(u * 256) div (mu + 1)"))
+        .withColumn("h8", expr("(h * 256) div (mh + 1)"))
+        .withColumn("z", expr(zExpr))
+        .withColumn("zfile", expr("z div 2048"))
+        .withColumn("linfile", expr("(h8 * 32) div 256"))
+      def stats(fileCol: String, layout: String) = files
+        .groupBy(col(fileCol).as("file_id"))
+        .agg(min(col("u")).as("minu"), max(col("u")).as("maxu"),
+          min(col("h")).as("minh"), max(col("h")).as("maxh"))
+        .withColumn("layout", lit(layout))
+      stats("zfile", "zorder").unionByName(stats("linfile", "linear"))
+        .groupBy(col("layout"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          count(when(col("minu") <= 7 && col("maxu") >= 7, 1)).as("files_user_q"),
+          count(when(col("minh") <= 115 && col("maxh") >= 100, 1)).as("files_time_q"))
+    },
+    Some("""WITH e AS (
+              SELECT CAST(user_id AS BIGINT) AS u,
+                     date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS h
+              FROM events
+            ), mx AS (SELECT max(u) AS mu, max(h) AS mh FROM e),
+            sc AS (
+              SELECT u, h, (u * 256) // (mu + 1) AS u8, (h * 256) // (mh + 1) AS h8
+              FROM e CROSS JOIN mx
+            ), z AS (
+              SELECT u, h, h8,
+                CAST(list_sum(list_transform(generate_series(0, 7),
+                  i -> ((u8 // (1 << i)) % 2) * (1 << (2*i))
+                     + ((h8 // (1 << i)) % 2) * (1 << (2*i + 1)))) AS BIGINT) AS zv
+              FROM sc
+            ), f AS (
+              SELECT u, h, zv // 2048 AS zfile, (h8 * 32) // 256 AS linfile FROM z
+            ), st AS (
+              SELECT 'zorder' AS layout, zfile AS file_id,
+                     min(u) AS minu, max(u) AS maxu, min(h) AS minh, max(h) AS maxh
+              FROM f GROUP BY 2
+              UNION ALL
+              SELECT 'linear', linfile, min(u), max(u), min(h), max(h)
+              FROM f GROUP BY 2
+            )
+            SELECT layout, count(*) AS n_files,
+              count(CASE WHEN minu <= 7 AND maxu >= 7 THEN 1 END) AS files_user_q,
+              count(CASE WHEN minh <= 115 AND maxh >= 100 THEN 1 END) AS files_time_q
+            FROM st GROUP BY layout""")
+  )
+
+  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, partitionPruning, zorder)
 }

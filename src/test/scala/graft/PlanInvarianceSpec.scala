@@ -29,7 +29,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "a10_pack_sequences", "a10_decontaminate", "j6_asof",
         "x28_repetition", "a10_sample_stratified",
         "j5_kmeans_iter", "j5_sq8_quantize", "x28_pii_scrub",
-        "a10_incremental", "x28_bm25")) {
+        "a10_incremental", "x28_bm25",
+        "s9_zorder_layout", "x28_heavy_hitters")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
