@@ -233,5 +233,131 @@ object TimeSeriesQueries {
             WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)""")
   )
 
-  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session)
+  /** W4 ⊕ — gap-filled hourly resampling with carry-forward: the
+    * time-series densification every monitoring/feature pipeline runs
+    * (downstream models want a value for EVERY bucket, not just observed
+    * ones). Per user: observed hourly sums in exact integer cents, a
+    * dense 720-hour grid from one tiny broadcast bound, missing buckets
+    * carried forward from the last observation (`last(ignoreNulls)` over
+    * an unbounded-preceding frame), leading buckets before the first
+    * observation explicitly `empty`.
+    *
+    * Scale shape: the grid explode is per-user row-local; the only
+    * shuffles key on user_id (the aggregate and the window) — at 100 TB
+    * the user axis is the partition axis and the 720-bucket span is
+    * bounded, so per-key work is constant. */
+  val gapFill = Q(
+    "w4_gap_fill",
+    "Hourly gap-fill: per-user integer-cents sums on a dense sequence grid, carry-forward window fill, obs/filled/empty provenance flags.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val e = t.events
+        .filter(col("user_id") < 5)
+        .select(col("user_id"),
+          expr("timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)").as("h"),
+          expr("cast(round(value * 100) as long)").as("cents"))
+      val hourly = e.groupBy(col("user_id"), col("h"))
+        .agg(sum(col("cents")).as("v"), count(lit(1)).as("n_obs"))
+      val grid = e.groupBy(col("user_id")).agg(max(col("h")).as("maxh"))
+        .select(col("user_id"), explode(sequence(lit(0L), col("maxh"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("carried", last(col("v"), ignoreNulls = true).over(w))
+        .select(
+          col("user_id"), col("h"),
+          coalesce(col("carried"), lit(0L)).as("cents"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+          when(col("v").isNotNull, "obs")
+            .when(col("carried").isNotNull, "filled")
+            .otherwise("empty").as("kind"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id,
+                     date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS h,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE user_id < 5
+            ), hourly AS (
+              SELECT user_id, h, CAST(sum(cents) AS BIGINT) AS v,
+                     count(*) AS n_obs
+              FROM e GROUP BY 1, 2
+            ), grid AS (
+              SELECT user_id, unnest(generate_series(0, maxh)) AS h
+              FROM (SELECT user_id, max(h) AS maxh FROM e GROUP BY 1)
+            ), filled AS (
+              SELECT g.user_id, g.h, hourly.v, hourly.n_obs,
+                last_value(hourly.v IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.h ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+              FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+            )
+            SELECT user_id, h,
+                   COALESCE(carried, 0) AS cents,
+                   COALESCE(n_obs, 0) AS n_obs,
+                   CASE WHEN v IS NOT NULL THEN 'obs'
+                        WHEN carried IS NOT NULL THEN 'filled'
+                        ELSE 'empty' END AS kind
+            FROM filled""")
+  )
+
+  /** W4 ⊕ — strict sequential funnel (view → click-after-view →
+    * purchase-after-that-click) over the event stream: each stage's
+    * entry time is the MIN event time strictly after the previous
+    * stage's entry, so out-of-order occurrences don't count — the
+    * product-analytics conversion query. Census output: stage
+    * populations plus exact integer microsecond conversion-time sums
+    * (no double accumulation).
+    *
+    * Scale shape: three filtered aggregates and two equi-joins, all
+    * keyed on user_id; event-type filters push into the scan. */
+  val funnel = Q(
+    "w4_funnel",
+    "Sequential funnel view->click->purchase: per-stage min-after-previous entry times, stage census + exact integer conversion-time sums.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("tv"))
+        .groupBy(col("user_id"), col("tv")).agg(min(col("us")).as("tc"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("tc"))
+        .groupBy(col("user_id"), col("tv"), col("tc")).agg(min(col("us")).as("tp"))
+      val stages = v.select(col("user_id"), lit("1_view").as("stage"), lit(0L).as("lat_us"))
+        .unionByName(c.select(col("user_id"), lit("2_click").as("stage"),
+          (col("tc") - col("tv")).as("lat_us")))
+        .unionByName(p.select(col("user_id"), lit("3_purchase").as("stage"),
+          (col("tp") - col("tv")).as("lat_us")))
+      stages.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"), sum(col("lat_us")).as("total_latency_us"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+            ), v AS (
+              SELECT user_id, min(us) AS tv FROM e WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, v.tv, min(us) AS tc
+              FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us > tv GROUP BY 1, 2
+            ), p AS (
+              SELECT e.user_id, c.tv, c.tc, min(us) AS tp
+              FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us > tc GROUP BY 1, 2, 3
+            ), stages AS (
+              SELECT user_id, '1_view' AS stage, 0 AS lat_us FROM v
+              UNION ALL
+              SELECT user_id, '2_click', tc - tv FROM c
+              UNION ALL
+              SELECT user_id, '3_purchase', tp - tv FROM p
+            )
+            SELECT stage, count(*) AS n_users,
+                   CAST(sum(lat_us) AS BIGINT) AS total_latency_us
+            FROM stages GROUP BY stage""")
+  )
+
+  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
+    gapFill, funnel)
 }
