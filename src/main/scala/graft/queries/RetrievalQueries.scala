@@ -21,6 +21,40 @@ object RetrievalQueries {
   private val B = 0.75
   private val Terms = Seq("spark", "join", "stream")
 
+  /** The BM25 scoring pipeline up to per-document totals — shared by the
+    * pure lexical query and the hybrid-fusion leg. Returns (doc_id,
+    * tf_spark, tf_join, tf_stream, total) for documents matching ≥1
+    * query term. */
+  private def bm25Totals(t: Tables): org.apache.spark.sql.DataFrame = {
+    val docs = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfc = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(dfc), "w").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("score",
+        col("idf") * col("tf") * (K1 + 1) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+    def termCol(w: String) = coalesce(
+      max(when(col("w") === w, col("score"))), lit(0.0))
+    def termTf(w: String) = coalesce(
+      max(when(col("w") === w, col("tf"))), lit(0.0)).cast("long")
+    scored.groupBy(col("doc_id"))
+      .agg(
+        termTf("spark").as("tf_spark"),
+        termTf("join").as("tf_join"),
+        termTf("stream").as("tf_stream"),
+        (termCol("spark") + termCol("join") + termCol("stream")).as("total"))
+  }
+
   /** X28 ⊕ — BM25 top-20 for a fixed 3-term keyword query.
     *
     * Scale shape: the (doc, term) tf table is the inverted-index posting
@@ -35,34 +69,7 @@ object RetrievalQueries {
     "BM25 retrieval: posting-list tf, broadcast df/avgdl, Robertson idf, fixed-order per-term score sum, top-20 via TakeOrdered.",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val t = Tables(s, dir)
-      val docs = t.documents
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val stats = docs.agg(
-        count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-      val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
-        .filter(col("w").isin(Terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("w"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dfc = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
-      val scored = tf.join(broadcast(dfc), "w").crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-        .withColumn("score",
-          col("idf") * col("tf") * (K1 + 1) /
-            (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
-      def termCol(w: String) = coalesce(
-        max(when(col("w") === w, col("score"))), lit(0.0))
-      def termTf(w: String) = coalesce(
-        max(when(col("w") === w, col("tf"))), lit(0.0)).cast("long")
-      val ranked = scored.groupBy(col("doc_id"))
-        .agg(
-          termTf("spark").as("tf_spark"),
-          termTf("join").as("tf_join"),
-          termTf("stream").as("tf_stream"),
-          (termCol("spark") + termCol("join") + termCol("stream")).as("total"))
+      val ranked = bm25Totals(Tables(s, dir))
         .orderBy(col("total").desc, col("doc_id").asc)
         .limit(20)
       ranked
@@ -167,5 +174,109 @@ object RetrievalQueries {
             GROUP BY w, cnt""")
   )
 
-  def all: Seq[Q] = Seq(bm25, heavyHitters)
+  /** X28/J5 ⊕ composition — hybrid search with reciprocal-rank fusion
+    * (RRF, Cormack et al. 2009 — the fusion every production RAG stack
+    * runs): the lexical BM25 top-20 and the dense cosine top-20 (query =
+    * embedding 450, bridged doc_id == vec_id) full-outer-join on doc_id
+    * and fuse as Σ 1/(60 + rank). Ranks are exact integers, each
+    * reciprocal is one double division of identical inputs, and the two
+    * legs sum in fixed order — deterministic across engines; absent legs
+    * contribute 0 and report rank 0.
+    *
+    * Scale shape: each leg is its own already-scale-shaped pipeline
+    * (posting-list aggregate + TakeOrdered; broadcast query vector over
+    * a corpus scan + TakeOrdered); the fusion joins two 20-row lists —
+    * driver-free, constant-size final stage. */
+  val hybrid = Q(
+    "e2e_hybrid_search",
+    "Hybrid retrieval: BM25 top-20 + dense cosine top-20 fused by reciprocal-rank fusion (1/(60+rank)), top-10 with per-leg rank provenance.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val lex = bm25Totals(t)
+        .orderBy(col("total").desc, col("doc_id").asc).limit(20)
+        .withColumn("r_bm25",
+          row_number().over(Window.orderBy(col("total").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("r_bm25"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val base = t.embeddings.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val qv = broadcast(base.filter(col("vec_id") === 450)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val dense = base.filter(col("vec_id") =!= 450).crossJoin(qv)
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(20)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("r_bm25") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_vec") + 60), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+        .select(col("doc_id"),
+          coalesce(col("r_bm25"), lit(0)).as("r_bm25"),
+          coalesce(col("r_vec"), lit(0)).as("r_vec"),
+          round(col("rrf"), 6).as("rrf"), col("rank"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+              FROM documents
+            ), stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d
+            ), tf AS (
+              SELECT doc_id, dl, w, CAST(count(*) AS DOUBLE) AS tf FROM (
+                SELECT doc_id, dl, unnest(toks) AS w FROM d)
+              WHERE w IN ('spark', 'join', 'stream')
+              GROUP BY doc_id, dl, w
+            ), dfc AS (
+              SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+            ), scored AS (
+              SELECT doc_id, w, tf,
+                ln((n_docs - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+              FROM tf JOIN dfc USING (w) CROSS JOIN stats
+            ), piv AS (
+              SELECT doc_id,
+                COALESCE(max(CASE WHEN w = 'spark' THEN score END), 0)
+                  + COALESCE(max(CASE WHEN w = 'join' THEN score END), 0)
+                  + COALESCE(max(CASE WHEN w = 'stream' THEN score END), 0) AS total
+              FROM scored GROUP BY doc_id
+            ), lex AS (
+              SELECT doc_id, CAST(row_number() OVER (ORDER BY total DESC, doc_id ASC) AS INT) AS r_bm25
+              FROM piv ORDER BY total DESC, doc_id ASC LIMIT 20
+            ), n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+              FROM embeddings
+            ), qv AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 450),
+            cosed AS (
+              SELECT vec_id AS doc_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q_nrm * nrm) AS cos
+              FROM n CROSS JOIN qv WHERE vec_id <> 450
+            ), dense AS (
+              SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS r_vec
+              FROM cosed ORDER BY cos DESC, doc_id ASC LIMIT 20
+            ), fused AS (
+              SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                     lex.r_bm25, dense.r_vec,
+                COALESCE(CAST(1 AS DOUBLE) / (lex.r_bm25 + 60), 0)
+                  + COALESCE(CAST(1 AS DOUBLE) / (dense.r_vec + 60), 0) AS rrf
+              FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+            )
+            SELECT doc_id, COALESCE(r_bm25, 0) AS r_bm25, COALESCE(r_vec, 0) AS r_vec,
+                   round(rrf, 6) AS rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""")
+  )
+
+  def all: Seq[Q] = Seq(bm25, heavyHitters, hybrid)
 }
