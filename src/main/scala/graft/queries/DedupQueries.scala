@@ -531,10 +531,12 @@ object DedupQueries {
       val toks = t.documents.filter(col("doc_id") < 60)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
       val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
+      // both sides of the self-join read this 60-row table: materialize
+      // once instead of running the md5-signature pipeline twice
       val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
         df.withColumn(s"mh$i",
           array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
-      }.drop("hs")
+      }.drop("hs").cache()
       val a = sigs.select(col("doc_id").as("i") +: col("toks").as("toks_i") +:
         (0 until NumHashes).map(k => col(s"mh$k").as(s"a_mh$k")): _*)
       val b = sigs.select(col("doc_id").as("j") +: col("toks").as("toks_j") +:
