@@ -384,5 +384,51 @@ object CoreQueries {
             FROM pairs GROUP BY user_id""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom)
+  /** J8 ⊕ — market-basket co-occurrence mining (the self-join pattern
+    * behind "frequently bought together" and feature co-occurrence
+    * statistics): distinct (order, part) items, pair expansion WITHIN
+    * each order, co-count histogram. The per-basket cap (2..6 items) is
+    * the same production skew guard as the LSH MaxBucket: an order with
+    * k items expands to C(k,2) pairs, so one degenerate 10k-item basket
+    * would emit 50M rows — capping bounds the expansion at C(6,2)=15
+    * pairs per order and drops the documented long tail (baskets up to
+    * 13 exist at every sf, so the guard demonstrably fires).
+    *
+    * Scale shape: shuffles key on order (distinct + size census), then
+    * on the pair — both hash aggregates with map-side partials; the
+    * self-join is per-order row-local after the order-key exchange. */
+  val cooccurrence = Q(
+    "j8_cooccurrence",
+    "Market-basket co-occurrence: distinct order items, capped per-basket pair expansion (C(6,2) max), pair co-count histogram.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val keep = items.groupBy(col("o")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 6))
+        .select(col("o"))
+      val kept = items.join(keep, "o").cache()
+      val a = kept.select(col("o"), col("p").as("p1"))
+      val b = kept.select(col("o"), col("p").as("p2"))
+      a.join(b, Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("co_count"))
+        .groupBy(col("co_count")).agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), keep AS (
+              SELECT o FROM items GROUP BY o HAVING count(*) BETWEEN 2 AND 6
+            ), k AS (
+              SELECT items.* FROM items JOIN keep USING (o)
+            ), pairs AS (
+              SELECT a.p AS p1, b.p AS p2, count(*) AS co_count
+              FROM k a JOIN k b ON a.o = b.o AND a.p < b.p
+              GROUP BY 1, 2
+            )
+            SELECT co_count, count(*) AS n_pairs FROM pairs GROUP BY co_count""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence)
 }

@@ -31,7 +31,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "j5_kmeans_iter", "j5_sq8_quantize", "x28_pii_scrub",
         "a10_incremental", "x28_bm25",
         "s9_zorder_layout", "x28_heavy_hitters",
-        "w4_gap_fill", "w4_funnel", "e2e_hybrid_search")) {
+        "w4_gap_fill", "w4_funnel", "e2e_hybrid_search", "j8_cooccurrence")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
