@@ -211,10 +211,13 @@ object CurationQueries {
     * EXACTLY 50, and everything is integer arithmetic (no pow/log priority
     * keys, which are libm-dependent and can flip ties across engines).
     *
-    * The cumulative weight is a DISTRIBUTED prefix sum — per-shard
-    * partial sums, a tiny shard-level running total broadcast back, then
-    * a within-shard window — never a global single-partition sort (the
-    * unpartitioned-window trap). The oracle recomputes with a plain
+    * The cumulative weight is a DISTRIBUTED two-level prefix sum:
+    * per-shard partial sums (corpus/100 rows, hash-aggregated), rolled up
+    * to super-shards (corpus/10^7 rows) whose running total is the ONLY
+    * unpartitioned window — genuinely driver-scale (~10^3 rows at 10^10
+    * docs). Shard offsets are a window partitioned BY super-shard
+    * (<=10^5 rows each), so no single partition ever carries a
+    * corpus-proportional row count. The oracle recomputes with a plain
     * global window, independently validating the decomposition. */
   val sampleWeighted = Q(
     "a10_sample_weighted",
@@ -224,17 +227,30 @@ object CurationQueries {
       val t = Tables(s, dir)
       val docs = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("shard", expr("doc_id div 100"))
-      val wShards = Window.orderBy(col("shard"))
+      // two-level prefix sum: shard sums (corpus/100) -> super-shard sums
+      // (corpus/10^7). Only the super-shard running total is an
+      // unpartitioned window, and that table is ~10^3 rows at 10^10 docs;
+      // shard offsets window within a super-shard (<=10^5 rows/partition).
+      val shardSums = docs.groupBy(col("shard")).agg(sum(col("n_chars")).as("ssum"))
+        .withColumn("super", expr("shard div 100000"))
+      val wSuper = Window.orderBy(col("super"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      // shard count is corpus/100 — the shard-level running total is
-      // driver-scale even at 100 TB; the big table never globally sorts
-      val offsets = docs.groupBy(col("shard")).agg(sum(col("n_chars")).as("ssum"))
-        .withColumn("offset", coalesce(sum(col("ssum")).over(wShards), lit(0L)))
-        .select(col("shard"), col("offset"))
+      val superOffsets = shardSums.groupBy(col("super")).agg(sum(col("ssum")).as("susum"))
+        .withColumn("soff", coalesce(sum(col("susum")).over(wSuper), lit(0L)))
+        .select(col("super"), col("soff"))
+      val wShardInSuper = Window.partitionBy(col("super")).orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = shardSums
+        .withColumn("prev", coalesce(sum(col("ssum")).over(wShardInSuper), lit(0L)))
+        .join(broadcast(superOffsets), Seq("super"))
+        .select(col("shard"), (col("soff") + col("prev")).as("offset"))
       val wIn = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val total = docs.agg(sum(col("n_chars")).as("total"))
-      docs.join(broadcast(offsets), Seq("shard"))
+      // plain equi-join on shard (NOT a broadcast hint: the shard table is
+      // corpus/100 rows — AQE still broadcasts it at small scale, but at
+      // 10^10 docs it must be allowed to shuffle)
+      docs.join(offsets, Seq("shard"))
         .withColumn("cum", col("offset") + sum(col("n_chars")).over(wIn))
         .crossJoin(broadcast(total))
         .withColumn("step", greatest(expr("total div 50"), lit(1L)))

@@ -113,7 +113,24 @@ object E2EQueries {
   val collectFull = Q(
     "e2e_collect_full",
     "Full-fidelity /collect: 4 container pipelines as real operators over staged fixtures -> nested ContainerOutput envelopes -> AggregatedResponse rows.",
-    (s, _) => CollectFull.run(s),
+    (s, _) => {
+      // Nested envelopes serialized to canonical JSON at the verify
+      // boundary: the driver's comparator sorts raw pandas values and
+      // cannot hash struct cells (round-5 `err`). ignoreNullFields=false
+      // keeps null fields present, matching DuckDB's to_json. The native
+      // nested shape stays pinned by CollectFullSpec.
+      val j = Map("ignoreNullFields" -> "false")
+      CollectFull.run(s).select(
+        col("request_id"), col("event_id"),
+        to_json(col("location"), j).as("location"),
+        col("timestamp"),
+        to_json(col("landfire"), j).as("landfire"),
+        to_json(col("modis"), j).as("modis"),
+        to_json(col("weather"), j).as("weather"),
+        to_json(col("topography"), j).as("topography"),
+        to_json(col("summary"), j).as("summary"),
+        col("total_processing_time_ms"))
+    },
     Some("""WITH sites(site, site_name, lat, lon, buffer_m, event_id, k, veg_code, fuel_code, elev_base, elev_amp) AS (VALUES
     ('req_la', 'Los Angeles', CAST(34.0522 AS DOUBLE), CAST(-118.2437 AS DOUBLE), 1000, 'fire_2024-001', 0, 7299, 93, 50, 40),
     ('req_yellowstone', 'Yellowstone', CAST(44.6 AS DOUBLE), CAST(-110.5 AS DOUBLE), 5000, NULL, 1, 3215, 122, 2200, 160),
@@ -230,22 +247,22 @@ wx2 AS (SELECT *,
     FROM wx)
 SELECT s.site AS request_id,
   s.event_id,
-  {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'} AS location,
+  CAST(to_json({'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'}) AS VARCHAR) AS location,
   '2024-06-01T12:00:00' AS timestamp,
-  {'event_id': s.event_id, 'source': 'LANDFIRE', 'data_type': 'landfire_vegetation',
+  CAST(to_json({'event_id': s.event_id, 'source': 'LANDFIRE', 'data_type': 'landfire_vegetation',
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
    'interpreted_data': {
-      'coordinate_specific': {'vegetation_class': l.vegetation_class, 'vegetation_pixel_value': CAST(l.vegetation_pixel_value AS DOUBLE),
-                              'fuel_model_class': l.fuel_model_class, 'fuel_model_pixel_value': CAST(l.fuel_model_pixel_value AS DOUBLE),
+      'coordinate_specific': {'vegetation_class': l.vegetation_class, 'vegetation_pixel_value': l.vegetation_pixel_value,
+                              'fuel_model_class': l.fuel_model_class, 'fuel_model_pixel_value': l.fuel_model_pixel_value,
                               'px_row': l.px_row, 'px_col': l.px_col},
       'area_summary': {'interpreted_products': 'vegetation_type,fuel_model',
                        'vegetation_interpreted': l.vegetation_class, 'fuel_model_interpreted': l.fuel_model_class},
       'risk_assessment': l.lf_risk},
    'metadata': {'processing_time_ms': 0, 'data_currency': '2024-01-01T00:00:00Z', 'retrieved_at': '2024-06-01T12:00:00',
                 'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'landfire-container-0', 'container_version': '1.0.0'},
-   'n_errors': 0, 'n_warnings': 0} AS landfire,
-  {'event_id': s.event_id, 'source': 'MODIS_ORNL', 'data_type': 'modis_vegetation_indices',
+   'n_errors': 0, 'n_warnings': 0}) AS VARCHAR) AS landfire,
+  CAST(to_json({'event_id': s.event_id, 'source': 'MODIS_ORNL', 'data_type': 'modis_vegetation_indices',
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
    'interpreted_data': CASE WHEN m.site IS NOT NULL THEN {
@@ -253,13 +270,13 @@ SELECT s.site AS request_id,
                               'vegetation_health': m.vegetation_health, 'fire_risk_vegetation': m.fire_risk_vegetation,
                               'last_observation_date': m.last_observation_date,
                               'land_surface_temperature_c': m.land_surface_temperature_c},
-      'area_summary': {'products_processed': 'MOD13Q1,MOD11A2', 'n_subset_entries': CAST(m.n_subset_entries AS DOUBLE)},
+      'area_summary': {'products_processed': 'MOD13Q1,MOD11A2', 'n_subset_entries': m.n_subset_entries},
       'risk_assessment': m.fire_risk_vegetation} END,
    'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
                 'quality_score': CAST(CASE WHEN m.site IS NOT NULL THEN 1.0 ELSE 0.0 END AS DOUBLE),
                 'container_id': 'modis-container-0', 'container_version': '1.0.0'},
-   'n_errors': CASE WHEN m.site IS NOT NULL THEN 0 ELSE 1 END, 'n_warnings': 0} AS modis,
-  {'event_id': s.event_id, 'source': 'OpenWeatherMap', 'data_type': 'weather_current',
+   'n_errors': CASE WHEN m.site IS NOT NULL THEN 0 ELSE 1 END, 'n_warnings': 0}) AS VARCHAR) AS modis,
+  CAST(to_json({'event_id': s.event_id, 'source': 'OpenWeatherMap', 'data_type': 'weather_current',
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
    'interpreted_data': {
@@ -273,8 +290,8 @@ SELECT s.site AS request_id,
       'risk_assessment': w.fire_weather_risk},
    'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
                 'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'weather-container-0', 'container_version': '1.0.0'},
-   'n_errors': 0, 'n_warnings': 0} AS weather,
-  {'event_id': s.event_id, 'source': 'USGS_3DEP', 'data_type': 'topography_dem',
+   'n_errors': 0, 'n_warnings': 0}) AS VARCHAR) AS weather,
+  CAST(to_json({'event_id': s.event_id, 'source': 'USGS_3DEP', 'data_type': 'topography_dem',
    'location': {'latitude': s.lat, 'longitude': s.lon, 'buffer_meters': CAST(s.buffer_m AS INT), 'coordinate_system': 'EPSG:4326'},
    'timestamp': '2024-06-01T12:00:00',
    'interpreted_data': {
@@ -287,15 +304,15 @@ SELECT s.site AS request_id,
       'risk_assessment': t.terrain_roughness},
    'metadata': {'processing_time_ms': 0, 'data_currency': '2024-06-01T12:00:00', 'retrieved_at': '2024-06-01T12:00:00',
                 'quality_score': CAST(1.0 AS DOUBLE), 'container_id': 'topography-container-0', 'container_version': '1.0.0'},
-   'n_errors': 0, 'n_warnings': 0} AS topography,
-  {'total_sources': 4,
+   'n_errors': 0, 'n_warnings': 0}) AS VARCHAR) AS topography,
+  CAST(to_json({'total_sources': 4,
    'successful_sources': (CASE WHEN l.site IS NULL THEN 0 ELSE 1 END + CASE WHEN m.site IS NULL THEN 0 ELSE 1 END
                           + CASE WHEN w.site IS NULL THEN 0 ELSE 1 END + CASE WHEN t.site IS NULL THEN 0 ELSE 1 END),
    'total_errors': (4 - (CASE WHEN l.site IS NULL THEN 0 ELSE 1 END + CASE WHEN m.site IS NULL THEN 0 ELSE 1 END
                          + CASE WHEN w.site IS NULL THEN 0 ELSE 1 END + CASE WHEN t.site IS NULL THEN 0 ELSE 1 END)),
    'success_rate': CAST(CASE WHEN l.site IS NULL THEN 0 ELSE 1 END + CASE WHEN m.site IS NULL THEN 0 ELSE 1 END
                         + CASE WHEN w.site IS NULL THEN 0 ELSE 1 END + CASE WHEN t.site IS NULL THEN 0 ELSE 1 END AS DOUBLE)
-                   / CAST(4.0 AS DOUBLE)} AS summary,
+                   / CAST(4.0 AS DOUBLE)}) AS VARCHAR) AS summary,
   0 AS total_processing_time_ms
 FROM sites s
 LEFT JOIN lf2 l ON s.site = l.site

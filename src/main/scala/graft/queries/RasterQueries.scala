@@ -187,8 +187,11 @@ object RasterQueries {
         .select(
           col("site").as("request_id"),
           col("br").as("viz_row"),
-          col("viz_values"),
-          col("viz_colors"),
+          // arrays serialized to JSON text at the verify boundary: the
+          // driver's comparator sorts raw pandas values and cannot hash
+          // ndarray cells (round-5 `err`)
+          to_json(col("viz_values")).as("viz_values"),
+          to_json(col("viz_colors")).as("viz_colors"),
           (col("lat") + lit(0.005)).as("north"),
           (col("lat") - lit(0.005)).as("south"),
           (col("lon") + lit(0.005)).as("east"),
@@ -210,9 +213,9 @@ object RasterQueries {
                          sum(elev) / count(*) AS mean
                        FROM ev GROUP BY 1, 2, 3, 4, 5)
             SELECT site AS request_id, CAST(br AS INT) AS viz_row,
-                   array_agg(mean ORDER BY bc) AS viz_values,
-                   array_agg(CASE WHEN mean < 50 THEN '#1a9850' WHEN mean < 100 THEN '#91bfdb'
-                                  WHEN mean < 200 THEN '#fee08b' ELSE '#d73027' END ORDER BY bc) AS viz_colors,
+                   CAST(to_json(array_agg(mean ORDER BY bc)) AS VARCHAR) AS viz_values,
+                   CAST(to_json(array_agg(CASE WHEN mean < 50 THEN '#1a9850' WHEN mean < 100 THEN '#91bfdb'
+                                  WHEN mean < 200 THEN '#fee08b' ELSE '#d73027' END ORDER BY bc)) AS VARCHAR) AS viz_colors,
                    lat + CAST(0.005 AS DOUBLE) AS north,
                    lat - CAST(0.005 AS DOUBLE) AS south,
                    lon + CAST(0.005 AS DOUBLE) AS east,

@@ -18,11 +18,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # The driver sorts RAW pandas values: nested structs/arrays (dicts,
+    # ndarrays, lists) are unsortable there and the query errs. Do NOT
+    # stringify object columns first (round-5 false green) — replicate the
+    # driver and fail loudly with a hint instead.
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    try:
+        return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    except TypeError as e:
+        raise TypeError(
+            f"{e} — output has a nested/non-scalar column the driver cannot "
+            "sort; serialize it (to_json / concat_ws) on BOTH engines") from e
 
 
 def values_equal(a, b):
@@ -75,6 +81,7 @@ def compare(name, spark_df, oracle_df):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -85,6 +92,7 @@ def main():
 
     results = {}
     names = [d for d in sorted(os.listdir(out_dir))
+             if (only is None or d in only)
              if os.path.isdir(os.path.join(out_dir, d))]
     for name in names:
         try:
@@ -100,10 +108,14 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE SQL FAIL: {str(e).splitlines()[0][:200]}"
             continue
-        err = compare(name, spark_df, oracle_df)
+        try:
+            err = compare(name, spark_df, oracle_df)
+        except TypeError as e:  # the driver reports these as `err` rows
+            err = f"UNSORTABLE: {e}"
         results[name] = err or "OK"
 
-    missing = [n for n in oracle_sql if n not in names]
+    missing = [n for n in oracle_sql if n not in names
+               and (only is None or n in only)]
     nfail = 0
     for name, res in sorted(results.items()):
         ok = res == "OK" or res.startswith("rows-only") and "EMPTY" not in res
