@@ -39,8 +39,14 @@ object ConnectedComponents {
     // so every round's edge-side exchange is planned away — the same
     // "shuffle the invariant side once, reuse across iterations" a
     // cluster job does with persisted bucketing.
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // explode, not union-of-two-selects: a union would evaluate the
+    // (typically expensive, uncached) edge plan twice — LSH verify joins
+    // feed this directly
+    val sym = edges
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .cache()
     // label(v) <- label(label(v)), resolved within the same table; total

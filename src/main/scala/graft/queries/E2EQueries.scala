@@ -352,10 +352,13 @@ LEFT JOIN topo2 t ON s.site = t.site""")
         .withColumn("has_stopword",
           arrays_overlap(split(col("text"), " "),
             array(lit("the"), lit("a"), lit("and"), lit("of"))))
+      // cached: the regexp-heavy quality cascade otherwise re-runs over
+      // the full corpus for both the survivor chain and the n_quality
+      // census (the per-query harness clears caches between queries)
       val quality = docs.filter(
         col("n_chars").between(100, 20000) && col("mean_word_len").between(3, 10) &&
           col("symbol_ratio") < 0.1 && col("has_stopword"))
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "text").cache()
 
       val withFp = quality.withColumn("fp", md5(col("text")))
       val keepIds = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))

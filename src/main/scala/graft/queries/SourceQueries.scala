@@ -161,7 +161,13 @@ object SourceQueries {
     * the z computation is row-local; each layout's file stats are one
     * partial-agged 32-group aggregate — this IS the stats-collection
     * pass a 100 TB OPTIMIZE job runs, and the file_id would be the
-    * range-partitioning key of the rewrite. */
+    * range-partitioning key of the rewrite.
+    *
+    * Precondition: u and h are non-negative (user_id >= 0 and every
+    * event at/after the 2024-01-01 anchor — true of the events table's
+    * domain). The quantization relies on it: Spark's `div` truncates
+    * toward zero while the oracle's `//` floors, so a negative u or h
+    * would silently diverge cross-engine. */
   val zorder = Q(
     "s9_zorder_layout",
     "Z-order vs linear layout: Morton-coded 32-file assignment, per-file min/max stats, files-touched comparison for point and range queries.",

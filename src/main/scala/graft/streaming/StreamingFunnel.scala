@@ -19,10 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * before folding); arrivals out of order ACROSS batches are the
   * documented precondition, as with StreamingNearDup.
   *
-  * Scale: state is three Longs per user (bounded, no event buffering);
-  * completed funnels self-evict, idle users evict by event-time timeout —
-  * the two mechanisms that hold executor state flat on an unbounded
-  * key space.
+  * Scale: state is three Longs per user (bounded, no event buffering).
+  * Completed funnels stay as inert tombstones (advance() deliberately
+  * never re-enters them — self-eviction would let a late replay re-open
+  * a finished funnel and break batch equivalence); eviction is by
+  * event-time idle timeout only, which alone holds executor state flat
+  * on an unbounded key space.
   */
 object StreamingFunnel {
 

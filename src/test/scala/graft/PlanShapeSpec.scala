@@ -116,6 +116,47 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftOuter"), "left outer join was degraded — zero bucket lost")
   }
 
+  test("j5_pq_adc: LUT side broadcasts, code scan never nested-loops against raw vectors") {
+    val p = plan("j5_pq_adc")
+    assert(!p.contains("CartesianProduct"), "PQ-ADC degraded to a cartesian")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "expected the per-query LUT to broadcast")
+  }
+
+  test("a10_semdedup: only the centroid broadcast nested-loops; cell pairs are equi-joins") {
+    val p = plan("a10_semdedup")
+    assert(!p.contains("CartesianProduct"), "SemDeDup degraded to a cartesian")
+    // the vectors × 16-centroid assignment is a legitimate broadcast
+    // nested loop (tiny codebook side) but it lives INSIDE the cached
+    // assignment; walking the executed tree (which does not descend into
+    // cached relations) must find zero nested-loop joins — i.e. the
+    // |cell|² pairwise stage and the census joins are all equi-joins
+    val exec = QueryRegistry.queries("a10_semdedup")(spark, dir)
+      .queryExecution.executedPlan
+    val nl = exec.collect {
+      case j if j.nodeName.contains("BroadcastNestedLoopJoin") => j
+    }
+    assert(nl.isEmpty, s"pairwise/census stage degraded to nested loop:\n${nl.headOption}")
+    assert(p.contains("InMemoryTableScan"), "cell assignment should be cached")
+  }
+
+  test("a10_sample_weighted: no unpartitioned window over a corpus-proportional table") {
+    val df = QueryRegistry.queries("a10_sample_weighted")(spark, dir)
+    // walk the optimized logical plan: every Window with an empty
+    // partitionSpec must sit above the super-shard aggregate (grouping on
+    // `super`), never above the shard table or the documents scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty, "expected the super-shard running total window")
+    for (w <- wins) {
+      val aggsBelow = w.collect { case a: Aggregate => a }
+      assert(aggsBelow.exists(_.groupingExpressions.exists(_.toString.contains("super"))),
+        s"global window not confined to the super-shard rollup:\n$w")
+    }
+  }
+
   test("j5_ivf_probe: codebook pass is cached (index build); probe joins are hash joins") {
     val p = plan("j5_ivf_probe")
     // the 16-row codebook broadcast may print once per cached-plan mention,

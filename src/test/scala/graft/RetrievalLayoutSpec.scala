@@ -32,7 +32,11 @@ class RetrievalLayoutSpec extends SparkSpecBase {
     val rows = QueryRegistry.queries("s9_zorder_layout")(spark, dir).collect()
       .map(r => r.getAs[String]("layout") ->
         (r.getAs[Long]("n_files"), r.getAs[Long]("files_user_q"))).toMap
-    assert(rows("zorder")._1 == 32 && rows("linear")._1 == 32)
+    // file counts are bounded by the 32 fixed buckets but nothing
+    // guarantees every bucket is populated — only the pruning
+    // INEQUALITY is a property of the layouts, not of the fixture
+    assert(rows("zorder")._1 <= 32 && rows("linear")._1 <= 32)
+    assert(rows("zorder")._2 <= rows("zorder")._1)
     assert(rows("zorder")._2 < rows("linear")._2,
       s"z-order should touch fewer files for the user query: $rows")
   }
