@@ -87,5 +87,99 @@ object StreamQueries {
             FROM events GROUP BY 1, 2""")
   )
 
-  def all: Seq[Q] = Seq(t2, t3, t4)
+  /** §3.3 composed — the event-trigger → /collect dispatch the reference
+    * stubs (orchestrator.py:978-981), as its batch-verifiable census:
+    * every routed event runs the REAL §3.1 pipeline restricted to its
+    * routed sources ([[graft.streaming.EventStreamPipeline.collectForEvents]];
+    * the streamed form is runEventCollect, spec-pinned stream=batch).
+    * The census groups the wide responses by routing priority and risk
+    * combination with an exact sum(event_id) checksum, so every response
+    * row's content is hash-pinned without dumping corpus-sized output. */
+  val t6 = Q(
+    "t6_event_collect",
+    "Event-trigger -> /collect composition: routed events become DataRequests, run the #3.1 pipeline per routed sources; exact census of the wide responses.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      graft.streaming.EventStreamPipeline.collectForEvents(t.events)
+        .groupBy(col("priority"), col("landfire"), col("modis"), col("weather"),
+          col("topography"), col("sources_successful"), col("n_high_risk"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_event_id"))
+    },
+    Some("""WITH r AS (
+              SELECT event_id, user_id, event_type,
+                CASE WHEN event_type = 'error' THEN 'emergency'
+                     WHEN event_type = 'signup' THEN 'normal' ELSE 'low' END AS priority,
+                CASE WHEN event_type IN ('error', 'signup')
+                     THEN 'landfire,modis,weather,topography' ELSE 'weather' END AS sources,
+                25.0 + CAST(((user_id*13 + event_id*7) % 2400 + 2400) % 2400 AS DOUBLE) / 100.0 AS lat,
+                -124.0 + CAST(((user_id*17 + event_id*3) % 5600 + 5600) % 5600 AS DOUBLE) / 100.0
+                  + CASE WHEN event_id % 19 = 0 THEN 60.0 ELSE 0.0 END AS lon,
+                CASE WHEN event_type = 'error' THEN 5000.0
+                     WHEN event_type = 'signup' THEN 2000.0 ELSE 500.0 END AS buffer_m
+              FROM events
+            ), valid AS (
+              SELECT * FROM r
+              WHERE (lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180 AND NOT (lat = 0 AND lon = 0))
+                AND ((lat BETWEEN 24.5 AND 49.5 AND lon BETWEEN -125 AND -67)
+                  OR (lat BETWEEN 54 AND 71.5 AND (lon BETWEEN -180 AND -130 OR lon BETWEEN 170 AND 180))
+                  OR (lat BETWEEN 18 AND 29 AND lon BETWEEN -178 AND -154))
+                AND buffer_m BETWEEN 100 AND 50000
+            ), k AS (
+              SELECT event_id, priority, sources,
+                round(((lat * 7 + lon * 3) % 20 + 20) % 20 + 15.0, 2) AS w_temp,
+                CAST(((floor(lat * 11 + lon * 5) % 80) + 80) % 80 AS INT) + 10 AS w_hum,
+                round(((lon * 13) % 18 + 18) % 18, 2) AS w_wind,
+                CAST(((floor(lat * 100 + lon * 50) % 9000) + 9000) % 9000 AS INT) AS ndvi_raw,
+                CAST(((floor(lat * 37 + lon * 17) % 10) + 10) % 10 * 1000 + 2500 AS INT) AS pixel,
+                round(((lat * 19 - lon * 7) % 150 + 150) % 150, 2) AS elev
+              FROM valid
+            ), tall AS (
+              SELECT event_id, priority, sources, 'weather' AS source,
+                CASE WHEN (CASE WHEN w_temp > 30 THEN 3 WHEN w_temp > 25 THEN 2 WHEN w_temp > 20 THEN 1 ELSE 0 END
+                         + CASE WHEN w_hum < 20 THEN 3 WHEN w_hum < 40 THEN 2 WHEN w_hum < 60 THEN 1 ELSE 0 END
+                         + CASE WHEN w_wind > 15 THEN 3 WHEN w_wind > 10 THEN 2 WHEN w_wind > 5 THEN 1 ELSE 0 END) >= 7 THEN 'EXTREME'
+                     WHEN (CASE WHEN w_temp > 30 THEN 3 WHEN w_temp > 25 THEN 2 WHEN w_temp > 20 THEN 1 ELSE 0 END
+                         + CASE WHEN w_hum < 20 THEN 3 WHEN w_hum < 40 THEN 2 WHEN w_hum < 60 THEN 1 ELSE 0 END
+                         + CASE WHEN w_wind > 15 THEN 3 WHEN w_wind > 10 THEN 2 WHEN w_wind > 5 THEN 1 ELSE 0 END) >= 5 THEN 'HIGH'
+                     WHEN (CASE WHEN w_temp > 30 THEN 3 WHEN w_temp > 25 THEN 2 WHEN w_temp > 20 THEN 1 ELSE 0 END
+                         + CASE WHEN w_hum < 20 THEN 3 WHEN w_hum < 40 THEN 2 WHEN w_hum < 60 THEN 1 ELSE 0 END
+                         + CASE WHEN w_wind > 15 THEN 3 WHEN w_wind > 10 THEN 2 WHEN w_wind > 5 THEN 1 ELSE 0 END) >= 3 THEN 'MODERATE'
+                     ELSE 'LOW' END AS risk
+              FROM k
+              UNION ALL
+              SELECT event_id, priority, sources, 'modis',
+                CASE WHEN ndvi_raw * 0.0001 > 0.6 THEN 'LOW' WHEN ndvi_raw * 0.0001 > 0.3 THEN 'MODERATE'
+                     WHEN ndvi_raw * 0.0001 > 0.1 THEN 'HIGH' ELSE 'EXTREME' END
+              FROM k
+              UNION ALL
+              SELECT event_id, priority, sources, 'landfire',
+                CASE WHEN pixel >= 7000 AND pixel < 8000 THEN 'LOW'
+                     WHEN pixel >= 3000 AND pixel < 4000 THEN 'MODERATE_TO_HIGH'
+                     WHEN pixel >= 2000 AND pixel < 3000 THEN 'MODERATE_TO_HIGH'
+                     ELSE 'MODERATE' END
+              FROM k
+              UNION ALL
+              SELECT event_id, priority, sources, 'topography',
+                CASE WHEN elev > 100 THEN 'HIGH' WHEN elev > 50 THEN 'MODERATE' ELSE 'LOW' END
+              FROM k
+            ), routed AS (
+              SELECT * FROM tall WHERE list_contains(string_split(sources, ','), source)
+            ), wide AS (
+              SELECT event_id, priority,
+                max(CASE WHEN source = 'landfire' THEN risk END) AS landfire,
+                max(CASE WHEN source = 'modis' THEN risk END) AS modis,
+                max(CASE WHEN source = 'weather' THEN risk END) AS weather,
+                max(CASE WHEN source = 'topography' THEN risk END) AS topography,
+                count(*) AS sources_successful,
+                count(CASE WHEN risk IN ('HIGH', 'EXTREME') THEN 1 END) AS n_high_risk
+              FROM routed GROUP BY 1, 2
+            )
+            SELECT priority, landfire, modis, weather, topography,
+                   sources_successful, n_high_risk,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event_id
+            FROM wide GROUP BY 1, 2, 3, 4, 5, 6, 7""")
+  )
+
+  def all: Seq[Q] = Seq(t2, t3, t4, t6)
 }

@@ -157,6 +157,72 @@ object EventStreamPipeline {
       .start()
   }
 
+  /** §3.3 — event → DataRequest derivation (the reference's
+    * handle_event_trigger → collect_event_data argument marshalling,
+    * orchestrator.py:940-970). The reference's EventUpdate carries the
+    * incident's coordinates; the events table has none, so a
+    * deterministic integer mapping into the continental-US box stands in
+    * (and every 19th event lands outside it, keeping the stream's
+    * validation/reject path live). Pure column logic — identical on
+    * static and streaming frames, which is how the spec verifies it. */
+  def eventRequests(events: DataFrame): DataFrame =
+    route(events).select(
+      concat(lit("req_"), col("event_id")).as("request_id"),
+      col("event_id").as("trigger_event_id"),
+      col("priority"), col("sources"), col("timeout_s"),
+      (lit(25.0) + pmod(col("user_id") * 13 + col("event_id") * 7, lit(2400)).cast("double") / 100.0).as("lat"),
+      (lit(-124.0) + pmod(col("user_id") * 17 + col("event_id") * 3, lit(5600)).cast("double") / 100.0
+        + when(pmod(col("event_id"), lit(19)) === 0, 60.0).otherwise(0.0)).as("lon"),
+      when(col("priority") === "emergency", 5000.0)
+        .when(col("event_type") === "signup", 2000.0).otherwise(500.0).as("buffer_m"),
+      concat(lit("evt-"), col("event_id")).as("event_id"))
+
+  /** §3.3 end-to-end — the background dispatch the reference leaves as a
+    * TODO (orchestrator.py:978-981 "Store result in database linked to
+    * event_id"): the routed batch becomes /collect requests, runs the
+    * REAL §3.1 pipeline (validate → enrich → pivot) restricted to each
+    * event's routed sources, and comes back keyed by the triggering
+    * event. Non-routed sources stay null in the wide row —
+    * 'weather'-only updates produce a weather-only response, exactly the
+    * reference's priority contract.
+    *
+    * Scale: one pass over the batch, the §3.1 pivot's single shuffle on
+    * request_id, plus one request_id equi-join to re-attach routing
+    * metadata — nothing per-event on the driver. */
+  def collectForEvents(events: DataFrame): DataFrame = {
+    import graft.ops.CollectPipeline
+    val reqs = eventRequests(events)
+    val tall = CollectPipeline.enrich(CollectPipeline.validate(reqs).filter(col("valid")))
+      .join(reqs.select(col("request_id"), col("sources")), "request_id")
+      .filter(array_contains(split(col("sources"), ","), col("source")))
+      .drop("sources")
+    CollectPipeline.aggregate(tall)
+      .join(reqs.select(col("request_id"), col("trigger_event_id").as("event_id"),
+        col("priority"), col("timeout_s")), "request_id")
+  }
+
+  /** §3.3 streaming entry — T1 ingest → T2 route → the §3.1 collect
+    * pipeline per micro-batch → T3 event-keyed result sink. foreachBatch
+    * hands a STATIC frame to collectForEvents, so the full batch operator
+    * chain (joins, pivot) runs unmodified inside the stream — the
+    * streamed results provably equal the batch run on the same events. */
+  def runEventCollect(spark: SparkSession, srcDir: String, sinkDir: String,
+                      checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(srcDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        collectForEvents(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** T5 — watermarked windowed aggregation as a stream, appending
     * finalized windows to `sinkDir`. */
   def runWindowed(spark: SparkSession, srcDir: String, sinkDir: String,

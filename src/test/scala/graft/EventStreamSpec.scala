@@ -48,6 +48,34 @@ class EventStreamSpec extends SparkSpecBase {
       col("timeout_s") =!= 60).count() == 0)
   }
 
+  test("§3.3: streamed event-collect equals the batch composition and respects routing") {
+    val sink = tmp("ec_sink")
+    val q = EventStreamPipeline.runEventCollect(spark, srcDir, sink, tmp("ec_ck"))
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+    val streamed = spark.read.parquet(sink).drop("batch_id")
+    val batch = EventStreamPipeline.collectForEvents(events)
+
+    // the streamed micro-batched dispatch produces EXACTLY the batch rows
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // weather-only ("updated") routes must come back weather-only
+    val low = streamed.filter(col("priority") === "low")
+    assert(low.count() > 0)
+    assert(low.filter(col("landfire").isNotNull || col("modis").isNotNull ||
+      col("topography").isNotNull).count() == 0)
+    assert(low.filter(col("sources_successful") =!= 1 || col("weather").isNull).count() == 0)
+    // emergency routes carry all four sources
+    val emer = streamed.filter(col("priority") === "emergency")
+    assert(emer.count() > 0)
+    assert(emer.filter(col("sources_successful") =!= 4).count() == 0)
+    // the off-box slice (every 19th event) is rejected upstream of the sink
+    assert(streamed.filter(pmod(col("event_id"), lit(19)) === 0).count() == 0)
+    assert(batch.count() < events.count())
+  }
+
   test("W3 sessions: streamed session windows match batch session_window on finalized sessions") {
     val sink = tmp("sess_sink")
     val q = EventStreamPipeline.runSessionized(spark, srcDir, sink, tmp("sess_ck"))
