@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** A10 ⊕ depth — two curation operators every LLM training-data pipeline
@@ -45,6 +46,19 @@ object CurationQueries {
             FROM b GROUP BY 1, 2""")
   )
 
+  /** Distinct word 5-grams per document — the decontamination shingle
+    * basis, shared by the exact and bucket-pruned variants. */
+  private def grams5(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .filter(size(col("toks")) >= 5)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 4),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+          element_at(col("toks"), i + 4))))).as("gram"))
+
   /** Benchmark decontamination: flag training documents that share any
     * word 5-gram with the held-out eval set (doc_id % 50 == 0 stands in
     * for the benchmark corpus). The overlap test is a shingle equi-join —
@@ -56,16 +70,6 @@ object CurationQueries {
     "Decontamination: training docs sharing any word 5-gram with the eval slice, via a gram equi-join (no doc x doc); per-source contamination census.",
     (s, dir) => {
       val t = Tables(s, dir)
-      def grams5(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"),
-          explode(array_distinct(transform(
-            sequence(lit(1), size(col("toks")) - 4),
-            i => concat_ws(" ",
-              element_at(col("toks"), i), element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
-              element_at(col("toks"), i + 4))))).as("gram"))
       val docs = t.documents
       val evalGrams = grams5(docs.filter(col("doc_id") % 50 === 0))
         .select(col("gram")).distinct()
@@ -277,5 +281,137 @@ object CurationQueries {
             FROM sel GROUP BY source""")
   )
 
-  def all: Seq[Q] = Seq(splitAssign, decontaminate, packSequences, sampleStratified, sampleWeighted)
+  /** Decontamination with an explicit runtime-filter stage — the shape
+    * Spark's InjectRuntimeFilter produces automatically when thresholds
+    * allow, built manually so it is guaranteed and uncapped: the eval
+    * grams' 16-bit md5 bucket set (<= 65,536 ints, broadcastable no
+    * matter the corpus size) semi-joins the corpus grams BEFORE the
+    * exact gram join, so the expensive shuffle only carries grams whose
+    * bucket collides with an eval gram. Superset semantics (bucket
+    * collisions only ADD candidates, the exact join removes them), so
+    * the flags equal a10_decontaminate's — which the shared oracle
+    * census proves. Telemetry counts the grams entering vs surviving
+    * the prune: the shuffle-volume saving at 100 TB. */
+  val decontaminatePruned = Q(
+    "a10_decontaminate_pruned",
+    "Decontamination behind a broadcast bucket-set pre-filter (explicit runtime-bloom shape); flags match the exact join, plus prune telemetry.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      val bucketOf = (g: Column) => conv(substring(md5(g), 1, 4), 16, 10).cast("int")
+      val evalGrams = grams5(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("gram")).distinct()
+      val evalBuckets = evalGrams.select(bucketOf(col("gram")).as("bucket")).distinct()
+      val corpusGrams = grams5(docs.filter(col("doc_id") % 50 =!= 0))
+      val prunedGrams = corpusGrams
+        .join(broadcast(evalBuckets), bucketOf(col("gram")) === col("bucket"), "left_semi")
+      val flagged = prunedGrams.join(evalGrams, Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct()
+      // two census passes over the gram stream (pre/post prune); a
+      // long-lived job would fuse them with a conditional aggregate
+      val telemetry = corpusGrams.agg(count(lit(1)).as("n_grams_total"))
+        .crossJoin(prunedGrams.agg(count(lit(1)).as("n_grams_pruned")))
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .join(flagged.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"), count(col("contaminated")).as("n_flagged"))
+        .crossJoin(broadcast(telemetry))
+    },
+    Some("""WITH d AS (
+              SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT source, doc_id,
+                list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+                               for i in generate_series(1, len(toks) - 4)]) AS grams
+              FROM d WHERE len(toks) >= 5
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+            ), evb AS (
+              SELECT DISTINCT ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                + (strpos('0123456789abcdef', h[4]) - 1)) AS bucket
+              FROM (SELECT md5(gram) AS h FROM ev)
+            ), cg AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0
+            ), cgb AS (
+              SELECT doc_id, gram,
+                ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                + (strpos('0123456789abcdef', h[4]) - 1)) AS bucket
+              FROM (SELECT doc_id, gram, md5(gram) AS h FROM cg)
+            ), pr AS (
+              SELECT doc_id, gram FROM cgb WHERE bucket IN (SELECT bucket FROM evb)
+            ), fl AS (
+              SELECT DISTINCT doc_id FROM pr WHERE gram IN (SELECT gram FROM ev)
+            )
+            SELECT d.source,
+              count(*) AS n_train,
+              count(fl.doc_id) AS n_flagged,
+              (SELECT count(*) FROM cg) AS n_grams_total,
+              (SELECT count(*) FROM pr) AS n_grams_pruned
+            FROM d LEFT JOIN fl ON d.doc_id = fl.doc_id
+            WHERE d.doc_id % 50 <> 0
+            GROUP BY 1""")
+  )
+
+  /** Training-mixture allocation — the multilingual/multi-source
+    * "sampling temperature" pass every LLM data pipeline runs before
+    * training: per-source token mass, damped by temperature T = 0.5
+    * (w = mass^0.5, which up-weights small sources), then an EXACT
+    * largest-remainder apportionment of a fixed document budget.
+    *
+    * Cross-engine exactness: mass^0.5 is the one libm-free power
+    * (IEEE-754 sqrt is correctly rounded everywhere), and the weight is
+    * immediately floored to a micro-unit integer, so normalization and
+    * apportionment are pure Long arithmetic — no double accumulates
+    * across rows (graft's oracle-exactness rule). Scale: everything
+    * after the first aggregate operates on the per-source table
+    * (dozens of rows); the global windows there are driver-scale by
+    * construction. */
+  val sourceMixing = Q(
+    "a10_source_mixing",
+    "Temperature-0.5 mixing weights: per-source char mass -> sqrt-damped micro-unit weights -> largest-remainder allocation of a 100k-doc budget.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val budget = 100000L
+      val per = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+        .withColumn("w", floor(sqrt(col("mass").cast("double") * 1e6)).cast("long"))
+      val tot = per.agg(sum(col("w")).as("wsum"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("quota_floor", expr(s"($budget * w) div wsum"))
+        .withColumn("rem", expr(s"($budget * w) % wsum"))
+        .withColumn("qsum", sum(col("quota_floor")).over(Window.partitionBy()))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)))
+        .withColumn("alloc",
+          col("quota_floor") + when(col("rk") <= lit(budget) - col("qsum"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("mass"), col("w"),
+          col("quota_floor"), col("alloc"))
+    },
+    Some("""WITH per AS (
+              SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS mass
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT *, CAST(floor(sqrt(CAST(mass AS DOUBLE) * 1000000.0)) AS BIGINT) AS w FROM per
+            ), t AS (
+              SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w
+            ), q AS (
+              SELECT w.*, (100000 * w) // wsum AS quota_floor, (100000 * w) % wsum AS rem
+              FROM w, t
+            ), r AS (
+              SELECT *, CAST(sum(quota_floor) OVER () AS BIGINT) AS qsum,
+                row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+              FROM q
+            )
+            SELECT source, n_docs, mass, w, quota_floor,
+              CAST(quota_floor + CASE WHEN rk <= 100000 - qsum THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r""")
+  )
+
+  def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
+    packSequences, sampleStratified, sampleWeighted, sourceMixing)
 }

@@ -421,6 +421,89 @@ object TextQueries {
             FROM hits GROUP BY source""")
   )
 
+  /** The BPE trainer's inner loop as distributed aggregation — 3 rounds
+    * of (adjacent-pair census → argmax merge → corpus re-segmentation),
+    * at word level (the corpus is already space-tokenized; the merges
+    * learn multi-word units, the same algorithm as byte-level BPE).
+    *
+    * Segmentation state is a STRING with a two-space separator and
+    * one-space padding, so a merge is a plain leftmost-non-overlapping
+    * `replace(' a  b ' -> ' a_b ')` — exactly BPE's greedy merge order,
+    * identical in Spark and DuckDB, with the double separator preserving
+    * token boundaries across consecutive matches (replacing ' a b '
+    * with single spaces would consume the next match's leading
+    * boundary). Ties break lexicographically.
+    *
+    * Scale: each round is one pair-census shuffle (map-side partial agg)
+    * + one vocab distinct + a row-local replace; the per-round driver
+    * sync (one argmax row) is the trainer's inherent iteration barrier,
+    * same as j5_kmeans_iter's. */
+  val bpeMerges = Q(
+    "x28_bpe_merges",
+    "BPE trainer loop: 3 rounds of adjacent-pair census -> argmax merge -> re-segmentation; emits each round's merge, count, and vocab size.",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      var corpus = t.documents.select(col("doc_id"),
+        concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+      for (round <- 1 to 3) {
+        val toks = corpus.select(split(trim(col("seg")), "  ").as("toks"))
+        val pairs = toks.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1).collect()(0)
+        val (p, n) = (top.getString(0), top.getLong(1))
+        corpus = corpus.withColumn("seg", call_function("replace", col("seg"),
+          lit(" " + p.replace(" ", "  ") + " "),
+          lit(" " + p.replace(' ', '_') + " ")))
+        val vocab = corpus
+          .select(explode(split(trim(col("seg")), "  ")).as("sym"))
+          .agg(count_distinct(col("sym"))).collect()(0).getLong(0)
+        merges += ((round, p, n, vocab))
+      }
+      merges.toSeq.toDF("round", "merged_pair", "n_occurrences", "vocab_after")
+    },
+    Some("""WITH c0 AS (
+              SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS seg FROM documents
+            ), tk1 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c0),
+            p1 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk1, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+            c1 AS (SELECT doc_id, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m1),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m1)) AS seg FROM c0),
+            v1 AS (SELECT count(DISTINCT sym) AS vocab
+                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c1)),
+            tk2 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c1),
+            p2 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk2, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+            c2 AS (SELECT doc_id, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m2),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m2)) AS seg FROM c1),
+            v2 AS (SELECT count(DISTINCT sym) AS vocab
+                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c2)),
+            tk3 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c2),
+            p3 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk3, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
+            c3 AS (SELECT doc_id, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m3),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m3)) AS seg FROM c2),
+            v3 AS (SELECT count(DISTINCT sym) AS vocab
+                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c3))
+            SELECT 1 AS round, (SELECT pair FROM m1) AS merged_pair,
+                   (SELECT n FROM m1) AS n_occurrences, (SELECT vocab FROM v1) AS vocab_after
+            UNION ALL
+            SELECT 2, (SELECT pair FROM m2), (SELECT n FROM m2), (SELECT vocab FROM v2)
+            UNION ALL
+            SELECT 3, (SELECT pair FROM m3), (SELECT n FROM m3), (SELECT vocab FROM v3)""")
+  )
+
   def all: Seq[Q] =
-    Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub)
+    Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
+      bpeMerges)
 }

@@ -21,7 +21,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "j6_asof", "q15_top_supplier", "q16_supplier_census",
     "q17_small_qty_revenue", "q21_waiting_supplier",
     "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25",
-    "j5_pq_adc", "t6_event_collect")
+    "j5_pq_adc", "t6_event_collect", "a10_decontaminate_pruned")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
@@ -32,7 +32,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "a10_incremental", "x28_bm25",
         "s9_zorder_layout", "x28_heavy_hitters",
         "w4_gap_fill", "w4_funnel", "e2e_hybrid_search", "j8_cooccurrence",
-        "t6_event_collect")) {
+        "t6_event_collect", "a10_source_mixing", "x28_bpe_merges")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
