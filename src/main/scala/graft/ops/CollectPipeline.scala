@@ -60,47 +60,41 @@ object CollectPipeline {
   private def elevRange: Column = round(pmod(col("lat") * 19 - col("lon") * 7, lit(150)), 2)
 
   /** One tall record per (request × source): source, a numeric value, a
-    * risk classification — the §2 classify chains applied per source. */
+    * risk classification — the §2 classify chains applied per source.
+    *
+    * The 4-way fan-out is an explode over an array of per-source
+    * structs, NOT a union of four selects: a union re-scans the request
+    * relation once per source (Catalyst reuses exchanges, not scans),
+    * while the explode is genuinely one scan + a row-local 4× expansion. */
   def enrich(valid: DataFrame): DataFrame = {
-    val base = valid.select(col("request_id"), col("lat"), col("lon"))
+    val weatherRisk = {
+      val score =
+        when(weatherTemp > 30, 3).when(weatherTemp > 25, 2).when(weatherTemp > 20, 1).otherwise(0) +
+          when(weatherHumidity < 20, 3).when(weatherHumidity < 40, 2).when(weatherHumidity < 60, 1).otherwise(0) +
+          when(weatherWind > 15, 3).when(weatherWind > 10, 2).when(weatherWind > 5, 1).otherwise(0)
+      when(score >= 7, "EXTREME").when(score >= 5, "HIGH").when(score >= 3, "MODERATE").otherwise("LOW")
+    }
+    val modisRisk =
+      when(ndviRaw * 0.0001 > 0.6, "LOW")
+        .when(ndviRaw * 0.0001 > 0.3, "MODERATE")
+        .when(ndviRaw * 0.0001 > 0.1, "HIGH")
+        .otherwise("EXTREME")
+    val landfireRisk =
+      when(pixelCode >= 7000 && pixelCode < 8000, "LOW")           // Urban/Developed
+        .when(pixelCode >= 3000 && pixelCode < 4000, "MODERATE_TO_HIGH") // Forest fuels
+        .when(pixelCode >= 2000 && pixelCode < 3000, "MODERATE_TO_HIGH") // Grassland
+        .otherwise("MODERATE")
+    val topoRisk =
+      when(elevRange > 100, "HIGH").when(elevRange > 50, "MODERATE").otherwise("LOW")
 
-    val weather = base
-      .withColumn("source", lit("weather"))
-      .withColumn("value", weatherTemp)
-      .withColumn("risk", {
-        val score =
-          when(weatherTemp > 30, 3).when(weatherTemp > 25, 2).when(weatherTemp > 20, 1).otherwise(0) +
-            when(weatherHumidity < 20, 3).when(weatherHumidity < 40, 2).when(weatherHumidity < 60, 1).otherwise(0) +
-            when(weatherWind > 15, 3).when(weatherWind > 10, 2).when(weatherWind > 5, 1).otherwise(0)
-        when(score >= 7, "EXTREME").when(score >= 5, "HIGH").when(score >= 3, "MODERATE").otherwise("LOW")
-      })
-
-    val modis = base
-      .withColumn("source", lit("modis"))
-      .withColumn("value", round(ndviRaw * 0.0001, 4))
-      .withColumn("risk",
-        when(ndviRaw * 0.0001 > 0.6, "LOW")
-          .when(ndviRaw * 0.0001 > 0.3, "MODERATE")
-          .when(ndviRaw * 0.0001 > 0.1, "HIGH")
-          .otherwise("EXTREME"))
-
-    val landfire = base
-      .withColumn("source", lit("landfire"))
-      .withColumn("value", pixelCode.cast("double"))
-      .withColumn("risk",
-        when(pixelCode >= 7000 && pixelCode < 8000, "LOW")           // Urban/Developed
-          .when(pixelCode >= 3000 && pixelCode < 4000, "MODERATE_TO_HIGH") // Forest fuels
-          .when(pixelCode >= 2000 && pixelCode < 3000, "MODERATE_TO_HIGH") // Grassland
-          .otherwise("MODERATE"))
-
-    val topo = base
-      .withColumn("source", lit("topography"))
-      .withColumn("value", elevRange)
-      .withColumn("risk",
-        when(elevRange > 100, "HIGH").when(elevRange > 50, "MODERATE").otherwise("LOW"))
-
-    weather.unionByName(modis).unionByName(landfire).unionByName(topo)
-      .select("request_id", "source", "value", "risk")
+    valid.select(col("request_id"), col("lat"), col("lon"))
+      .select(col("request_id"), explode(array(
+        struct(lit("weather").as("source"), weatherTemp.as("value"), weatherRisk.as("risk")),
+        struct(lit("modis").as("source"), round(ndviRaw * 0.0001, 4).as("value"), modisRisk.as("risk")),
+        struct(lit("landfire").as("source"), pixelCode.cast("double").as("value"), landfireRisk.as("risk")),
+        struct(lit("topography").as("source"), elevRange.as("value"), topoRisk.as("risk")))).as("e"))
+      .select(col("request_id"), col("e.source").as("source"),
+        col("e.value").as("value"), col("e.risk").as("risk"))
   }
 
   /** J1 + A6 — pivot the tall records into one wide row per request with
