@@ -503,7 +503,52 @@ object TextQueries {
             SELECT 3, (SELECT pair FROM m3), (SELECT n FROM m3), (SELECT vocab FROM v3)""")
   )
 
+  /** Out-of-vocabulary rate — the language-model-perplexity proxy that
+    * needs no libm: build the corpus top-100 vocabulary (count desc,
+    * token asc — the tie-break makes the 100-boundary deterministic),
+    * broadcast it, and census each source's share of tokens outside it.
+    * High OOV share flags the same junk an LM filter scores — without a
+    * cross-engine-fragile log().
+    *
+    * Scale: the vocabulary is a top-k over the token census (TakeOrdered,
+    * never a global sort) and is constant-sized, so the membership test
+    * is a broadcast join however large the corpus; the shares divide two
+    * exact Longs once per source. */
+  val oovRate = Q(
+    "x28_oov_rate",
+    "OOV-rate quality proxy: corpus top-100 vocabulary (broadcast) -> per-source token/OOV census -> exact-ratio share.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(100)
+        .select(col("tok"))
+      toks.join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("tok"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_share",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+    },
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+            ), vocab AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS n,
+                  row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+                FROM toks GROUP BY tok)
+              WHERE rk <= 100
+            )
+            SELECT source,
+              count(*) AS n_tokens,
+              count(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 END) AS n_oov,
+              round(CAST(count(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 END) AS DOUBLE)
+                    / count(*), 6) AS oov_share
+            FROM toks GROUP BY source""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
-      bpeMerges)
+      bpeMerges, oovRate)
 }

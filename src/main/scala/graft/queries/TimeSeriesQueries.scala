@@ -358,6 +358,40 @@ object TimeSeriesQueries {
             FROM stages GROUP BY stage""")
   )
 
+  /** W5 — exponential smoothing (EWMA, α = 1/2) over each user's event
+    * sequence: s₁ = x₁, sₜ = (xₜ + sₜ₋₁)·0.5. The α = 1/2 choice makes
+    * every step one IEEE add + one exact multiply-by-0.5, and the fold
+    * order is pinned by (ts, event_id), so the result is bit-identical
+    * across engines — the one smoothing constant that needs no float
+    * tolerance.
+    *
+    * Scale: per-user sequences materialize via collect_list inside one
+    * hash aggregate — bounded by the per-user event count, the same
+    * contract as the session/funnel state machines (a streaming
+    * deployment folds the same recurrence in mapGroupsWithState without
+    * materializing the list; StreamingFunnel is that shape). */
+  val w5Ewma = Q(
+    "w5_ewma",
+    "EWMA (alpha=1/2) per user over (ts, event_id)-ordered values: dyadic fold, bit-identical cross-engine; final smoothed value + count.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("seq"))
+        .select(col("user_id"), size(col("seq")).as("n_events"),
+          aggregate(col("seq"), lit(null).cast("double"),
+            (acc, e) => when(acc.isNull, e.getField("value"))
+              .otherwise((e.getField("value") + acc) * 0.5)).as("ewma"))
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+              FROM events GROUP BY 1
+            )
+            SELECT user_id, len(vs) AS n_events,
+              list_reduce(vs, (s, x) -> (x + s) * 0.5) AS ewma
+            FROM seq""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
-    gapFill, funnel)
+    gapFill, funnel, w5Ewma)
 }
