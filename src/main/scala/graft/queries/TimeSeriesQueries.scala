@@ -392,6 +392,100 @@ object TimeSeriesQueries {
             FROM seq""")
   )
 
+  /** W6 — robust outlier detection per event_type: median and MAD
+    * (median absolute deviation) with the LOWER-median convention
+    * (element at rank ceil(n/2) in (value, event_id) order) instead of
+    * the interpolating percentile — rank selection is exact and
+    * engine-independent where linear interpolation differs in ulps.
+    * Flags |x − med| > 3·MAD, the standard robust z-score.
+    *
+    * Scale: two windowed rank passes over the same event_type
+    * partitioning (the second over deviations) + one census aggregate —
+    * all partitioned by the group key, no global sort. */
+  val w6Outliers = Q(
+    "w6_robust_outliers",
+    "Robust outliers per event_type: lower-median + MAD via rank selection (no interpolation), |x-med| > 3*MAD census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val byVal = Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)
+      val medOf = t.events
+        .withColumn("rk", row_number().over(byVal))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rk") === ceil(col("n") / 2.0))
+        .select(col("event_type"), col("value").as("med"))
+      val withDev = t.events.join(broadcast(medOf), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val byDev = Window.partitionBy(col("event_type")).orderBy(col("dev").asc, col("event_id").asc)
+      val madOf = withDev
+        .withColumn("rk", row_number().over(byDev))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rk") === ceil(col("n") / 2.0))
+        .select(col("event_type"), col("dev").as("mad"))
+      withDev.join(broadcast(madOf), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          first(col("med")).as("med"),
+          first(col("mad")).as("mad"),
+          count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"))
+    },
+    Some("""WITH ranked AS (
+              SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rk,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            ), med AS (
+              SELECT event_type, value AS med FROM ranked WHERE rk = ceil(n / 2.0)
+            ), dev AS (
+              SELECT e.event_type, e.event_id, abs(e.value - m.med) AS dev, m.med
+              FROM events e JOIN med m USING (event_type)
+            ), dranked AS (
+              SELECT event_type, dev,
+                row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rk,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM dev
+            ), mad AS (
+              SELECT event_type, dev AS mad FROM dranked WHERE rk = ceil(n / 2.0)
+            )
+            SELECT d.event_type, count(*) AS n_events,
+              max(d.med) AS med, max(m.mad) AS mad,
+              count(CASE WHEN d.dev > m.mad * 3 THEN 1 END) AS n_outliers
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY d.event_type""")
+  )
+
+  /** W7 — retention cohorts: users grouped by first-activity day, the
+    * classic (cohort, age)-triangle of distinct active users. All
+    * integer counts; the cohort assignment is one min-aggregate and the
+    * triangle one distinct-count — two shuffles on user/cohort keys. */
+  val w7Retention = Q(
+    "w7_retention_cohorts",
+    "Retention triangle: first-seen-day cohorts x day age -> distinct active users; exact integer counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val firstSeen = t.events.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      t.events
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .join(firstSeen, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort")).as("age_days"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+    },
+    Some("""WITH fs AS (
+              SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort
+              FROM events GROUP BY 1
+            ), act AS (
+              SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+            )
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+              datediff('day', cohort, day) AS age_days,
+              count(DISTINCT user_id) AS n_active
+            FROM act JOIN fs USING (user_id)
+            GROUP BY 1, 2""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
-    gapFill, funnel, w5Ewma)
+    gapFill, funnel, w5Ewma, w6Outliers, w7Retention)
 }
