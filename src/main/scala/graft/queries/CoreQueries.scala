@@ -430,5 +430,66 @@ object CoreQueries {
             SELECT co_count, count(*) AS n_pairs FROM pairs GROUP BY co_count""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence)
+  /** J9 — distance self-join via grid bucketing, the spatial analogue
+    * of the LSH band join: points land in radius-sized cells, ONE side
+    * explodes to its 3×3 cell neighborhood, the join is a hash
+    * equi-join on the cell key, and the exact distance predicate runs
+    * only on neighbor-cell candidates — never all-pairs. Each
+    * qualifying pair is found exactly once (through the non-exploded
+    * member's own cell), so no dedup pass is needed.
+    *
+    * Coordinates are integer centidegrees derived from user_id (the
+    * t6_event_collect mapping family), so distances are exact Longs.
+    * The oracle intentionally runs the NAIVE quadratic self-join —
+    * an independent formulation, not a mirror. Scale: shuffle key is
+    * the cell; a 9× expansion of one side replaces the O(n²) cross
+    * join, and cell size = radius keeps the candidate set minimal. */
+  val spatialNeighbors = Q(
+    "j9_spatial_neighbors",
+    "Grid-bucketed spatial neighbor join: centidegree cells, 3x3 neighborhood explode on one side, exact integer distance <= 20 centideg; band census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val pts = t.events.select(col("user_id")).distinct()
+        .withColumn("latc", pmod(col("user_id") * 131, lit(2400)).cast("int"))
+        .withColumn("lonc", pmod(col("user_id") * 197, lit(5600)).cast("int"))
+      val left = pts.select(col("user_id").as("i"),
+        col("latc").as("lat_i"), col("lonc").as("lon_i"),
+        expr("latc div 20").as("cl"), expr("lonc div 20").as("cn"))
+      val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+        struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
+      val right = pts.select(col("user_id").as("j"),
+          col("latc").as("lat_j"), col("lonc").as("lon_j"),
+          explode(offsets).as("o"))
+        .select(col("j"), col("lat_j"), col("lon_j"),
+          (expr("lat_j div 20") + col("o.dx")).as("cl"),
+          (expr("lon_j div 20") + col("o.dy")).as("cn"))
+      left.join(right, Seq("cl", "cn"))
+        .filter(col("i") < col("j"))
+        .withColumn("d2",
+          (col("lat_i") - col("lat_j")) * (col("lat_i") - col("lat_j")) +
+            (col("lon_i") - col("lon_j")) * (col("lon_i") - col("lon_j")))
+        .filter(col("d2") <= 400)
+        .groupBy(expr("d2 div 100").as("band"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),
+          max(col("d2")).as("max_d2"), sum(col("d2")).as("sum_d2"))
+    },
+    Some("""WITH u AS (
+              SELECT DISTINCT user_id FROM events
+            ), p AS (
+              SELECT user_id,
+                CAST(((user_id*131) % 2400 + 2400) % 2400 AS INT) AS latc,
+                CAST(((user_id*197) % 5600 + 5600) % 5600 AS INT) AS lonc
+              FROM u
+            ), pr AS (
+              SELECT a.user_id AS i, b.user_id AS j,
+                CAST(a.latc - b.latc AS BIGINT) * (a.latc - b.latc)
+                  + CAST(a.lonc - b.lonc AS BIGINT) * (a.lonc - b.lonc) AS d2
+              FROM p a JOIN p b ON a.user_id < b.user_id
+            )
+            SELECT d2 // 100 AS band, count(*) AS n_pairs,
+              min(d2) AS min_d2, max(d2) AS max_d2, CAST(sum(d2) AS BIGINT) AS sum_d2
+            FROM pr WHERE d2 <= 400 GROUP BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors)
 }
