@@ -116,6 +116,28 @@ object SourceQueries {
             FROM t GROUP BY sensor""")
   )
 
+  /** S1 V2 depth — AGGREGATE pushdown (SupportsPushDownAggregates), the
+    * third V2 optimization after pruning and filter pushdown: an
+    * ungrouped count/min/max over the filter-narrowed id range is
+    * answered by the source in closed form — one partition, one row,
+    * ZERO generated rows (the parquet-footer-stats shortcut, surfaced
+    * through the connector API). PlanShapeSpec pins the
+    * TelemetryAggScan in the plan; the oracle recomputes over
+    * generate_series. */
+  val dsv2Agg = Q(
+    "s1_dsv2_agg_pushdown",
+    "DataSource V2 aggregate pushdown: filtered count/min/max answered from range arithmetic, no row generation.",
+    (s, _) => {
+      s.read.format("graft.sources.TelemetrySource")
+        .option("rows", 100000).option("partitions", 8).load()
+        .filter(col("id") >= 1000 && col("id") < 50000)
+        .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+    },
+    Some("""SELECT count(*) AS n_rows, min(i) AS min_id, max(i) AS max_id
+            FROM generate_series(1000, 49999) AS g(i)""")
+  )
+
   /** S9 depth — Hive-style partitioned parquet sink + PRUNED re-read:
     * events written `partitionBy(event_type)`, then scanned with a
     * partition-key predicate. At 100 TB this is the difference between
@@ -228,5 +250,5 @@ object SourceQueries {
             FROM st GROUP BY layout""")
   )
 
-  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, partitionPruning, zorder)
+  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning, zorder)
 }

@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
 import org.apache.spark.sql.types._
@@ -65,12 +66,14 @@ class TelemetryTable(rows: Long, partitions: Int) extends Table with SupportsRea
 }
 
 class TelemetryScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = TelemetrySource.schema
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[aggregate.Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     this.requiredSchema = requiredSchema
@@ -98,8 +101,76 @@ class TelemetryScanBuilder(rows: Long, partitions: Int, rowsPerBatch: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new TelemetryScan(requiredSchema, math.max(lo, 0L), math.max(hi, lo), partitions, rowsPerBatch)
+  /** Aggregate pushdown (the V2 analogue of answering count/min/max from
+    * parquet footer stats): an ungrouped COUNT(*) / MIN(id) / MAX(id)
+    * over the (filter-narrowed) id range is CLOSED-FORM — count is the
+    * range span, min/max its ends — so the source answers it without
+    * generating a single row. Anything else is declined back to Spark. */
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    }
+
+  private def canAnswer(agg: aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: aggregate.CountStar => true
+        case m: aggregate.Min => isId(m.column)
+        case m: aggregate.Max => isId(m.column)
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean = canAnswer(agg)
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    if (!canAnswer(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new TelemetryAggScan(agg, math.max(lo, 0L), math.max(hi, lo))
+    case None =>
+      new TelemetryScan(requiredSchema, math.max(lo, 0L), math.max(hi, lo), partitions, rowsPerBatch)
+  }
+}
+
+/** The pushed-aggregate scan: ONE partition, ONE row, zero generated
+  * rows — count/min/max answered from the range arithmetic alone. */
+class TelemetryAggScan(agg: aggregate.Aggregation, lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(agg.aggregateExpressions().map {
+    case _: aggregate.CountStar => StructField("count(*)", LongType, nullable = false)
+    case _: aggregate.Min => StructField("min(id)", LongType, nullable = true)
+    case _: aggregate.Max => StructField("max(id)", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TelemetryAggScan[$lo,$hi) pushed=${agg.aggregateExpressions().mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TelemetryPartition(lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TelemetryAggReaderFactory(agg)
+}
+
+class TelemetryAggReaderFactory(agg: aggregate.Aggregation) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TelemetryPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val first = !emitted; emitted = true; first }
+      override def get(): InternalRow = {
+        val span = math.max(0L, p.end - p.start)
+        InternalRow.fromSeq(agg.aggregateExpressions().toSeq.map {
+          case _: aggregate.CountStar => span: java.lang.Long
+          case _: aggregate.Min => if (span > 0) (p.start: java.lang.Long) else null
+          case _: aggregate.Max => if (span > 0) (p.end - 1: java.lang.Long) else null
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class TelemetryScan(requiredSchema: StructType, lo: Long, hi: Long, partitions: Int,

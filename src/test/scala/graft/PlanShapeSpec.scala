@@ -76,6 +76,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("TelemetryScan[1000,4000)"))
   }
 
+  test("s1_dsv2_agg_pushdown: the aggregate is answered BY the source (complete pushdown)") {
+    val p = plan("s1_dsv2_agg_pushdown")
+    assert(p.contains("TelemetryAggScan[1000,50000)"),
+      s"aggregate not pushed into the V2 source:\n${p.take(1500)}")
+    // complete pushdown: no partial_count/partial_min over generated rows
+    assert(!p.contains("partial_count"), "source should answer the agg, not feed a partial agg")
+  }
+
   test("a10_neardup_minhash: bounded shuffle count (banded join, no blowup)") {
     val p = plan("a10_neardup_minhash")
     assert(exchanges(p) <= 12, s"shuffle count grew: ${exchanges(p)}")
