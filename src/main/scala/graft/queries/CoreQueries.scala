@@ -430,6 +430,45 @@ object CoreQueries {
             SELECT co_count, count(*) AS n_pairs FROM pairs GROUP BY co_count""")
   )
 
+  /** The `spark.sql` entry path — the engine is DataFrame-first, but a
+    * user of the reference may arrive with SQL text: register the fixture
+    * tables as temp views and run TPC-H Q1 AS SQL. Catalyst parses it to
+    * the same logical plan as q1_agg's DataFrame chain (same pushdown,
+    * same single-shuffle partial aggregation), and the oracle is the
+    * IDENTICAL query text run by DuckDB — ANSI-portable both ways. */
+  val sqlEntry = Q(
+    "sql_entry_q1",
+    "spark.sql entry path: TPC-H Q1 as raw SQL over temp views; same plan and results as the DataFrame form, oracle runs the identical text.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem.createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""")
+  )
+
   /** J9 — distance self-join via grid bucketing, the spatial analogue
     * of the LSH band join: points land in radius-sized cells, ONE side
     * explodes to its 3×3 cell neighborhood, the join is a hash
@@ -491,5 +530,5 @@ object CoreQueries {
             FROM pr WHERE d2 <= 400 GROUP BY 1""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors)
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry)
 }

@@ -486,6 +486,38 @@ object TimeSeriesQueries {
             GROUP BY 1, 2""")
   )
 
+  /** W8 — change detection (the SCD/compaction primitive): per user in
+    * (ts, event_id) order, a row is a "change" iff its event_type
+    * differs from the previous row's. One lag window per user partition,
+    * then a census — the pass that turns an append log into a
+    * state-transition stream, and the dedup that collapses repeated
+    * identical readings at 100 TB. */
+  val w8Changes = Q(
+    "w8_change_detect",
+    "Change detection: lag(event_type) per user over (ts, event_id) order; per-type census of rows that changed state vs repeats.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("changed", col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("changed"), 1)).as("n_changes"),
+          count(when(!col("changed"), 1)).as("n_repeats"))
+    },
+    Some("""WITH x AS (
+              SELECT event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT event_type, count(*) AS n_events,
+              count(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 END) AS n_changes,
+              count(CASE WHEN prev = event_type THEN 1 END) AS n_repeats
+            FROM x GROUP BY event_type""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
-    gapFill, funnel, w5Ewma, w6Outliers, w7Retention)
+    gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes)
 }
