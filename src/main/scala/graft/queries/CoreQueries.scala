@@ -430,6 +430,66 @@ object CoreQueries {
             SELECT co_count, count(*) AS n_pairs FROM pairs GROUP BY co_count""")
   )
 
+  /** U4 — MERGE/upsert (the CDC-apply primitive): a change batch lands
+    * on a snapshot keyed by doc_id — matched keys take the batch row
+    * (update), unmatched batch keys insert, everything else carries
+    * over. One full-outer join on the key is the whole operator; at
+    * 100 TB both sides hash-partition on doc_id and the merge is
+    * shuffle-local (bucketing the snapshot makes the next merge
+    * exchange-free). The change batch is derived deterministically
+    * (every 10th doc updated with a v2 body, every 25th cloned to a
+    * fresh id as an insert), so all three outcomes fire at every sf;
+    * the census checksums each outcome class exactly. */
+  val mergeUpsert = Q(
+    "u4_merge_upsert",
+    "MERGE/upsert via one full-outer join on the key: update/insert/carry-over census with exact char checksums.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val snap = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      val maxId = snap.agg(max(col("doc_id")).as("mx"))
+      val batch = snap.crossJoin(broadcast(maxId))
+        .filter(col("doc_id") % 10 === 0 || col("doc_id") % 25 === 0)
+        .select(
+          when(col("doc_id") % 10 === 0, col("doc_id"))
+            .otherwise(col("doc_id") + col("mx") + 1).as("doc_id"),
+          col("source"),
+          (col("n_chars") + 3).as("n_chars")) // the "v2:" body
+      snap.select(col("doc_id"), col("source").as("s_source"), col("n_chars").as("s_chars"))
+        .join(batch.select(col("doc_id"), col("source").as("b_source"), col("n_chars").as("b_chars")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("outcome",
+          when(col("s_chars").isNotNull && col("b_chars").isNotNull, "updated")
+            .when(col("b_chars").isNotNull, "inserted")
+            .otherwise("carried"))
+        .withColumn("source", coalesce(col("b_source"), col("s_source")))
+        .withColumn("n_chars", coalesce(col("b_chars"), col("s_chars")))
+        .groupBy(col("outcome"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    },
+    Some("""WITH snap AS (
+              SELECT doc_id, source, n_chars FROM documents
+            ), mx AS (
+              SELECT max(doc_id) AS mx FROM snap
+            ), batch AS (
+              SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id ELSE doc_id + mx + 1 END AS doc_id,
+                     source, n_chars + 3 AS n_chars
+              FROM snap, mx
+              WHERE doc_id % 10 = 0 OR doc_id % 25 = 0
+            ), merged AS (
+              SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN s.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                     WHEN b.doc_id IS NOT NULL THEN 'inserted'
+                     ELSE 'carried' END AS outcome,
+                coalesce(b.n_chars, s.n_chars) AS n_chars
+              FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
+            )
+            SELECT outcome, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM merged GROUP BY outcome""")
+  )
+
   /** The `spark.sql` entry path — the engine is DataFrame-first, but a
     * user of the reference may arrive with SQL text: register the fixture
     * tables as temp views and run TPC-H Q1 AS SQL. Catalyst parses it to
@@ -530,5 +590,5 @@ object CoreQueries {
             FROM pr WHERE d2 <= 400 GROUP BY 1""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry)
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert)
 }
