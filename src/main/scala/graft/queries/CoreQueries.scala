@@ -549,25 +549,10 @@ object CoreQueries {
     (s, dir) => {
       val t = Tables(s, dir)
       val pts = t.events.select(col("user_id")).distinct()
-        .withColumn("latc", pmod(col("user_id") * 131, lit(2400)).cast("int"))
-        .withColumn("lonc", pmod(col("user_id") * 197, lit(5600)).cast("int"))
-      val left = pts.select(col("user_id").as("i"),
-        col("latc").as("lat_i"), col("lonc").as("lon_i"),
-        expr("latc div 20").as("cl"), expr("lonc div 20").as("cn"))
-      val offsets = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
-        struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)
-      val right = pts.select(col("user_id").as("j"),
-          col("latc").as("lat_j"), col("lonc").as("lon_j"),
-          explode(offsets).as("o"))
-        .select(col("j"), col("lat_j"), col("lon_j"),
-          (expr("lat_j div 20") + col("o.dx")).as("cl"),
-          (expr("lon_j div 20") + col("o.dy")).as("cn"))
-      left.join(right, Seq("cl", "cn"))
-        .filter(col("i") < col("j"))
-        .withColumn("d2",
-          (col("lat_i") - col("lat_j")) * (col("lat_i") - col("lat_j")) +
-            (col("lon_i") - col("lon_j")) * (col("lon_i") - col("lon_j")))
-        .filter(col("d2") <= 400)
+        .select(col("user_id").as("id"),
+          pmod(col("user_id") * 131, lit(2400)).cast("int").as("x"),
+          pmod(col("user_id") * 197, lit(5600)).cast("int").as("y"))
+      graft.ops.GridJoin.neighborPairs(pts, radius = 20L)
         .groupBy(expr("d2 div 100").as("band"))
         .agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),
           max(col("d2")).as("max_d2"), sum(col("d2")).as("sum_d2"))
