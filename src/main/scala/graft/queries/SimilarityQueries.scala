@@ -305,5 +305,52 @@ object SimilarityQueries {
             LEFT JOIN hits h USING (q_id)""")
   )
 
-  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall)
+  /** J5 training-data depth — contrastive hard-negative mining: for each
+    * anchor, the top-3 most-similar vectors carrying a DIFFERENT label
+    * (similar-but-wrong is exactly what a contrastive loss needs; random
+    * negatives are too easy). Same exact-cosine plan family as
+    * j5_topk_cosine — broadcast anchor side, per-anchor window rank —
+    * with the label-mismatch predicate riding the join. At corpus scale
+    * the anchor batch stays broadcastable and the scan side rides the
+    * IVF/PQ index (j5_ivf_probe / j5_pq_adc); this is the oracle-exact
+    * baseline of that path. */
+  val hardNegatives = Q(
+    "j5_hard_negatives",
+    "Contrastive hard-negative mining: per anchor, top-3 nearest vectors with a different label; broadcast anchors, per-anchor window rank.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val anchors = broadcast(
+        base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      anchors.join(base, col("q_id") =!= col("vec_id") && col("q_label") =!= col("label"))
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), col("rank"), round(col("cos"), 6).as("cosine"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, label, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS q_id, q.label AS q_label, e.vec_id AS neg_id, e.label AS neg_label,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS cos
+              FROM n q JOIN n e ON q.vec_id < 8 AND q.vec_id <> e.vec_id AND q.label <> e.label),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id ASC) AS rank
+              FROM pairs)
+            SELECT q_id, q_label, neg_id, neg_label, rank, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall, hardNegatives)
 }
