@@ -548,7 +548,74 @@ object TextQueries {
             FROM toks GROUP BY source""")
   )
 
+  /** The apply side of the BPE loop — re-derive the 3 learned merges
+    * (deterministic, same argmax chain as x28_bpe_merges) and tokenize
+    * the corpus with them, emitting the per-source compression census:
+    * symbols-per-word fertility before/after. This is the number a
+    * tokenizer change actually moves in a training pipeline (tokens per
+    * document → cost per epoch). Same scale shape as the trainer: one
+    * pair-census shuffle per round + a final per-source aggregate. */
+  val bpeApply = Q(
+    "x28_bpe_apply",
+    "BPE apply: tokenize with the 3 learned merges; per-source word/symbol counts and exact-ratio fertility.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      var corpus = t.documents.select(col("doc_id"), col("source"), col("text"),
+        concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
+      for (_ <- 1 to 3) {
+        val toks = corpus.select(split(trim(col("seg")), "  ").as("toks"))
+        val pairs = toks.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1).collect()(0)
+        val p = top.getString(0)
+        corpus = corpus.withColumn("seg", call_function("replace", col("seg"),
+          lit(" " + p.replace(" ", "  ") + " "),
+          lit(" " + p.replace(' ', '_') + " ")))
+      }
+      corpus
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_words"),
+          sum(size(split(trim(col("seg")), "  "))).as("n_symbols"))
+        .withColumn("fertility",
+          round(col("n_symbols").cast("double") / col("n_words"), 6))
+    },
+    Some("""WITH c0 AS (
+              SELECT doc_id, source, text, ' ' || replace(text, ' ', '  ') || ' ' AS seg FROM documents
+            ), tk1 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c0),
+            p1 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk1, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+            c1 AS (SELECT doc_id, source, text, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m1),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m1)) AS seg FROM c0),
+            tk2 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c1),
+            p2 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk2, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
+            c2 AS (SELECT doc_id, source, text, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m2),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m2)) AS seg FROM c1),
+            tk3 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c2),
+            p3 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk3, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
+            c3 AS (SELECT doc_id, source, text, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m3),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m3)) AS seg FROM c2)
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+              CAST(sum(len(string_split(trim(seg, ' '), '  '))) AS BIGINT) AS n_symbols,
+              round(CAST(sum(len(string_split(trim(seg, ' '), '  '))) AS DOUBLE)
+                    / sum(len(string_split(text, ' '))), 6) AS fertility
+            FROM c3 GROUP BY source""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
-      bpeMerges, oovRate)
+      bpeMerges, bpeApply, oovRate)
 }

@@ -35,7 +35,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "w4_gap_fill", "w4_funnel", "e2e_hybrid_search", "j8_cooccurrence",
         "t6_event_collect", "a10_source_mixing", "x28_bpe_merges",
         "w5_ewma", "x28_oov_rate", "w6_robust_outliers", "w7_retention_cohorts",
-        "w8_change_detect", "sql_entry_q1")) {
+        "w8_change_detect", "sql_entry_q1", "x28_bpe_apply")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
