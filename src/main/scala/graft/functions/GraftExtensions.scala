@@ -31,6 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children(0), children(1))
       }
     ))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"minhash_sigs requires exactly 1 argument, got ${children.size}")
+        MinHashSigs(children(0))
+      }
+    ))
     ext.injectOptimizerRule(_ => FuseDotProduct)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

@@ -310,7 +310,7 @@ object CurationQueries {
       // two census passes over the gram stream (pre/post prune); a
       // long-lived job would fuse them with a conditional aggregate
       val telemetry = corpusGrams.agg(count(lit(1)).as("n_grams_total"))
-        .crossJoin(prunedGrams.agg(count(lit(1)).as("n_grams_pruned")))
+        .crossJoin(broadcast(prunedGrams.agg(count(lit(1)).as("n_grams_pruned"))))
       docs.filter(col("doc_id") % 50 =!= 0)
         .join(flagged.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
         .groupBy(col("source"))

@@ -66,16 +66,17 @@ object DedupQueries {
   /** MinHash signature → banded (doc_id, b, band_key) rows. One md5 per
     * token; the 6 signature functions are disjoint 20-bit (5 hex char)
     * slices of the single digest — same MinHash family trick as
-    * jaccardNgram at 1/6 the hashing cost. */
+    * jaccardNgram at 1/6 the hashing cost. Signatures come from the
+    * fused native kernel ([[graft.functions.MinHashSigs]], one digest
+    * per token + six running minima, no intermediate hash array);
+    * MinHashSigsSpec pins bit-identity with the composed
+    * transform/md5/array_min form. */
   private def bandsOf(toks: DataFrame): DataFrame = {
-    val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
-    val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
-      df.withColumn(s"mh$i",
-        array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
-    }
+    val sigs = toks.withColumn("mh", expr("minhash_sigs(toks)"))
     val bandStructs: Seq[Column] = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("b"),
-        concat(col(s"mh${BandRows * b}"), col(s"mh${BandRows * b + 1}")).as("band_key"))
+        concat(element_at(col("mh"), BandRows * b + 1),
+          element_at(col("mh"), BandRows * b + 2)).as("band_key"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
@@ -530,13 +531,13 @@ object DedupQueries {
       val t = Tables(s, dir)
       val toks = t.documents.filter(col("doc_id") < 60)
         .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
       // both sides of the self-join read this 60-row table: materialize
-      // once instead of running the md5-signature pipeline twice
-      val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
-        df.withColumn(s"mh$i",
-          array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
-      }.drop("hs").cache()
+      // once instead of running the md5-signature pipeline twice (fused
+      // native kernel; bit-identity pinned by MinHashSigsSpec)
+      val sigs = (0 until NumHashes).foldLeft(
+        toks.withColumn("mh", expr("minhash_sigs(toks)"))) { (df, i) =>
+        df.withColumn(s"mh$i", element_at(col("mh"), i + 1))
+      }.drop("mh").cache()
       val a = sigs.select(col("doc_id").as("i") +: col("toks").as("toks_i") +:
         (0 until NumHashes).map(k => col(s"mh$k").as(s"a_mh$k")): _*)
       val b = sigs.select(col("doc_id").as("j") +: col("toks").as("toks_j") +:
