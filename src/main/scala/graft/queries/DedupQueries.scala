@@ -94,7 +94,10 @@ object DedupQueries {
     allBands.join(keep, Seq("b", "band_key"))
   }
 
-  private[queries] def verifiedPairsOver(docs: DataFrame): DataFrame = {
+  /** Every LSH candidate pair with its exact Jaccard — the threshold-free
+    * core shared by the dedup queries (which keep jac >= 0.9) and the
+    * contrastive pair builder (which also wants the NEAR-misses). */
+  private[queries] def scoredPairsOver(docs: DataFrame): DataFrame = {
       val toks = tokenSets(docs)
 
       // Skew guard (production LSH practice): drop degenerate mega-buckets.
@@ -118,9 +121,13 @@ object DedupQueries {
         .withColumn("jac",
           col("inter").cast("double") /
             (size(col("toks_i")) + size(col("toks_j")) - col("inter")))
-        .filter(col("jac") >= 0.9)
-        .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
+        .select(col("i"), col("j"), col("jac"))
   }
+
+  private[queries] def verifiedPairsOver(docs: DataFrame): DataFrame =
+    scoredPairsOver(docs)
+      .filter(col("jac") >= 0.9)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jaccard"))
 
   val neardup = Q(
     "a10_neardup_minhash",

@@ -449,5 +449,76 @@ LEFT JOIN topo2 t ON s.site = t.site""")
             LEFT JOIN fc USING (source) LEFT JOIN cnt USING (source)""")
   )
 
-  def all: Seq[Q] = Seq(collect, collectFull, llmPipeline)
+  /** North-star composition #2 — a contrastive-training pair dataset
+    * built from the dedup machinery itself: the LSH candidate graph
+    * scores every bucket-sharing pair with exact Jaccard; pairs at
+    * >= 0.9 are the POSITIVES (same-content views), and the hardest
+    * sub-threshold candidates (0.5 <= jac < 0.9 — share shingles, not
+    * duplicates) are exactly the HARD NEGATIVES a contrastive loss
+    * wants. One top-1 window per role per anchor, then an anchor join:
+    * (anchor, positive, negative) triplets with their scores.
+    *
+    * Scale: everything rides the already-bounded LSH candidate set
+    * (banded equi-join, MaxBucket cap) — no new quadratic stage; the
+    * two windows partition by anchor. */
+  val contrastivePairs = Q(
+    "e2e_contrastive_pairs",
+    "Contrastive triplets from dedup machinery: best near-dup (jac>=0.9) as positive + hardest non-dup LSH candidate (0.5<=jac<0.9) as negative, per anchor.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = DedupQueries.scoredPairsOver(graft.Tables(s, dir).documents)
+      def top1(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("i")).orderBy(col("jac").desc, col("j").asc)))
+        .filter(col("rk") === 1)
+      val pos = top1(scored.filter(col("jac") >= 0.9))
+        .select(col("i").as("anchor"), col("j").as("positive"),
+          round(col("jac"), 6).as("pos_jac"))
+      val neg = top1(scored.filter(col("jac") >= 0.5 && col("jac") < 0.9))
+        .select(col("i").as("anchor"), col("j").as("negative"),
+          round(col("jac"), 6).as("neg_jac"))
+      pos.join(neg, "anchor")
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+            ), hs AS (
+              SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
+            ), sig AS (
+              SELECT doc_id, toks,
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM hs
+            ), all_bands AS (
+              SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 2)) AS t(b)
+            ), keep AS (
+              SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100
+            ), bands AS (
+              SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id
+            ), ver AS (
+              SELECT i, j,
+                CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE) /
+                (len(da.toks) + len(db.toks)
+                   - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) AS jac
+              FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j
+            ), pos AS (
+              SELECT i AS anchor, j AS positive, round(jac, 6) AS pos_jac
+              FROM (SELECT *, row_number() OVER (PARTITION BY i ORDER BY jac DESC, j ASC) AS rk
+                    FROM ver WHERE jac >= 0.9)
+              WHERE rk = 1
+            ), neg AS (
+              SELECT i AS anchor, j AS negative, round(jac, 6) AS neg_jac
+              FROM (SELECT *, row_number() OVER (PARTITION BY i ORDER BY jac DESC, j ASC) AS rk
+                    FROM ver WHERE jac >= 0.5 AND jac < 0.9)
+              WHERE rk = 1
+            )
+            SELECT pos.anchor, positive, pos_jac, negative, neg_jac
+            FROM pos JOIN neg USING (anchor)""")
+  )
+
+  def all: Seq[Q] = Seq(collect, collectFull, llmPipeline, contrastivePairs)
 }

@@ -22,7 +22,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "q17_small_qty_revenue", "q21_waiting_supplier",
     "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25",
     "j5_pq_adc", "t6_event_collect", "a10_decontaminate_pruned",
-    "j9_spatial_neighbors", "u4_merge_upsert", "j5_hard_negatives")
+    "j9_spatial_neighbors", "u4_merge_upsert", "j5_hard_negatives",
+    "e2e_contrastive_pairs")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
