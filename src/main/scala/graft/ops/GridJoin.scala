@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
 object GridJoin {
 
   /** @param points columns (id: long, x: int/long, y: int/long) —
-    *               integer coordinates so distances are exact Longs
+    *               integer coordinates so distances are exact Longs.
+    *               Negative coordinates are fine: `div` truncates toward
+    *               zero (the cell straddling zero is 2r−1 wide instead
+    *               of r), but cell boundaries stay >= r apart, so two
+    *               points within r still differ by at most one cell
+    *               index per axis and the 3×3 ring remains complete —
+    *               GridJoinRandomSpec exercises negative offsets.
     * @param radius inclusive distance bound (same unit as x/y); also the
     *               cell edge
     * @return (i, j, d2) with i < j and d2 = squared distance <= radius²

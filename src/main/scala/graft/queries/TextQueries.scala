@@ -438,6 +438,25 @@ object TextQueries {
     * + one vocab distinct + a row-local replace; the per-round driver
     * sync (one argmax row) is the trainer's inherent iteration barrier,
     * same as j5_kmeans_iter's. */
+  /** One BPE trainer round over a `seg`-segmented corpus: adjacent-pair
+    * census → argmax (count desc, pair asc — the one-row driver sync, as
+    * in j5_kmeans_iter) → re-segmented corpus. Shared by the trainer
+    * census and the apply side so the learned merges cannot drift. */
+  private def bpeRound(corpus: DataFrame): (DataFrame, String, Long) = {
+    val toks = corpus.select(split(trim(col("seg")), "  ").as("toks"))
+    val pairs = toks.select(explode(zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))).as("pair"))
+    val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(1).collect()(0)
+    val (p, n) = (top.getString(0), top.getLong(1))
+    val merged = corpus.withColumn("seg", call_function("replace", col("seg"),
+      lit(" " + p.replace(" ", "  ") + " "),
+      lit(" " + p.replace(' ', '_') + " ")))
+    (merged, p, n)
+  }
+
   val bpeMerges = Q(
     "x28_bpe_merges",
     "BPE trainer loop: 3 rounds of adjacent-pair census -> argmax merge -> re-segmentation; emits each round's merge, count, and vocab size.",
@@ -448,17 +467,8 @@ object TextQueries {
         concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
       for (round <- 1 to 3) {
-        val toks = corpus.select(split(trim(col("seg")), "  ").as("toks"))
-        val pairs = toks.select(explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("pair"))
-        val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1).collect()(0)
-        val (p, n) = (top.getString(0), top.getLong(1))
-        corpus = corpus.withColumn("seg", call_function("replace", col("seg"),
-          lit(" " + p.replace(" ", "  ") + " "),
-          lit(" " + p.replace(' ', '_') + " ")))
+        val (merged, p, n) = bpeRound(corpus)
+        corpus = merged
         val vocab = corpus
           .select(explode(split(trim(col("seg")), "  ")).as("sym"))
           .agg(count_distinct(col("sym"))).collect()(0).getLong(0)
@@ -562,19 +572,7 @@ object TextQueries {
       val t = Tables(s, dir)
       var corpus = t.documents.select(col("doc_id"), col("source"), col("text"),
         concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
-      for (_ <- 1 to 3) {
-        val toks = corpus.select(split(trim(col("seg")), "  ").as("toks"))
-        val pairs = toks.select(explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("pair"))
-        val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1).collect()(0)
-        val p = top.getString(0)
-        corpus = corpus.withColumn("seg", call_function("replace", col("seg"),
-          lit(" " + p.replace(" ", "  ") + " "),
-          lit(" " + p.replace(' ', '_') + " ")))
-      }
+      for (_ <- 1 to 3) corpus = bpeRound(corpus)._1
       corpus
         .groupBy(col("source"))
         .agg(
