@@ -54,8 +54,12 @@ object Bench {
     // The driver captures stdout with a tail cut that can truncate the
     // per-query map mid-dict; persist the full line so every query stays
     // machine-diffable (tools/bench_diff.py reads this file too).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_out.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // Filtered local runs (SPARK_GRAFT_ONLY) must NOT clobber the full
+    // suite file with a subset.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_out.json"), line + "\n")
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
