@@ -66,17 +66,23 @@ object DedupQueries {
   /** MinHash signature → banded (doc_id, b, band_key) rows. One md5 per
     * token; the 6 signature functions are disjoint 20-bit (5 hex char)
     * slices of the single digest — same MinHash family trick as
-    * jaccardNgram at 1/6 the hashing cost. Signatures come from the
-    * fused native kernel ([[graft.functions.MinHashSigs]], one digest
-    * per token + six running minima, no intermediate hash array);
-    * MinHashSigsSpec pins bit-identity with the composed
-    * transform/md5/array_min form. */
+    * jaccardNgram at 1/6 the hashing cost.
+    *
+    * Stays the COMPOSED transform/md5/array_min form: the fused native
+    * kernel ([[graft.functions.MinHashSigs]], bit-identity pinned by
+    * MinHashSigsSpec, live in a10_minhash_quality and as SQL
+    * `minhash_sigs`) measured ~10% slower here — Spark's codegen'd
+    * built-ins beat the per-minimum UTF8String allocations at this
+    * token width, so the built-ins keep the hot path. */
   private def bandsOf(toks: DataFrame): DataFrame = {
-    val sigs = toks.withColumn("mh", expr("minhash_sigs(toks)"))
+    val hashed = toks.withColumn("hs", transform(col("toks"), tk => md5(tk)))
+    val sigs = (0 until NumHashes).foldLeft(hashed) { (df, i) =>
+      df.withColumn(s"mh$i",
+        array_min(transform(col("hs"), h => substring(h, 1 + 5 * i, 5))))
+    }
     val bandStructs: Seq[Column] = (0 until NumHashes / BandRows).map { b =>
       struct(lit(b).as("b"),
-        concat(element_at(col("mh"), BandRows * b + 1),
-          element_at(col("mh"), BandRows * b + 2)).as("band_key"))
+        concat(col(s"mh${BandRows * b}"), col(s"mh${BandRows * b + 1}")).as("band_key"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
