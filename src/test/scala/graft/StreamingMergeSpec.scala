@@ -45,12 +45,15 @@ class StreamingMergeSpec extends SparkSpecBase {
       assert(shrank == 0, s"per-user count shrank between $a and $b")
     }
 
-    // idempotent retry: re-merging the LAST batch's delta against the
-    // version before it reproduces the final version exactly
+    // the retry guarantee's load-bearing bit: the apply path's snapshot
+    // lookup for batch N must resolve to the version BEFORE N, never N's
+    // own (possibly partial) earlier attempt
     val lastId = vs.last.split("/v").last.toLong
     val prev = StreamingMerge.latestSnapshot(spark, snap, beforeBatch = lastId)
-    // (only checkable when >= 2 versions and we can reconstruct the last
-    // delta; covered by the monotonicity + equality assertions above)
-    assert(prev.isDefined)
+      .getOrElse(fail("no pre-batch version resolvable"))
+    val prevTotal = prev.agg(sum(col("n_events"))).head().getLong(0)
+    val finalTotal = finalSnap.agg(sum(col("n_events"))).head().getLong(0)
+    assert(prevTotal < finalTotal,
+      "beforeBatch lookup resolved to the final version — a retry would double-apply")
   }
 }
