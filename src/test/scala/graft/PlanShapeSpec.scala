@@ -124,6 +124,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftOuter"), "left outer join was degraded — zero bucket lost")
   }
 
+  test("u4_merge_upsert: the CDC apply stays one full-outer join on the key") {
+    val p = plan("u4_merge_upsert")
+    assert(p.contains("FullOuter"), "merge degraded — the insert or carry-over leg was lost")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("j9_spatial_neighbors: candidates come from a cell equi-join, never a quadratic plan") {
+    val p = plan("j9_spatial_neighbors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "grid join degraded to all-pairs")
+  }
+
   test("j5_pq_adc: LUT side broadcasts, code scan never nested-loops against raw vectors") {
     val p = plan("j5_pq_adc")
     assert(!p.contains("CartesianProduct"), "PQ-ADC degraded to a cartesian")
