@@ -15,6 +15,14 @@ object Bench {
     // optional comma-separated name filter for local per-query iteration
     // (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // a misspelled name would otherwise be silently filtered to an
+    // empty (exit-0) run — warn loudly so local iteration isn't misled
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"WARNING: SPARK_GRAFT_ONLY names match no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -32,7 +32,9 @@ object CollectPipeline {
   /** F1-F4 — accept/reject with accumulated error strings (X27).
     * The four predicates materialize once as boolean columns behind a
     * projection boundary (boundsOk is referenced twice in the error
-    * array; inlining it would re-run the compound range checks). */
+    * array; inlining it would re-run the compound range checks). The
+    * scratch columns are namespaced `__graft_*` so a caller column of
+    * the same spelling is never clobbered and dropped. */
   def validate(requests: DataFrame): DataFrame = {
     val boundsOk = col("lat").between(-90, 90) && col("lon").between(-180, 180) &&
       !(col("lat") === 0 && col("lon") === 0)
@@ -43,18 +45,18 @@ object CollectPipeline {
     val idOk = col("event_id").isNull ||
       (length(col("event_id")).between(3, 100) && col("event_id").rlike("^[a-zA-Z0-9_-]+$"))
     requests
-      .withColumn("_bounds_ok", boundsOk)
-      .withColumn("_us_ok", usOk)
-      .withColumn("_buffer_ok", bufferOk)
-      .withColumn("_id_ok", idOk)
+      .withColumn("__graft_bounds_ok", boundsOk)
+      .withColumn("__graft_us_ok", usOk)
+      .withColumn("__graft_buffer_ok", bufferOk)
+      .withColumn("__graft_id_ok", idOk)
       .withColumn("errors", filter(array(
-        when(!col("_bounds_ok"), "invalid coordinates"),
-        when(col("_bounds_ok") && !col("_us_ok"), "outside supported US regions"),
-        when(!col("_buffer_ok"), "buffer out of range"),
-        when(!col("_id_ok"), "invalid event id")
+        when(!col("__graft_bounds_ok"), "invalid coordinates"),
+        when(col("__graft_bounds_ok") && !col("__graft_us_ok"), "outside supported US regions"),
+        when(!col("__graft_buffer_ok"), "buffer out of range"),
+        when(!col("__graft_id_ok"), "invalid event id")
       ), e => e.isNotNull))
       .withColumn("valid", size(col("errors")) === 0)
-      .drop("_bounds_ok", "_us_ok", "_buffer_ok", "_id_ok")
+      .drop("__graft_bounds_ok", "__graft_us_ok", "__graft_buffer_ok", "__graft_id_ok")
   }
 
   /** Deterministic per-source "fetch" kernels — pure functions of the

@@ -24,6 +24,12 @@ object GridJoin {
 
   /** @param points columns (id: long, x: int/long, y: int/long) —
     *               integer coordinates so distances are exact Longs.
+    *               Ids MUST be distinct: the exactly-once guarantee
+    *               hangs on `i < j`, so two rows sharing an id at
+    *               different coordinates would silently drop their
+    *               mutual pair (id-equal candidates fail i < j).
+    *               Disambiguate with a row index first if ids can
+    *               repeat.
     *               Negative coordinates are fine: `div` truncates toward
     *               zero (the cell straddling zero is 2r−1 wide instead
     *               of r), but cell boundaries stay >= r apart, so two

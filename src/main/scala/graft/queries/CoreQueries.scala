@@ -454,12 +454,18 @@ object CoreQueries {
             .otherwise(col("doc_id") + col("mx") + 1).as("doc_id"),
           col("source"),
           (col("n_chars") + 3).as("n_chars")) // the "v2:" body
-      snap.select(col("doc_id"), col("source").as("s_source"), col("n_chars").as("s_chars"))
-        .join(batch.select(col("doc_id"), col("source").as("b_source"), col("n_chars").as("b_chars")),
+      // outcome classification keys off explicit presence markers (a
+      // lit(1) per side), NOT payload nullability — a NULL n_chars in a
+      // matched row must still classify as 'updated', exactly as the
+      // oracle's `doc_id IS NOT NULL` does.
+      snap.select(col("doc_id"), lit(1).as("s_present"),
+          col("source").as("s_source"), col("n_chars").as("s_chars"))
+        .join(batch.select(col("doc_id"), lit(1).as("b_present"),
+            col("source").as("b_source"), col("n_chars").as("b_chars")),
           Seq("doc_id"), "full_outer")
         .withColumn("outcome",
-          when(col("s_chars").isNotNull && col("b_chars").isNotNull, "updated")
-            .when(col("b_chars").isNotNull, "inserted")
+          when(col("s_present").isNotNull && col("b_present").isNotNull, "updated")
+            .when(col("b_present").isNotNull, "inserted")
             .otherwise("carried"))
         .withColumn("source", coalesce(col("b_source"), col("s_source")))
         .withColumn("n_chars", coalesce(col("b_chars"), col("s_chars")))

@@ -185,11 +185,13 @@ object SourceQueries {
     * pass a 100 TB OPTIMIZE job runs, and the file_id would be the
     * range-partitioning key of the rewrite.
     *
-    * Precondition: u and h are non-negative (user_id >= 0 and every
-    * event at/after the 2024-01-01 anchor — true of the events table's
-    * domain). The quantization relies on it: Spark's `div` truncates
-    * toward zero while the oracle's `//` floors, so a negative u or h
-    * would silently diverge cross-engine. */
+    * Sign safety: quantization is min-shifted —
+    * `((v - min) * 256) div (max - min + 1)` — so the numerator is
+    * always non-negative and the denominator positive, which makes
+    * Spark's truncating `div` coincide exactly with the oracle's
+    * flooring `//`. Events before the 2024-01-01 anchor (negative h) or
+    * negative user ids quantize correctly on both engines;
+    * ZorderQuantizationSpec model-checks that on a pre-anchor fixture. */
   val zorder = Q(
     "s9_zorder_layout",
     "Z-order vs linear layout: Morton-coded 32-file assignment, per-file min/max stats, files-touched comparison for point and range queries.",
@@ -198,35 +200,16 @@ object SourceQueries {
       val e = t.events.select(
         col("user_id").cast("long").as("u"),
         expr("timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)").as("h"))
-      val mx = e.agg(max(col("u")).as("mu"), max(col("h")).as("mh"))
-      val zExpr = (0 until 8).map(i =>
-        s"(((u8 div ${1 << i}) % 2) * ${1L << (2 * i)} + ((h8 div ${1 << i}) % 2) * ${1L << (2 * i + 1)})")
-        .mkString(" + ")
-      val files = e.crossJoin(broadcast(mx))
-        .withColumn("u8", expr("(u * 256) div (mu + 1)"))
-        .withColumn("h8", expr("(h * 256) div (mh + 1)"))
-        .withColumn("z", expr(zExpr))
-        .withColumn("zfile", expr("z div 2048"))
-        .withColumn("linfile", expr("(h8 * 32) div 256"))
-      def stats(fileCol: String, layout: String) = files
-        .groupBy(col(fileCol).as("file_id"))
-        .agg(min(col("u")).as("minu"), max(col("u")).as("maxu"),
-          min(col("h")).as("minh"), max(col("h")).as("maxh"))
-        .withColumn("layout", lit(layout))
-      stats("zfile", "zorder").unionByName(stats("linfile", "linear"))
-        .groupBy(col("layout"))
-        .agg(
-          count(lit(1)).as("n_files"),
-          count(when(col("minu") <= 7 && col("maxu") >= 7, 1)).as("files_user_q"),
-          count(when(col("minh") <= 115 && col("maxh") >= 100, 1)).as("files_time_q"))
+      zorderStats(e)
     },
     Some("""WITH e AS (
               SELECT CAST(user_id AS BIGINT) AS u,
                      date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS h
               FROM events
-            ), mx AS (SELECT max(u) AS mu, max(h) AS mh FROM e),
+            ), mx AS (SELECT min(u) AS mnu, max(u) AS mu, min(h) AS mnh, max(h) AS mh FROM e),
             sc AS (
-              SELECT u, h, (u * 256) // (mu + 1) AS u8, (h * 256) // (mh + 1) AS h8
+              SELECT u, h, ((u - mnu) * 256) // (mu - mnu + 1) AS u8,
+                           ((h - mnh) * 256) // (mh - mnh + 1) AS h8
               FROM e CROSS JOIN mx
             ), z AS (
               SELECT u, h, h8,
@@ -249,6 +232,36 @@ object SourceQueries {
               count(CASE WHEN minh <= 115 AND maxh >= 100 THEN 1 END) AS files_time_q
             FROM st GROUP BY layout""")
   )
+
+  /** The z-order layout comparison over a `(u, h)` long-keyed input —
+    * factored out of `s9_zorder_layout` so ZorderQuantizationSpec can
+    * model-check it on inputs the fixtures never produce (negative user
+    * ids, pre-anchor hours). Min-shifted quantization keeps the `div`
+    * numerator non-negative, so truncation == floor on any sign. */
+  private[graft] def zorderStats(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mx = e.agg(min(col("u")).as("mnu"), max(col("u")).as("mu"),
+      min(col("h")).as("mnh"), max(col("h")).as("mh"))
+    val zExpr = (0 until 8).map(i =>
+      s"(((u8 div ${1 << i}) % 2) * ${1L << (2 * i)} + ((h8 div ${1 << i}) % 2) * ${1L << (2 * i + 1)})")
+      .mkString(" + ")
+    val files = e.crossJoin(broadcast(mx))
+      .withColumn("u8", expr("((u - mnu) * 256) div (mu - mnu + 1)"))
+      .withColumn("h8", expr("((h - mnh) * 256) div (mh - mnh + 1)"))
+      .withColumn("z", expr(zExpr))
+      .withColumn("zfile", expr("z div 2048"))
+      .withColumn("linfile", expr("(h8 * 32) div 256"))
+    def stats(fileCol: String, layout: String) = files
+      .groupBy(col(fileCol).as("file_id"))
+      .agg(min(col("u")).as("minu"), max(col("u")).as("maxu"),
+        min(col("h")).as("minh"), max(col("h")).as("maxh"))
+      .withColumn("layout", lit(layout))
+    stats("zfile", "zorder").unionByName(stats("linfile", "linear"))
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        count(when(col("minu") <= 7 && col("maxu") >= 7, 1)).as("files_user_q"),
+        count(when(col("minh") <= 115 && col("maxh") >= 100, 1)).as("files_time_q"))
+  }
 
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning, zorder)
 }
