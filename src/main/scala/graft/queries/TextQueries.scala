@@ -438,6 +438,43 @@ object TextQueries {
     * + one vocab distinct + a row-local replace; the per-round driver
     * sync (one argmax row) is the trainer's inherent iteration barrier,
     * same as j5_kmeans_iter's. */
+  /** Number of BPE trainer rounds — the ONE knob for both the engine
+    * loops and the generated oracle CTE chains, so any round count
+    * stays cross-engine green (`SPARK_GRAFT_BPE_ROUNDS=5 tools/gate.sh`
+    * proves it; default 3 keeps bench numbers comparable across
+    * rounds). Verify dumps the oracle from the same JVM, so the env
+    * override reaches both engines in lock-step. */
+  private[graft] val BpeRounds: Int =
+    sys.env.get("SPARK_GRAFT_BPE_ROUNDS").map(_.toInt).getOrElse(3)
+
+  /** The oracle's per-round CTE chain (tokenize → pair census → argmax
+    * merge → re-segmented corpus), generated instead of hand-unrolled so
+    * `BpeRounds` is the single source of truth. `carry` threads extra
+    * projected columns (the apply side keeps source/text);
+    * `withVocab` adds the per-round distinct-symbol census the trainer
+    * emits. */
+  private def bpeOracleChain(rounds: Int, carry: String, withVocab: Boolean): String = {
+    val sb = new StringBuilder(
+      s"""WITH c0 AS (
+              SELECT doc_id$carry, ' ' || replace(text, ' ', '  ') || ' ' AS seg FROM documents
+            )""")
+    for (r <- 1 to rounds) {
+      val prev = s"c${r - 1}"
+      sb ++= s""",
+            tk$r AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM $prev),
+            p$r AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
+                   FROM tk$r, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
+            m$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1),
+            c$r AS (SELECT doc_id$carry, replace(seg,
+                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m$r),
+                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m$r)) AS seg FROM $prev)"""
+      if (withVocab) sb ++= s""",
+            v$r AS (SELECT count(DISTINCT sym) AS vocab
+                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c$r))"""
+    }
+    sb.toString
+  }
+
   /** One BPE trainer round over a `seg`-segmented corpus: adjacent-pair
     * census → argmax (count desc, pair asc — the one-row driver sync, as
     * in j5_kmeans_iter) → re-segmented corpus. Shared by the trainer
@@ -459,14 +496,14 @@ object TextQueries {
 
   val bpeMerges = Q(
     "x28_bpe_merges",
-    "BPE trainer loop: 3 rounds of adjacent-pair census -> argmax merge -> re-segmentation; emits each round's merge, count, and vocab size.",
+    s"BPE trainer loop: $BpeRounds rounds of adjacent-pair census -> argmax merge -> re-segmentation; emits each round's merge, count, and vocab size.",
     (s, dir) => {
       import s.implicits._
       val t = Tables(s, dir)
       var corpus = t.documents.select(col("doc_id"),
         concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
       val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-      for (round <- 1 to 3) {
+      for (round <- 1 to BpeRounds) {
         val (merged, p, n) = bpeRound(corpus)
         corpus = merged
         val vocab = corpus
@@ -476,41 +513,11 @@ object TextQueries {
       }
       merges.toSeq.toDF("round", "merged_pair", "n_occurrences", "vocab_after")
     },
-    Some("""WITH c0 AS (
-              SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS seg FROM documents
-            ), tk1 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c0),
-            p1 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
-                   FROM tk1, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
-            m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
-            c1 AS (SELECT doc_id, replace(seg,
-                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m1),
-                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m1)) AS seg FROM c0),
-            v1 AS (SELECT count(DISTINCT sym) AS vocab
-                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c1)),
-            tk2 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c1),
-            p2 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
-                   FROM tk2, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
-            m2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
-            c2 AS (SELECT doc_id, replace(seg,
-                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m2),
-                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m2)) AS seg FROM c1),
-            v2 AS (SELECT count(DISTINCT sym) AS vocab
-                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c2)),
-            tk3 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c2),
-            p3 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
-                   FROM tk3, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
-            m3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
-            c3 AS (SELECT doc_id, replace(seg,
-                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m3),
-                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m3)) AS seg FROM c2),
-            v3 AS (SELECT count(DISTINCT sym) AS vocab
-                   FROM (SELECT unnest(string_split(trim(seg, ' '), '  ')) AS sym FROM c3))
-            SELECT 1 AS round, (SELECT pair FROM m1) AS merged_pair,
-                   (SELECT n FROM m1) AS n_occurrences, (SELECT vocab FROM v1) AS vocab_after
-            UNION ALL
-            SELECT 2, (SELECT pair FROM m2), (SELECT n FROM m2), (SELECT vocab FROM v2)
-            UNION ALL
-            SELECT 3, (SELECT pair FROM m3), (SELECT n FROM m3), (SELECT vocab FROM v3)""")
+    Some(bpeOracleChain(BpeRounds, carry = "", withVocab = true) + "\n" +
+      (1 to BpeRounds).map(r =>
+        s"""SELECT $r AS round, (SELECT pair FROM m$r) AS merged_pair,
+                   (SELECT n FROM m$r) AS n_occurrences, (SELECT vocab FROM v$r) AS vocab_after""")
+        .mkString("\n            UNION ALL\n"))
   )
 
   /** Out-of-vocabulary rate — the language-model-perplexity proxy that
@@ -567,12 +574,12 @@ object TextQueries {
     * pair-census shuffle per round + a final per-source aggregate. */
   val bpeApply = Q(
     "x28_bpe_apply",
-    "BPE apply: tokenize with the 3 learned merges; per-source word/symbol counts and exact-ratio fertility.",
+    s"BPE apply: tokenize with the $BpeRounds learned merges; per-source word/symbol counts and exact-ratio fertility.",
     (s, dir) => {
       val t = Tables(s, dir)
       var corpus = t.documents.select(col("doc_id"), col("source"), col("text"),
         concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
-      for (_ <- 1 to 3) corpus = bpeRound(corpus)._1
+      for (_ <- 1 to BpeRounds) corpus = bpeRound(corpus)._1
       corpus
         .groupBy(col("source"))
         .agg(
@@ -582,35 +589,13 @@ object TextQueries {
         .withColumn("fertility",
           round(col("n_symbols").cast("double") / col("n_words"), 6))
     },
-    Some("""WITH c0 AS (
-              SELECT doc_id, source, text, ' ' || replace(text, ' ', '  ') || ' ' AS seg FROM documents
-            ), tk1 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c0),
-            p1 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
-                   FROM tk1, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
-            m1 AS (SELECT pair FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
-            c1 AS (SELECT doc_id, source, text, replace(seg,
-                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m1),
-                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m1)) AS seg FROM c0),
-            tk2 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c1),
-            p2 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
-                   FROM tk2, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
-            m2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair ASC LIMIT 1),
-            c2 AS (SELECT doc_id, source, text, replace(seg,
-                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m2),
-                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m2)) AS seg FROM c1),
-            tk3 AS (SELECT string_split(trim(seg, ' '), '  ') AS toks FROM c2),
-            p3 AS (SELECT toks[i] || ' ' || toks[i+1] AS pair, count(*) AS n
-                   FROM tk3, unnest(generate_series(1, len(toks) - 1)) AS g(i) GROUP BY 1),
-            m3 AS (SELECT pair FROM p3 ORDER BY n DESC, pair ASC LIMIT 1),
-            c3 AS (SELECT doc_id, source, text, replace(seg,
-                     (SELECT ' ' || replace(pair, ' ', '  ') || ' ' FROM m3),
-                     (SELECT ' ' || replace(pair, ' ', '_') || ' ' FROM m3)) AS seg FROM c2)
+    Some(bpeOracleChain(BpeRounds, carry = ", source, text", withVocab = false) + s"""
             SELECT source, count(*) AS n_docs,
               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
               CAST(sum(len(string_split(trim(seg, ' '), '  '))) AS BIGINT) AS n_symbols,
               round(CAST(sum(len(string_split(trim(seg, ' '), '  '))) AS DOUBLE)
                     / sum(len(string_split(text, ' '))), 6) AS fertility
-            FROM c3 GROUP BY source""")
+            FROM c$BpeRounds GROUP BY source""")
   )
 
   def all: Seq[Q] =
