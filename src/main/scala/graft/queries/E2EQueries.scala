@@ -520,5 +520,90 @@ LEFT JOIN topo2 t ON s.site = t.site""")
             FROM pos JOIN neg USING (anchor)""")
   )
 
-  def all: Seq[Q] = Seq(collect, collectFull, llmPipeline, contrastivePairs)
+  /** The reference's claimed (never-implemented) 1-hour request cache
+    * (orchestrator.py:657; Redis provisioned but unused) as a real
+    * keyed result-table lookup — SURVEY §7's "optional keyed
+    * result-table lookup", the last SURVEY-named component. Three daily
+    * request batches (events, keyed by user) replay through
+    * [[graft.ops.ResultCache]] with a 48 h TTL; the computed "result"
+    * is stamped with its compute batch (`key*10 + batch`), so a served
+    * hit is *observably* the cached value — the census checksum can
+    * only match if hits really bypass recompute and expiry really
+    * refreshes. Batch 1 is all cold; batch 2 hits everything cached a
+    * day earlier; batch 3 splits hit/expired on the exact 48 h
+    * microsecond boundary against each entry's batch-1 cached_at (hits
+    * never extend TTL). ResultCacheSpec proves the other half: compute
+    * receives zero rows on a within-TTL replay. */
+  val resultCache = Q(
+    "e2e_result_cache",
+    "Keyed result cache with 48h TTL over 3 daily request batches: hit/cold/expired census with compute-batch-stamped checksums.",
+    (s, dir) => {
+      val t = graft.Tables(s, dir)
+      val reqs = t.events.select(col("user_id").cast("long").as("key"), col("ts"))
+      val days = Seq("2024-01-01" -> "2024-01-02", "2024-01-02" -> "2024-01-03",
+        "2024-01-03" -> "2024-01-04")
+      var cache = reqs.filter(lit(false))
+        .select(col("key"), (col("key") * 0).as("v"), col("ts").as("cached_at"))
+      val censuses = days.zipWithIndex.map { case ((lo, hi), i) =>
+        val batch = reqs.filter(col("ts") >= lit(lo).cast("timestamp") &&
+          col("ts") < lit(hi).cast("timestamp"))
+        val step = graft.ops.ResultCache.serve(cache, batch, ttlSeconds = 172800L,
+          compute = misses => misses.withColumn("v", col("key") * 10 + (i + 1)))
+        cache = step.cache
+        step.served.groupBy(col("outcome"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("v")).as("sum_served"))
+          .withColumn("batch", lit(i + 1))
+      }
+      censuses.reduce(_ unionByName _)
+        .select(col("batch"), col("outcome"), col("n_keys"), col("sum_served"))
+    },
+    Some("""WITH r1 AS (
+              SELECT CAST(user_id AS BIGINT) AS key, min(ts) AS rts FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02' GROUP BY 1
+            ), s1 AS (
+              SELECT key, rts, 'cold' AS outcome, key * 10 + 1 AS v, rts AS cached_at FROM r1
+            ), c1 AS (
+              SELECT key, v, cached_at FROM s1
+            ), r2 AS (
+              SELECT CAST(user_id AS BIGINT) AS key, min(ts) AS rts FROM events
+              WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03' GROUP BY 1
+            ), s2 AS (
+              SELECT r.key, r.rts,
+                CASE WHEN c.cached_at IS NOT NULL
+                          AND epoch_us(r.rts) - epoch_us(c.cached_at) <= 172800000000 THEN 'hit'
+                     WHEN c.cached_at IS NOT NULL THEN 'expired' ELSE 'cold' END AS outcome,
+                CASE WHEN c.cached_at IS NOT NULL
+                          AND epoch_us(r.rts) - epoch_us(c.cached_at) <= 172800000000 THEN c.v
+                     ELSE r.key * 10 + 2 END AS v,
+                CASE WHEN c.cached_at IS NOT NULL
+                          AND epoch_us(r.rts) - epoch_us(c.cached_at) <= 172800000000 THEN c.cached_at
+                     ELSE r.rts END AS cached_at
+              FROM r2 r LEFT JOIN c1 c USING (key)
+            ), c2 AS (
+              SELECT key, v, cached_at FROM s2
+              UNION ALL
+              SELECT key, v, cached_at FROM c1 WHERE key NOT IN (SELECT key FROM r2)
+            ), r3 AS (
+              SELECT CAST(user_id AS BIGINT) AS key, min(ts) AS rts FROM events
+              WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-04' GROUP BY 1
+            ), s3 AS (
+              SELECT r.key, r.rts,
+                CASE WHEN c.cached_at IS NOT NULL
+                          AND epoch_us(r.rts) - epoch_us(c.cached_at) <= 172800000000 THEN 'hit'
+                     WHEN c.cached_at IS NOT NULL THEN 'expired' ELSE 'cold' END AS outcome,
+                CASE WHEN c.cached_at IS NOT NULL
+                          AND epoch_us(r.rts) - epoch_us(c.cached_at) <= 172800000000 THEN c.v
+                     ELSE r.key * 10 + 3 END AS v
+              FROM r3 r LEFT JOIN c2 c USING (key)
+            ), all_served AS (
+              SELECT 1 AS batch, outcome, v FROM s1
+              UNION ALL SELECT 2, outcome, v FROM s2
+              UNION ALL SELECT 3, outcome, v FROM s3
+            )
+            SELECT batch, outcome, count(*) AS n_keys,
+              CAST(sum(v) AS BIGINT) AS sum_served
+            FROM all_served GROUP BY batch, outcome""")
+  )
+
+  def all: Seq[Q] = Seq(collect, collectFull, llmPipeline, contrastivePairs, resultCache)
 }

@@ -23,7 +23,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25",
     "j5_pq_adc", "t6_event_collect", "a10_decontaminate_pruned",
     "j9_spatial_neighbors", "u4_merge_upsert", "j5_hard_negatives",
-    "e2e_contrastive_pairs")
+    "e2e_contrastive_pairs", "e2e_result_cache")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
@@ -36,7 +36,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "w4_gap_fill", "w4_funnel", "e2e_hybrid_search", "j8_cooccurrence",
         "t6_event_collect", "a10_source_mixing", "x28_bpe_merges",
         "w5_ewma", "x28_oov_rate", "w6_robust_outliers", "w7_retention_cohorts",
-        "w8_change_detect", "sql_entry_q1", "x28_bpe_apply")) {
+        "w8_change_detect", "sql_entry_q1", "x28_bpe_apply",
+        "e2e_result_cache")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
