@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve bench: time the same registered queries against TWO
+  * fixture dirs (e.g. sf0.1 and the ScaleGen'd sf1) in ONE JVM, with
+  * the per-query runs INTERLEAVED small/big — so host-speed drift
+  * (measured at ±60% across sessions on this box) hits both sides of
+  * every ratio equally and the sf-to-sf curve is trustworthy. Usage:
+  *
+  *   sbt "runMain graft.ScaleBench [smallDir] [bigDir] [outFile]"
+  *
+  * Per query: one untimed warm-up on each side, then three timed
+  * (small, big) pairs; reports min-of-3 per side and the big/small
+  * ratio. Emits one JSON line (and writes it to outFile) with per-query
+  * {small, big, ratio, rows_small, rows_big}.
+  */
+object ScaleBench {
+
+  /** The audit set: the most expensive queries of the committed sf0.1
+    * bench plus every operator whose 100 TB story deserves a measured
+    * curve (banded dedup, semantic dedup, distributed prefix-sum
+    * sampling, grid spatial join, CDC merge, BPE trainer, event-collect
+    * composition). Fixture-staged queries (s1/s9) are excluded — they
+    * bench write paths keyed to the driver dirs. */
+  val Audit: Seq[String] = Seq(
+    "e2e_llm_pipeline", "a10_dedup_clusters", "a10_neardup_minhash",
+    "a10_jaccard_ngram", "a10_semdedup", "a10_sample_weighted",
+    "a10_decontaminate_pruned", "j5_pq_adc", "j5_topk_cosine",
+    "q21_waiting_supplier", "q10_returned_top", "q11_value_share",
+    "q12_conditional_agg", "q3_join_topk", "q8_market_share",
+    "j8_cooccurrence", "j9_spatial_neighbors", "u4_merge_upsert",
+    "t6_event_collect", "x28_bpe_merges", "x28_bpe_apply",
+    "w6_robust_outliers", "w7_retention_cohorts", "e2e_contrastive_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "/root/repo/target/scale/sf1"
+    val outFile = if (args.length > 2) args(2) else "/root/repo/target/scale/scale_bench.json"
+    val spark = GraftSession.local("graft-scalebench")
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+             dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (dt, n)
+    }
+
+    val rows = Audit.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      once(fn, small); once(fn, big) // warm-up both sides, untimed
+      val timed = (1 to 3).map(_ => (once(fn, small), once(fn, big)))
+      val (s, b) = (timed.map(_._1._1).min, timed.map(_._2._1).min)
+      val (ns, nb) = (timed.head._1._2, timed.head._2._2)
+      println(f"[scalebench] $name%-28s small=$s%8.3f  big=$b%8.3f  ratio=${b / s}%6.2f  rows=$ns%d/$nb%d")
+      name -> (s, b, ns, nb)
+    }
+
+    val qJson = rows.map { case (n, (s, b, ns, nb)) =>
+      s""""$n":{"small":$s,"big":$b,"ratio":${b / s},"rows_small":$ns,"rows_big":$nb}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_curve","small_dir":"$small","big_dir":"$big","queries":$qJson}"""
+    println(line)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    spark.stop()
+  }
+}
