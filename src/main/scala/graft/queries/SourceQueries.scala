@@ -233,6 +233,57 @@ object SourceQueries {
             FROM st GROUP BY layout""")
   )
 
+  /** S9 ⊕ — compaction planning (the OPTIMIZE/small-files pass): given
+    * per-file stats (one row per file: partition, position, bytes),
+    * assign files to target-size output bins with an exclusive prefix
+    * sum — `bin = floor(cum_bytes_before / target)` per table
+    * partition, in file order. This is the planning half of the
+    * maintenance job every 100 TB table needs (Delta OPTIMIZE /
+    * Iceberg rewriteDataFiles); the bin id would key the rewrite's
+    * range partitioning. File stats are simulated from events as one
+    * "file" per (event_type, day).
+    *
+    * Scale shape: the window runs over FILE STATS — one row per file
+    * (~10⁵ rows for a 100 TB table), never corpus rows — partitioned by
+    * the table partition key; the census is one more partial-agged
+    * aggregate. Pure integer arithmetic end to end (byte sizes and an
+    * exclusive cumsum), so the oracle comparison is exact. */
+  val compactionPlan = Q(
+    "s9_compaction_plan",
+    "Compaction planning: per-partition exclusive prefix sum over file stats -> target-size bin assignment; per-bin file/byte census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val files = t.events
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), DATE'2024-01-01')").as("day"))
+        .agg((sum(length(col("props"))) + count(lit(1)) * 64).as("bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+      files
+        .withColumn("cum_before", sum(col("bytes")).over(w) - col("bytes"))
+        .withColumn("bin", expr("cum_before div 4096"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    },
+    Some("""WITH files AS (
+              SELECT event_type,
+                datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+                CAST(sum(length(props)) + count(*) * 64 AS BIGINT) AS bytes
+              FROM events GROUP BY 1, 2
+            ), planned AS (
+              SELECT event_type, day, bytes,
+                CAST((sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes) // 4096
+                  AS BIGINT) AS bin
+              FROM files
+            )
+            SELECT event_type, bin, count(*) AS n_files,
+              CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+              min(day) AS first_day, max(day) AS last_day
+            FROM planned GROUP BY 1, 2""")
+  )
+
   /** The z-order layout comparison over a `(u, h)` long-keyed input —
     * factored out of `s9_zorder_layout` so ZorderQuantizationSpec can
     * model-check it on inputs the fixtures never produce (negative user
@@ -263,5 +314,6 @@ object SourceQueries {
         count(when(col("minh") <= 115 && col("maxh") >= 100, 1)).as("files_time_q"))
   }
 
-  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning, zorder)
+  def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
+    zorder, compactionPlan)
 }

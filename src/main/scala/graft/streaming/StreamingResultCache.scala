@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** The streaming face of [[graft.ops.ResultCache]] — the request cache
+  * run as a stateful stream instead of a batch fold: per request key, a
+  * ValueState cell holds (result, cached_at); a fresh entry serves hits
+  * without recompute, a stale or missing one routes through `compute`
+  * and refreshes the cell. Same contract as the batch operator:
+  * requests for a key within one micro-batch coalesce to a single probe
+  * at the earliest request time (an orchestrator coalesces identical
+  * in-flight requests), hits never extend the TTL, and freshness is
+  * exact microsecond arithmetic.
+  *
+  * `compute` is a pure function of (key, probe-time µs) so the stream
+  * and the batch fold stamp identical results — the spec replays the
+  * fixture's request log as day-window micro-batches through BOTH paths
+  * and requires equal per-batch censuses and an identical drained cache.
+  *
+  * Scale: 16 bytes of state per key in the RocksDB store, no timers, no
+  * request buffering; compute cost is proportional to the per-batch MISS
+  * set. Callers who want idle-entry eviction compose a TTLConfig on the
+  * state cell — semantically safe here (an evicted entry can only turn
+  * a would-be 'expired' into 'cold'; the served value is the same)
+  * as long as the store TTL is no shorter than the cache TTL.
+  */
+object StreamingResultCache {
+
+  case class Req(key: Long, ts: java.sql.Timestamp)
+  case class Entry(v: Long, cached_at_us: Long)
+  case class Served(key: Long, outcome: String, v: Long, cached_at_us: Long)
+
+  /** Event-time in microseconds (ms clock + sub-ms nanos). */
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  class Processor(ttlSeconds: Long, compute: (Long, Long) => Long)
+    extends StatefulProcessor[Long, Req, Served] {
+    @transient private var st: ValueState[Entry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Entry](
+        "entry", Encoders.product[Entry], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Req],
+                                 timers: TimerValues): Iterator[Served] = {
+      val probes = rows.map(r => us(r.ts)).toArray
+      if (probes.isEmpty) return Iterator.empty
+      val rts = probes.min // coalesce the batch's requests to one probe
+      val cached = if (st.exists()) Some(st.get()) else None
+      cached match {
+        case Some(e) if rts - e.cached_at_us <= ttlSeconds * 1000000L =>
+          Iterator.single(Served(key, "hit", e.v, e.cached_at_us))
+        case other =>
+          val v = compute(key, rts)
+          st.update(Entry(v, rts))
+          val outcome = if (other.isDefined) "expired" else "cold"
+          Iterator.single(Served(key, outcome, v, rts))
+      }
+    }
+  }
+
+  /** Streaming entry: request-log parquet stream → typed →
+    * transformWithState → served rows appended to the sink. */
+  def run(spark: SparkSession, srcDir: String, sinkDir: String,
+          checkpointDir: String, ttlSeconds: Long,
+          compute: (Long, Long) => Long): StreamingQuery = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream
+      .schema("key LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .as[Req]
+    stream
+      .groupByKey(_.key)
+      .transformWithState(new Processor(ttlSeconds, compute), TimeMode.None(),
+        OutputMode.Append(), Encoders.product[Served])
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Served], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+}
