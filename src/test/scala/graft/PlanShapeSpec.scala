@@ -185,4 +185,25 @@ class PlanShapeSpec extends SparkSpecBase {
     val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(nl <= 2, s"expected only the codebook broadcast (index build), found $nl nested-loop joins")
   }
+
+  test("e2e_result_cache: cache probe and carry-over are key joins, never quadratic") {
+    val df = QueryRegistry.queries("e2e_result_cache")(spark, dir)
+    df.collect() // finalize AQE — exchange reuse is inserted at runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cache probe degraded to all-pairs")
+    // request dedup is computed once and reused by the probe legs
+    assert(p.contains("ReusedExchange"), "per-batch request dedup should be reused, not recomputed")
+  }
+
+  test("s9_compaction_plan: the planning window is partitioned by the table " +
+    "partition key, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = QueryRegistry.queries("s9_compaction_plan")(spark, dir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the prefix-sum planning window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "compaction prefix sum must partition by event_type — a global window " +
+        "would serialize the file-stats pass")
+  }
 }
