@@ -33,19 +33,39 @@ object ScaleBench {
     "t6_event_collect", "x28_bpe_merges", "x28_bpe_apply",
     "w6_robust_outliers", "w7_retention_cohorts", "e2e_contrastive_pairs")
 
+  /** Accumulates shuffle WRITE bytes across completed stages — the
+    * data-plane counterpart of the wall-clock ratio. A query whose time
+    * ratio is < 10x because fixed overhead amortizes still shows its
+    * true data growth here; a hidden quadratic intermediate would show
+    * a ~100x byte ratio even if its time hid inside the noise. */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val big = if (args.length > 1) args(1) else "/root/repo/target/scale/sf1"
     val outFile = if (args.length > 2) args(2) else "/root/repo/target/scale/scale_bench.json"
     val spark = GraftSession.local("graft-scalebench")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    // listener events are async; settle before reading the counter
+    def shuffleBytesSince(mark: Long): Long = {
+      Thread.sleep(300)
+      tally.bytes.get() - mark
+    }
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-             dir: String): (Double, Long) = {
+             dir: String): (Double, Long, Long) = {
+      val mark = { Thread.sleep(300); tally.bytes.get() }
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (dt, n)
+      (dt, n, shuffleBytesSince(mark))
     }
 
     val rows = Audit.filter(SparkEntry.queries.contains).map { name =>
@@ -54,12 +74,15 @@ object ScaleBench {
       val timed = (1 to 3).map(_ => (once(fn, small), once(fn, big)))
       val (s, b) = (timed.map(_._1._1).min, timed.map(_._2._1).min)
       val (ns, nb) = (timed.head._1._2, timed.head._2._2)
-      println(f"[scalebench] $name%-28s small=$s%8.3f  big=$b%8.3f  ratio=${b / s}%6.2f  rows=$ns%d/$nb%d")
-      name -> (s, b, ns, nb)
+      val (shs, shb) = (timed.head._1._3, timed.head._2._3)
+      println(f"[scalebench] $name%-28s small=$s%8.3f  big=$b%8.3f  ratio=${b / s}%6.2f  " +
+        f"shuffle=${shs}%d/${shb}%d (${if (shs > 0) shb.toDouble / shs else 0.0}%5.2fx)  rows=$ns%d/$nb%d")
+      name -> (s, b, ns, nb, shs, shb)
     }
 
-    val qJson = rows.map { case (n, (s, b, ns, nb)) =>
-      s""""$n":{"small":$s,"big":$b,"ratio":${b / s},"rows_small":$ns,"rows_big":$nb}"""
+    val qJson = rows.map { case (n, (s, b, ns, nb, shs, shb)) =>
+      s""""$n":{"small":$s,"big":$b,"ratio":${b / s},"rows_small":$ns,"rows_big":$nb,""" +
+        s""""shuffle_small":$shs,"shuffle_big":$shb}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_curve","small_dir":"$small","big_dir":"$big","queries":$qJson}"""
     println(line)
