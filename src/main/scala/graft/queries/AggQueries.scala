@@ -166,5 +166,59 @@ object AggQueries {
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
   )
 
-  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets)
+  /** A11 ⊕ — hot-key skew census: the diagnostic a 100 TB job runs
+    * BEFORE choosing a join strategy (the decision input to
+    * `ops/SkewedJoin`'s salting and to AQE's skew thresholds). Per
+    * candidate key: cardinality, row count, the hottest key's frequency
+    * (deterministic min-key tie-break), and an exact micro-unit skew
+    * factor max/avg = max_rows·n_keys·10⁶ / n_rows — pure integer
+    * arithmetic, no doubles.
+    *
+    * Scale shape: the per-key frequency pass is one map-side partial
+    * agg per key column; the census then aggregates the (tiny)
+    * key-frequency table. Nothing driver-side, nothing quadratic. */
+  val skewCensus = Q(
+    "a11_skew_census",
+    "Hot-key skew census over three candidate join keys: cardinality, hottest key, exact micro-unit max/avg skew factor, salting hint.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      def census(df: org.apache.spark.sql.DataFrame, key: String, label: String) =
+        df.groupBy(col(key).cast("long").as("k")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            max(col("c")).as("max_rows"),
+            max(struct(col("c"), (-col("k")).as("nk"))).as("m"))
+          .select(lit(label).as("key_col"), col("n_keys"), col("n_rows"),
+            col("max_rows"), (-col("m.nk")).as("hot_key"),
+            expr("(max_rows * n_keys * 1000000) div n_rows").as("skew_micro"))
+          .withColumn("plan_hint",
+            when(col("skew_micro") > 4000000, "salt").otherwise("hash_ok"))
+      census(t.events, "user_id", "events.user_id")
+        .unionByName(census(t.lineitem, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(census(t.lineitem, "l_orderkey", "lineitem.l_orderkey"))
+    },
+    Some("""WITH ce AS (SELECT CAST(user_id AS BIGINT) AS k, count(*) AS c FROM events GROUP BY 1),
+            cs AS (SELECT CAST(l_suppkey AS BIGINT) AS k, count(*) AS c FROM lineitem GROUP BY 1),
+            co AS (SELECT CAST(l_orderkey AS BIGINT) AS k, count(*) AS c FROM lineitem GROUP BY 1),
+            u AS (
+              SELECT 'events.user_id' AS key_col, count(*) AS n_keys,
+                CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_rows,
+                (SELECT k FROM ce WHERE c = (SELECT max(c) FROM ce) ORDER BY k LIMIT 1) AS hot_key
+              FROM ce
+              UNION ALL
+              SELECT 'lineitem.l_suppkey', count(*), CAST(sum(c) AS BIGINT), max(c),
+                (SELECT k FROM cs WHERE c = (SELECT max(c) FROM cs) ORDER BY k LIMIT 1)
+              FROM cs
+              UNION ALL
+              SELECT 'lineitem.l_orderkey', count(*), CAST(sum(c) AS BIGINT), max(c),
+                (SELECT k FROM co WHERE c = (SELECT max(c) FROM co) ORDER BY k LIMIT 1)
+              FROM co
+            )
+            SELECT key_col, n_keys, n_rows, max_rows, hot_key,
+              CAST((max_rows * n_keys * 1000000) // n_rows AS BIGINT) AS skew_micro,
+              CASE WHEN (max_rows * n_keys * 1000000) // n_rows > 4000000
+                   THEN 'salt' ELSE 'hash_ok' END AS plan_hint
+            FROM u""")
+  )
+
+  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets, skewCensus)
 }

@@ -37,7 +37,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "t6_event_collect", "a10_source_mixing", "x28_bpe_merges",
         "w5_ewma", "x28_oov_rate", "w6_robust_outliers", "w7_retention_cohorts",
         "w8_change_detect", "sql_entry_q1", "x28_bpe_apply",
-        "e2e_result_cache", "s9_compaction_plan")) {
+        "e2e_result_cache", "s9_compaction_plan", "a11_skew_census")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
