@@ -30,6 +30,7 @@ object QueryRegistry {
       RetrievalQueries.all ++
       DedupQueries.all ++
       CurationQueries.all ++
+      GraphQueries.all ++
       SimilarityQueries.all ++
       VectorQueries.all ++
       StreamQueries.all ++

@@ -352,5 +352,114 @@ object SimilarityQueries {
             FROM ranked WHERE rank <= 3""")
   )
 
-  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall, hardNegatives)
+  /** J5 ⊕ — maximal-marginal-relevance re-rank (Carbonell & Goldstein
+    * 1998): after ANN retrieval, greedily pick results that balance
+    * query relevance against redundancy with what's already picked —
+    * score = λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s), λ=0.7.
+    *
+    * The greedy loop is inherently sequential in k, so it's unrolled
+    * relationally (3 picks): each step is a per-query window argmax over
+    * the surviving candidate set joined with the previous picks. All
+    * windows partition by q_id and the candidate set is the bounded
+    * top-8 from retrieval, so per-query work is O(k·c) with c capped —
+    * at corpus scale the expensive part stays the upstream ANN probe,
+    * and this re-rank shuffles only (q_id-partitioned) candidate rows.
+    * Double math follows the j5 convention: sequential fold dot products
+    * are bit-identical across engines; ties broken by vec_id. */
+  val mmrRerank = Q(
+    "j5_mmr_rerank",
+    "MMR diversity re-rank: 3 greedy picks from top-8 cosine candidates per query, lambda=0.7, unrolled per-query window argmax steps.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val queries = broadcast(
+        base.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val byRel = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id").asc)
+      val cands = queries.join(base, col("q_id") =!= col("vec_id"))
+        .withColumn("rel", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("rk", row_number().over(byRel))
+        .filter(col("rk") <= 8)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+        .cache()
+      val s1 = cands
+        .withColumn("rk", row_number().over(byRel)).filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("s1_id"), col("embedding").as("s1_emb"),
+          col("nrm").as("s1_nrm"), col("rel").as("s1_score"))
+      val step2 = cands.join(s1, "q_id")
+        .filter(col("vec_id") =!= col("s1_id"))
+        .withColumn("sim1", dot(col("embedding"), col("s1_emb")) / (col("nrm") * col("s1_nrm")))
+        .withColumn("mmr", col("rel") * 0.7 - col("sim1") * 0.3)
+      val byMmr = Window.partitionBy(col("q_id")).orderBy(col("mmr").desc, col("vec_id").asc)
+      val s2 = step2
+        .withColumn("rk", row_number().over(byMmr)).filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("s2_id"), col("embedding").as("s2_emb"),
+          col("nrm").as("s2_nrm"), col("mmr").as("s2_score"))
+      val s3 = step2
+        .drop("mmr")
+        .join(s2.select(col("q_id"), col("s2_id"), col("s2_emb"), col("s2_nrm")), "q_id")
+        .filter(col("vec_id") =!= col("s2_id"))
+        .withColumn("sim2", dot(col("embedding"), col("s2_emb")) / (col("nrm") * col("s2_nrm")))
+        .withColumn("mmr", col("rel") * 0.7 - greatest(col("sim1"), col("sim2")) * 0.3)
+        .withColumn("rk", row_number().over(byMmr)).filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id"), col("mmr").as("score"))
+      s1.select(col("q_id"), lit(1).as("pick_order"), col("s1_id").as("vec_id"),
+          round(col("s1_score"), 6).as("score"))
+        .unionByName(s2.select(col("q_id"), lit(2).as("pick_order"), col("s2_id").as("vec_id"),
+          round(col("s2_score"), 6).as("score")))
+        .unionByName(s3.select(col("q_id"), lit(3).as("pick_order"), col("vec_id"),
+          round(col("score"), 6).as("score")))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            rel AS (
+              SELECT q.vec_id AS q_id, e.vec_id, e.embedding, e.nrm,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS rel
+              FROM n q JOIN n e ON q.vec_id < 5 AND q.vec_id <> e.vec_id),
+            cands AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id ASC) AS rk
+                FROM rel) WHERE rk <= 8),
+            s1 AS (
+              SELECT q_id, vec_id AS s1_id, embedding AS s1_emb, nrm AS s1_nrm, rel AS s1_score
+              FROM cands WHERE rk = 1),
+            step2 AS (
+              SELECT c.q_id, c.vec_id, c.embedding, c.nrm, c.rel, s1.s1_id, s1.s1_emb, s1.s1_nrm,
+                c.rel * 0.7 - (list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(s1.s1_emb[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (c.nrm * s1.s1_nrm)) * 0.3 AS mmr,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(s1.s1_emb[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (c.nrm * s1.s1_nrm) AS sim1
+              FROM cands c JOIN s1 USING (q_id) WHERE c.vec_id <> s1.s1_id),
+            s2 AS (
+              SELECT q_id, vec_id AS s2_id, embedding AS s2_emb, nrm AS s2_nrm, mmr AS s2_score
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id ASC) AS rk
+                    FROM step2) WHERE rk = 1),
+            step3 AS (
+              SELECT t.q_id, t.vec_id,
+                t.rel * 0.7 - greatest(t.sim1,
+                  list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(t.embedding[i] AS DOUBLE) * CAST(s2.s2_emb[i] AS DOUBLE)),
+                    (x, y) -> x + y) / (t.nrm * s2.s2_nrm)) * 0.3 AS mmr
+              FROM step2 t JOIN s2 USING (q_id) WHERE t.vec_id <> s2.s2_id),
+            s3 AS (
+              SELECT q_id, vec_id, mmr AS score
+              FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY mmr DESC, vec_id ASC) AS rk
+                    FROM step3) WHERE rk = 1)
+            SELECT q_id, 1 AS pick_order, s1_id AS vec_id, round(s1_score, 6) AS score FROM s1
+            UNION ALL
+            SELECT q_id, 2, s2_id, round(s2_score, 6) FROM s2
+            UNION ALL
+            SELECT q_id, 3, vec_id, round(score, 6) FROM s3""")
+  )
+
+  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall, hardNegatives, mmrRerank)
 }

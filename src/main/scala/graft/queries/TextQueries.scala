@@ -598,7 +598,64 @@ object TextQueries {
             FROM c$BpeRounds GROUP BY source""")
   )
 
+  /** X28 ⊕ — repeated-span census (the "duplicated passage fraction"
+    * dedup signal of Lee et al. 2022, arXiv:2107.06499, re-expressed
+    * relationally): a word 5-gram span is "duplicated" when it occurs in
+    * ≥ 2 distinct documents; per document we report how many of its span
+    * positions are covered by such corpus-repeated grams, in exact basis
+    * points, and flag documents over 30 % duplication.
+    *
+    * Scale shape: spans explode to ~1 row per corpus token; the dup-gram
+    * census is one groupBy(gram) with map-side partial countDistinct; the
+    * per-doc roll-up is a gram-keyed equi-join back (shuffle on gram,
+    * then on doc_id) — no all-pairs stage anywhere, so the plan is the
+    * same one that runs at 100 TB. Suffix-array exactness is traded for
+    * fixed-width grams precisely because grams keep every stage key-
+    * partitioned. */
+  val spanDedup = Q(
+    "x28_span_dedup",
+    "Repeated 5-gram span census per doc: dup-span fraction in exact basis points, >=30% flagged. Gram-keyed joins only, no all-pairs.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // Positional spans (NOT distinct — a gram repeated inside one doc
+      // covers several positions and each counts toward the fraction).
+      val spans = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("w")) - 4),
+            i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*))).as("g"))
+        .cache()
+      val dupGrams = spans.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("g"), lit(1L).as("dup"))
+      spans.join(dupGrams, Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("dup"), lit(0L))).as("dup_spans"))
+        .withColumn("dup_bp", expr("(dup_spans * 10000) div n_spans"))
+        .withColumn("verdict", when(col("dup_bp") >= 3000, "flag").otherwise("keep"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), spans AS (
+              SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+              WHERE len(w) >= 5
+            ), dupg AS (
+              SELECT g FROM spans GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT s.doc_id, count(*) AS n_spans,
+              CAST(count(*) FILTER (WHERE dupg.g IS NOT NULL) AS BIGINT) AS dup_spans,
+              CAST((count(*) FILTER (WHERE dupg.g IS NOT NULL) * 10000) // count(*) AS BIGINT) AS dup_bp,
+              CASE WHEN (count(*) FILTER (WHERE dupg.g IS NOT NULL) * 10000) // count(*) >= 3000
+                   THEN 'flag' ELSE 'keep' END AS verdict
+            FROM spans s LEFT JOIN dupg ON s.g = dupg.g
+            GROUP BY s.doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
-      bpeMerges, bpeApply, oovRate)
+      bpeMerges, bpeApply, oovRate, spanDedup)
 }

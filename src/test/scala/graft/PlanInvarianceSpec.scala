@@ -23,7 +23,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "j5_kmeans_iter", "j5_sq8_quantize", "a10_incremental", "x28_bm25",
     "j5_pq_adc", "t6_event_collect", "a10_decontaminate_pruned",
     "j9_spatial_neighbors", "u4_merge_upsert", "j5_hard_negatives",
-    "e2e_contrastive_pairs", "e2e_result_cache")
+    "e2e_contrastive_pairs", "e2e_result_cache", "a12_syndication_rank",
+    "j5_mmr_rerank", "x28_span_dedup")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
@@ -37,7 +38,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "t6_event_collect", "a10_source_mixing", "x28_bpe_merges",
         "w5_ewma", "x28_oov_rate", "w6_robust_outliers", "w7_retention_cohorts",
         "w8_change_detect", "sql_entry_q1", "x28_bpe_apply",
-        "e2e_result_cache", "s9_compaction_plan", "a11_skew_census")) {
+        "e2e_result_cache", "s9_compaction_plan", "a11_skew_census",
+        "x28_span_dedup", "a12_syndication_rank")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
