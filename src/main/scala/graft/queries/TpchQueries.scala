@@ -112,27 +112,34 @@ object TpchQueries {
 
   /** Q11 shape — inventory value share: grouped value vs a scalar
     * aggregate over the SAME derived table, compared multiplicatively in
-    * exact integer cents (value*250 > total) so no division boundary can
-    * flip a row between engines. */
+    * exact integer cents. The threshold is mean-relative (value·n > 2·total,
+    * i.e. value > 2× the average part's stock value) so selectivity is
+    * scale-INVARIANT: a fixed fraction-of-total cutoff (TPC-H's 1/250)
+    * selects zero rows once the part count passes 250, which made the row
+    * vacuous at sf ≥ 0.01. Both sides stay BIGINT (max ≈ 4e9 cents × n
+    * parts — overflow-safe past n = 1e9). */
   val q11 = Q(
     "q11_value_share",
-    "Scalar-subquery threshold over grouped inventory value (exact integer-cents compare): parts worth > 1/250 of total stock value.",
+    "Scalar-subquery threshold over grouped inventory value (exact integer-cents compare): parts worth > 2x the mean stock value.",
     (s, dir) => {
       val t = Tables(s, dir)
       val value = partsupp(t)
         .groupBy(col("ps_partkey"))
         .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
       value
-        .crossJoin(broadcast(value.agg(sum(col("value_cents")).as("total_cents"))))
-        .filter(col("value_cents") * 250 > col("total_cents"))
+        .crossJoin(broadcast(value.agg(
+          sum(col("value_cents")).as("total_cents"),
+          count(lit(1)).as("n_parts"))))
+        .filter(col("value_cents") * col("n_parts") > col("total_cents") * 2)
         .select(col("ps_partkey"), (col("value_cents") / lit(100.0)).as("stock_value"))
     },
     Some(s"""WITH $partsuppSql,
             v AS (SELECT ps_partkey, CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
                   FROM ps GROUP BY ps_partkey),
-            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+                           CAST(count(*) AS BIGINT) AS n_parts FROM v)
             SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
-            FROM v, tot WHERE value_cents * 250 > total_cents""")
+            FROM v, tot WHERE value_cents * n_parts > total_cents * 2""")
   )
 
   /** Q20 shape — suppliers with surplus stock: partsupp availability
