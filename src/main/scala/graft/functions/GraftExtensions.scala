@@ -40,6 +40,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSigs(children(0))
       }
     ))
+    // Spark ships a native, codegen'd bloom-filter pair
+    // (BloomFilterAggregate / BloomFilterMightContain) but only wires it
+    // through the InjectRuntimeFilter optimizer rule — the SQL surface is
+    // not registered. Expose it so queries can build EXPLICIT,
+    // guaranteed runtime filters (the optimizer one is threshold- and
+    // shape-gated): `bloom_filter_agg(xxhash64(x), items, bits)` and
+    // `might_contain(bf, xxhash64(x))`.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          s"bloom_filter_agg requires exactly 3 arguments (hash, estNumItems, numBits), got ${children.size}")
+        org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children(0), children(1), children(2), 0, 0)
+          .toAggregateExpression()
+      }
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          s"might_contain requires exactly 2 arguments (bloom, hash), got ${children.size}")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children(0), children(1))
+      }
+    ))
     ext.injectOptimizerRule(_ => FuseDotProduct)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

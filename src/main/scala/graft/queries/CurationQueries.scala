@@ -356,6 +356,76 @@ object CurationQueries {
             GROUP BY 1""")
   )
 
+  /** Decontamination behind Spark's NATIVE bloom filter — the third
+    * point on the runtime-filter spectrum after the exact join
+    * (a10_decontaminate) and the explicit 16-bit bucket set
+    * (a10_decontaminate_pruned). Spark ships the pair
+    * (`BloomFilterAggregate` builds the sketch distributed and
+    * order-independent, `BloomFilterMightContain` probes it codegen'd)
+    * but only the InjectRuntimeFilter rule can reach it, and that rule
+    * is threshold- and shape-gated; GraftExtensions registers both as
+    * SQL functions so the filter is GUARANTEED. The sketch is ~1 MB for
+    * 2^20 grams at 2^23 bits — broadcastable at any corpus size, and
+    * unlike the bucket set it never grows past its bit budget (the FP
+    * rate degrades instead, which only weakens pruning, never
+    * correctness: might_contain has no false negatives, and the exact
+    * gram join after it removes every false positive). Flags therefore
+    * equal a10_decontaminate's, which the shared oracle census proves. */
+  val decontaminateBloom = Q(
+    "a10_decontaminate_bloom",
+    "Decontamination behind a broadcast native bloom filter (bloom_filter_agg/might_contain); flags match the exact gram join.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+      // might_contain requires its bloom input to be a scalar subquery
+      // (the same shape InjectRuntimeFilter emits), so this query is
+      // declared as SQL text over temp views rather than DataFrame ops.
+      grams5(docs.filter(col("doc_id") % 50 === 0))
+        .select(col("gram")).distinct()
+        .createOrReplaceTempView("graft_bloom_eval_grams")
+      grams5(docs.filter(col("doc_id") % 50 =!= 0))
+        .createOrReplaceTempView("graft_bloom_corpus_grams")
+      docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("source"))
+        .createOrReplaceTempView("graft_bloom_train_docs")
+      s.sql("""
+        WITH pruned AS (
+          SELECT doc_id, gram FROM graft_bloom_corpus_grams
+          WHERE might_contain(
+            (SELECT bloom_filter_agg(xxhash64(gram), 1048576L, 8388608L)
+             FROM graft_bloom_eval_grams),
+            xxhash64(gram))
+        ),
+        flagged AS (
+          SELECT DISTINCT doc_id FROM pruned
+          WHERE gram IN (SELECT gram FROM graft_bloom_eval_grams)
+        )
+        SELECT d.source, count(*) AS n_train, count(f.doc_id) AS n_flagged
+        FROM graft_bloom_train_docs d LEFT JOIN flagged f USING (doc_id)
+        GROUP BY d.source
+      """)
+    },
+    Some("""WITH d AS (
+              SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+              SELECT source, doc_id,
+                list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+                               for i in generate_series(1, len(toks) - 4)]) AS grams
+              FROM d WHERE len(toks) >= 5
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+            ), fl AS (
+              SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0) t
+              WHERE gram IN (SELECT gram FROM ev)
+            )
+            SELECT d.source,
+              count(*) AS n_train,
+              count(fl.doc_id) AS n_flagged
+            FROM d LEFT JOIN fl ON d.doc_id = fl.doc_id
+            WHERE d.doc_id % 50 <> 0
+            GROUP BY 1""")
+  )
+
   /** Training-mixture allocation — the multilingual/multi-source
     * "sampling temperature" pass every LLM data pipeline runs before
     * training: per-source token mass, damped by temperature T = 0.5
@@ -413,5 +483,6 @@ object CurationQueries {
   )
 
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
-    packSequences, sampleStratified, sampleWeighted, sourceMixing)
+    decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
+    sourceMixing)
 }

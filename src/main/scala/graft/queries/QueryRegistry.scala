@@ -30,6 +30,7 @@ object QueryRegistry {
       RetrievalQueries.all ++
       DedupQueries.all ++
       CurationQueries.all ++
+      SelectionQueries.all ++
       GraphQueries.all ++
       SimilarityQueries.all ++
       VectorQueries.all ++

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A10 ⊕ data SELECTION — the step after dedup/decontamination in an LLM
+  * training-data pipeline: decide WHICH surviving documents to train on,
+  * and in what order. Three published shapes, each re-expressed as exact
+  * integer-arithmetic relational plans (graft's oracle-exactness rule —
+  * no doubles accumulate across rows, no libm):
+  *
+  *  - hashed-n-gram importance weighting (the DSIR recipe: score raw
+  *    documents by how target-like their hashed token distribution is),
+  *  - token-budget greedy selection (fill a fixed training budget with
+  *    the highest-quality documents first),
+  *  - curriculum ordering (a deterministic easy→hard schedule with a
+  *    seeded intra-stage shuffle).
+  *
+  * Reference anchor: the reference's pipeline ends at collection
+  * (orchestrator.py:850 hands results straight to the caller); selection
+  * is north-star surface the engine adds for corpus curation at 100 TB.
+  */
+object SelectionQueries {
+
+  /** 16-bit md5 feature bucket — the same cross-engine-stable hash the
+    * split/decontamination queries use (md5 hex prefix → int). */
+  private def bucket16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("int")
+
+  private val bucket16Sql = (h: String) =>
+    s"""((strpos('0123456789abcdef', $h[1]) - 1) * 4096
+       + (strpos('0123456789abcdef', $h[2]) - 1) * 256
+       + (strpos('0123456789abcdef', $h[3]) - 1) * 16
+       + (strpos('0123456789abcdef', $h[4]) - 1))"""
+
+  /** Importance weighting à la DSIR (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash every token
+    * into 2^16 feature buckets, estimate the target distribution from
+    * the in-domain slice (lang = 'en' stands in for the target corpus)
+    * and the raw distribution from everything, then score each document
+    * by its tokens' target/raw likelihood ratios. The published recipe
+    * sums log-ratios; logs are libm (not bit-stable cross-engine), so
+    * the score here is the fixed-point ratio sum
+    * Σ ((c_target[f]+1)·2^20 div (c_raw[f]+1)) — add-one smoothed,
+    * order-independent (integer addition commutes), and monotone in the
+    * same direction. Scale shape: two token-bucket censuses (map-side
+    * partial agg into ≤ 65,536 groups), one BROADCAST join of the
+    * ratio table (bounded at 65,536 rows no matter the corpus size)
+    * back onto the token stream, one per-doc aggregate, and a global
+    * top-k that plans as TakeOrderedAndProject — nothing driver-side,
+    * nothing all-pairs. */
+  val importanceWeights = Q(
+    "a10_importance_weights",
+    "DSIR-style importance scores: hashed-token target/raw ratio table (<=65536 buckets, broadcast) -> per-doc fixed-point score -> top-20.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("f", bucket16(col("tok")))
+      val raw = toks.groupBy(col("f")).agg(count(lit(1)).as("c_raw"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("f")).agg(count(lit(1)).as("c_tgt"))
+      val ratio = raw.join(tgt, Seq("f"), "left")
+        .select(col("f"),
+          expr("((coalesce(c_tgt, 0L) + 1L) * 1048576L) div (c_raw + 1L)").as("w"))
+      toks.join(broadcast(ratio), Seq("f"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+            ), f AS (
+              SELECT doc_id, lang, ${bucket16Sql("h")} AS f
+              FROM (SELECT doc_id, lang, md5(tok) AS h FROM toks)
+            ), raw AS (
+              SELECT f, count(*) AS c_raw FROM f GROUP BY 1
+            ), tgt AS (
+              SELECT f, count(*) AS c_tgt FROM f WHERE lang = 'en' GROUP BY 1
+            ), ratio AS (
+              SELECT raw.f,
+                CAST(((coalesce(c_tgt, 0) + 1) * 1048576) // (c_raw + 1) AS BIGINT) AS w
+              FROM raw LEFT JOIN tgt ON raw.f = tgt.f
+            )
+            SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS score,
+                   count(*) AS n_toks
+            FROM f JOIN ratio ON f.f = ratio.f
+            GROUP BY doc_id, lang
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20""")
+  )
+
+  /** Token-budget greedy selection: rank documents by a quality proxy
+    * (type-token ratio in basis points — exact integers), then take
+    * documents in rank order until the budget (1/5 of corpus tokens) is
+    * filled. "Take until the running total passes the budget" is a
+    * prefix sum over the quality ordering; like a10_sample_weighted it
+    * is decomposed so no corpus-proportional partition exists: the
+    * quality key has a BOUNDED domain (≤ 10,001 basis-point values), so
+    * level 1 is a per-quality-value aggregate (≤ 10,001 rows, the only
+    * unpartitioned window — driver-scale by construction) and level 2
+    * windows WITHIN one quality value. The oracle recomputes with a
+    * plain global window, independently validating the decomposition. */
+  val budgetSelect = Q(
+    "a10_budget_select",
+    "Greedy token-budget fill: type-token-ratio quality ranking, distributed prefix sum, select docs while tokens-before < corpus/5; per-source census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_toks"),
+          expr("(size(array_distinct(toks)) * 10000L) div size(toks)").as("q"))
+      // level 1: per-quality-value token mass; running total over the
+      // DESC-ordered quality domain (<= 10,001 rows, driver-scale)
+      val wQ = Window.orderBy(col("q").desc).rowsBetween(Window.unboundedPreceding, -1)
+      val qOffsets = docs.groupBy(col("q")).agg(sum(col("n_toks")).as("qsum"))
+        .withColumn("qoff", coalesce(sum(col("qsum")).over(wQ), lit(0L)))
+        .select(col("q"), col("qoff"))
+      // level 2: within one quality value, ordered by doc_id
+      val wIn = Window.partitionBy(col("q")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val budget = docs.agg((sum(col("n_toks")) / lit(5)).cast("long").as("budget"))
+      docs
+        .join(qOffsets, Seq("q"))
+        .withColumn("cum_before",
+          col("qoff") + coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+        .crossJoin(broadcast(budget))
+        .withColumn("sel", col("cum_before") < col("budget"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("sel"), 1)).as("n_selected"),
+          coalesce(sum(when(col("sel"), col("n_toks"))), lit(0L)).as("toks_selected"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                CAST((len(list_distinct(string_split(text, ' '))) * 10000)
+                     // len(string_split(text, ' ')) AS BIGINT) AS q
+              FROM documents
+            ), tot AS (
+              SELECT CAST(sum(n_toks) // 5 AS BIGINT) AS budget FROM d
+            ), w AS (
+              SELECT d.*, CAST(coalesce(sum(n_toks) OVER (
+                  ORDER BY q DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM d
+            )
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN cum_before < budget THEN 1 END) AS n_selected,
+              CAST(coalesce(sum(CASE WHEN cum_before < budget THEN n_toks END), 0) AS BIGINT) AS toks_selected
+            FROM w, tot GROUP BY 1""")
+  )
+
+  /** Curriculum ordering: a deterministic easy→hard training schedule —
+    * stage = document length band (shorter reads first), seeded md5
+    * shuffle WITHIN a stage (reproducible across runs, machines, and
+    * partitionings, unlike random()). The full schedule is a sort key,
+    * not a materialization: at corpus scale a consumer range-partitions
+    * on (stage, h) and never total-orders through one partition. The
+    * registered result is the schedule HEAD (top-20 — plans as
+    * TakeOrderedAndProject, scale-free), with the position computed
+    * after the take, over 20 rows. */
+  val curriculumOrder = Q(
+    "a10_curriculum_order",
+    "Deterministic curriculum schedule: length-band stages, seeded md5 intra-stage shuffle; emits the top-20 schedule head with positions.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val staged = t.documents
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("stage", least(expr("n_toks div 64"), lit(7L)))
+        .withColumn("h", md5(concat(lit("cur:"), col("doc_id").cast("string"))))
+      val head = staged
+        .orderBy(col("stage").asc, col("h").asc, col("doc_id").asc)
+        .limit(20)
+      head
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("stage").asc, col("h").asc, col("doc_id").asc)))
+        .select(col("pos").cast("long").as("pos"), col("doc_id"),
+          col("stage"), col("n_toks"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                least(CAST(len(string_split(text, ' ')) AS BIGINT) // 64, 7) AS stage,
+                md5('cur:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            )
+            SELECT CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT) AS pos,
+                   doc_id, stage, n_toks
+            FROM d ORDER BY stage, h, doc_id LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(importanceWeights, budgetSelect, curriculumOrder)
+}

@@ -24,7 +24,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "j5_pq_adc", "t6_event_collect", "a10_decontaminate_pruned",
     "j9_spatial_neighbors", "u4_merge_upsert", "j5_hard_negatives",
     "e2e_contrastive_pairs", "e2e_result_cache", "a12_syndication_rank",
-    "j5_mmr_rerank", "x28_span_dedup")
+    "j5_mmr_rerank", "x28_span_dedup", "a10_decontaminate_bloom",
+    "a10_importance_weights")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
@@ -39,7 +40,9 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "w5_ewma", "x28_oov_rate", "w6_robust_outliers", "w7_retention_cohorts",
         "w8_change_detect", "sql_entry_q1", "x28_bpe_apply",
         "e2e_result_cache", "s9_compaction_plan", "a11_skew_census",
-        "x28_span_dedup", "a12_syndication_rank")) {
+        "x28_span_dedup", "a12_syndication_rank",
+        "a10_decontaminate_bloom", "a10_importance_weights",
+        "a10_budget_select", "a10_curriculum_order")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
