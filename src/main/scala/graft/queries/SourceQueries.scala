@@ -284,6 +284,65 @@ object SourceQueries {
             FROM planned GROUP BY 1, 2""")
   )
 
+  /** S9 ⊕ — bucketed co-located join: the table-layout technique that
+    * removes the BIG join shuffle entirely. `lineitem` and `orders` are
+    * written once as parquet tables hash-bucketed (and sorted) on the
+    * join key with the SAME bucket count; Spark's bucketed scan then
+    * reports a compatible `HashPartitioning(orderkey, 8)` on both sides,
+    * so the sort-merge join needs ZERO exchange — each task merges
+    * bucket i of one table with bucket i of the other where the rows
+    * already sit. The only shuffle left in the query is the final
+    * 3-group status census.
+    *
+    * This is the 100 TB story for fact-to-fact joins (lineitem ⋈ orders
+    * is exactly that — neither side broadcasts at scale): pay the
+    * partitioning ONCE at write time, then every subsequent join,
+    * aggregation, or MERGE keyed on the bucket column is exchange-free.
+    * `StreamingMerge` documents the same discipline for its versioned
+    * snapshots; this query pins it for the batch path
+    * (PlanShapeSpec asserts the single-exchange plan with broadcast
+    * disabled). Staging is per-sf idempotent: the in-memory catalog is
+    * per-JVM, so a fresh run rewrites the small derived tables, and a
+    * repeat call in the same session reuses them.
+    *
+    * Revenue follows the TpchQueries integer-cents discipline —
+    * `round(price*100)::long` sums are exact in any fold order. */
+  val bucketedJoin = Q(
+    "s9_bucketed_join",
+    "Bucketed co-located join: both fact tables bucketBy(8, orderkey) sorted at write time; the join itself plans with zero Exchange.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val tag = new java.io.File(dir).getName.replace('.', '_')
+      val lt = s"graft_lineitem_bkt_$tag"
+      val ot = s"graft_orders_bkt_$tag"
+      // EXTERNAL tables at an explicit path: the in-memory catalog dies
+      // with the JVM but the files survive, and a managed saveAsTable
+      // over a surviving location is LOCATION_ALREADY_EXISTS — external
+      // + overwrite is restart-idempotent.
+      val base = s"${graft.ops.Fixtures.Root}/bucketed_$tag"
+      if (!s.catalog.tableExists(lt)) {
+        t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").format("parquet").option("path", s"$base/lineitem")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      }
+      if (!s.catalog.tableExists(ot)) {
+        t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").format("parquet").option("path", s"$base/orders")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      }
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_lines,
+              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""")
+  )
+
   /** The z-order layout comparison over a `(u, h)` long-keyed input —
     * factored out of `s9_zorder_layout` so ZorderQuantizationSpec can
     * model-check it on inputs the fixtures never produce (negative user
@@ -315,5 +374,5 @@ object SourceQueries {
   }
 
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
-    zorder, compactionPlan)
+    zorder, compactionPlan, bucketedJoin)
 }

@@ -206,4 +206,20 @@ class PlanShapeSpec extends SparkSpecBase {
       "compaction prefix sum must partition by event_type — a global window " +
         "would serialize the file-stats pass")
   }
+
+  test("s9_bucketed_join: the fact-to-fact join itself plans with ZERO exchange") {
+    // broadcast off so the tiny sf cannot hide the shuffle question —
+    // at 100 TB neither side of lineitem ⋈ orders broadcasts
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("s9_bucketed_join")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(2000)}")
+      val shuffles = exchanges(p)
+      assert(shuffles == 1,
+        s"expected only the final 3-group census shuffle, found $shuffles:\n${p.take(3000)}")
+      assert(p.contains("Bucketed: true"),
+        s"scan did not use the bucketed layout:\n${p.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
