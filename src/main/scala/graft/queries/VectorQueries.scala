@@ -171,42 +171,123 @@ object VectorQueries {
     * join on (m, code) + one partial-agged shuffle on (q_id, vec_id).
     * Encoding is one broadcast join + one argmin aggregate — the same
     * two-stage shape as j5_kmeans_iter. */
+  /** The shared PQ/ADC pipeline: quantized corpus `q`, and the per-query
+    * ADC score table `(q_id, vec_id, adc_dist)` — factored so the plain
+    * ADC query and the two-stage refine query build the SAME index and
+    * stay plan- and bit-identical on the stage they share. */
+  private def adcPipeline(t: Tables): (DataFrame, DataFrame) = {
+    val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+    val sub = q
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"), col("qe"))
+      .withColumn("sub", slice(col("qe"), col("m") * 8 + 1, lit(8)))
+      .select(col("vec_id"), col("m"), col("sub"))
+    val cw = broadcast(sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw")))
+    def d2 = aggregate(
+      zip_with(col("sub"), col("cw"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val codes = sub.join(cw, "m")
+      .withColumn("d2", d2)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cw_id"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.cw_id").as("code"))
+    val lut = broadcast(sub.filter(col("vec_id").between(450, 459))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(cw, "m")
+      .withColumn("d2", d2)
+      .select(col("q_id"), col("m").as("lm"), col("cw_id"), col("d2")))
+    val adc = codes.join(lut, col("lm") === col("m") && col("cw_id") === col("code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    (q, adc)
+  }
+
   val pqAdc = Q(
     "j5_pq_adc",
     "Product-quantization ANN: 8x8 sub-spaces, 16-codeword argmin encode, per-query broadcast LUT, exact integer ADC scan, top-3 per query.",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val t = Tables(s, dir)
-      val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
-      val sub = q
-        .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"), col("qe"))
-        .withColumn("sub", slice(col("qe"), col("m") * 8 + 1, lit(8)))
-        .select(col("vec_id"), col("m"), col("sub"))
-      val cw = broadcast(sub.filter(col("vec_id") < 16)
-        .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw")))
-      def d2 = aggregate(
-        zip_with(col("sub"), col("cw"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      val codes = sub.join(cw, "m")
-        .withColumn("d2", d2)
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("d2"), col("cw_id"))).as("mm"))
-        .select(col("vec_id"), col("m"), col("mm.cw_id").as("code"))
-      val lut = broadcast(sub.filter(col("vec_id").between(450, 459))
-        .withColumnRenamed("vec_id", "q_id")
-        .join(cw, "m")
-        .withColumn("d2", d2)
-        .select(col("q_id"), col("m").as("lm"), col("cw_id"), col("d2")))
+      val (_, adc) = adcPipeline(Tables(s, dir))
       val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
-      codes.join(lut, col("lm") === col("m") && col("cw_id") === col("code"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("d2")).as("adc_dist"))
+      adc
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"), col("rank"), col("adc_dist"))
     },
-    Some("""WITH q AS (
+    Some(s"""WITH $adcCtes
+            SELECT q_id, vec_id, rank, adc_dist FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
+              FROM adc)
+            WHERE rank <= 3""")
+  )
+
+  /** J5 ⊕ — the two-stage retrieve-then-refine search every production
+    * PQ index actually runs (FAISS `IVFPQR` / re-rank pattern): the
+    * compressed-domain ADC scan nominates a candidate shortlist
+    * (top-16 per query — cheap, approximate, touches only the 8-byte
+    * codes), then ONLY those candidates' raw vectors are fetched and
+    * re-ranked by exact integer L2. Emits both ranks, so the result
+    * shows the refinement reordering the shortlist (adc_rank vs rank).
+    *
+    * Scale shape: stage 1 is j5_pq_adc's scan unchanged; stage 2 joins
+    * a |Q|·16-row candidate list (broadcast — bounded by query count,
+    * not corpus size) against the corpus on vec_id, so the exact-math
+    * pass reads raw vectors for a constant number of rows per query
+    * while the corpus-wide pass never leaves the compressed domain.
+    * This is the memory-bandwidth contract that makes PQ work at
+    * 100 TB: full vectors are touched O(|Q|·k), not O(n). */
+  val pqRefine = Q(
+    "j5_pq_refine",
+    "Two-stage PQ search: ADC top-16 shortlist in the compressed domain, then exact integer L2 re-rank of only those candidates; top-3 per query.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (q, adc) = adcPipeline(Tables(s, dir))
+      val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id").asc)
+      val cand = adc
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= 16)
+      val qvecs = broadcast(q.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("q_id"), col("qe").as("q_vec")))
+      val exact = broadcast(cand)
+        .join(q, "vec_id")
+        .join(qvecs, "q_id")
+        .withColumn("d2_exact", aggregate(
+          zip_with(col("qe"), col("q_vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2_exact").asc, col("vec_id").asc)
+      exact
+        .withColumn("rank", row_number().over(wEx))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("d2_exact"), col("adc_rank"))
+    },
+    Some(s"""WITH $adcCtes, cand AS (
+              SELECT q_id, vec_id, adc_rank FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS adc_rank
+                FROM adc)
+              WHERE adc_rank <= 16
+            ), ex AS (
+              SELECT c.q_id, c.vec_id, c.adc_rank,
+                CAST(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (qv.qe[i] - qq.qe[i]) * (qv.qe[i] - qq.qe[i])), (x, y) -> x + y)
+                  AS BIGINT) AS d2_exact
+              FROM cand c
+              JOIN q qv ON qv.vec_id = c.vec_id
+              JOIN q qq ON qq.vec_id = c.q_id
+            )
+            SELECT q_id, vec_id, rank, d2_exact, adc_rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY d2_exact ASC, vec_id ASC) AS rank
+              FROM ex)
+            WHERE rank <= 3""")
+  )
+
+  /** The DuckDB formulation of [[adcPipeline]], shared verbatim by the
+    * j5_pq_adc and j5_pq_refine oracles. */
+  private def adcCtes: String =
+    """q AS (
               SELECT vec_id,
                 list_transform(embedding,
                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
@@ -237,13 +318,7 @@ object VectorQueries {
               FROM codes co JOIN lut l ON l.m = co.m AND l.cw_id = co.code
               WHERE l.q_id <> co.vec_id
               GROUP BY 1, 2
-            )
-            SELECT q_id, vec_id, rank, adc_dist FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY q_id ORDER BY adc_dist ASC, vec_id ASC) AS rank
-              FROM adc)
-            WHERE rank <= 3""")
-  )
+            )"""
 
-  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc)
+  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine)
 }

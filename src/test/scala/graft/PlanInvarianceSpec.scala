@@ -25,7 +25,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "j9_spatial_neighbors", "u4_merge_upsert", "j5_hard_negatives",
     "e2e_contrastive_pairs", "e2e_result_cache", "a12_syndication_rank",
     "j5_mmr_rerank", "x28_span_dedup", "a10_decontaminate_bloom",
-    "a10_importance_weights")
+    "a10_importance_weights", "j5_pq_refine", "s9_bucketed_join")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",

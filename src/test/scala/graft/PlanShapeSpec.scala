@@ -222,4 +222,14 @@ class PlanShapeSpec extends SparkSpecBase {
         s"scan did not use the bucketed layout:\n${p.take(3000)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("j5_pq_refine: the exact re-rank fetches candidates via broadcast hash joins") {
+    val p = plan("j5_pq_refine")
+    // the |Q|*16 shortlist and the 10 query vectors broadcast against the
+    // corpus — the raw-vector fetch must never degrade to a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate fetch degraded to a nested loop")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the shortlist to broadcast:\n${p.take(2000)}")
+  }
 }
