@@ -482,7 +482,78 @@ object CurationQueries {
             FROM r""")
   )
 
+  /** A10 ⊕ — contrastive training-batch construction with the in-batch-
+    * negatives constraint: a CLIP/DPR-style loss treats every other row
+    * of a batch as a negative, so two documents from the SAME source in
+    * one batch are a false negative. The builder shuffles
+    * deterministically (seeded md5, reproducible across runs and
+    * partitionings), ranks documents WITHIN each source, and interleaves
+    * by (rank, source) before cutting fixed batches of 32 — so a source
+    * repeats in a batch only when the batch is bigger than the number of
+    * live sources, and then by at most the forced minimum. The emitted
+    * census (docs / distinct sources / max-per-source per batch) is the
+    * constraint audit a training job runs before writing batch files.
+    *
+    * Scale shape: the per-source rank is a key-partitioned window; the
+    * interleave position is NOT a global window over the corpus — it is
+    * cum_before(level) + rank-in-level, where the level offsets come
+    * from a window over the per-level COUNTS (≤ max-docs-per-source
+    * rows, metadata-sized like s9_compaction_plan's planning window) and
+    * the in-level rank is partitioned by level (≤ n_sources rows per
+    * partition; at extreme source cardinality this level would compose
+    * the two-level prefix sum a10_sample_weighted already implements). */
+  val contrastiveBatches = Q(
+    "a10_contrastive_batches",
+    "In-batch-negative-safe batch builder: seeded shuffle, per-source rank, (rank, source) interleave, batches of 32; per-batch diversity census.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val rk = t.documents
+        .withColumn("h", md5(concat(lit("cb:"), col("doc_id").cast("string"))))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("r"))
+      val lvl = rk.groupBy(col("r")).agg(count(lit(1)).as("n"))
+      val off = lvl
+        .withColumn("cum_before",
+          coalesce(sum(col("n")).over(
+            Window.orderBy(col("r")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("r"), col("cum_before"))
+      val pos = rk.join(broadcast(off), "r")
+        .withColumn("rn", col("cum_before") +
+          row_number().over(Window.partitionBy(col("r")).orderBy(col("source"))))
+      pos
+        .withColumn("batch_id", expr("(rn - 1) div 32"))
+        .groupBy(col("batch_id"), col("source")).agg(count(lit(1)).as("c"))
+        .groupBy(col("batch_id"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"),
+          max(col("c")).as("max_per_source"))
+    },
+    Some("""WITH rk AS (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5('cb:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+              FROM documents
+            ), lvl AS (
+              SELECT r, count(*) AS n FROM rk GROUP BY 1
+            ), off AS (
+              SELECT r, CAST(coalesce(sum(n) OVER (ORDER BY r
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              FROM lvl
+            ), pos AS (
+              SELECT rk.doc_id, rk.source,
+                o.cum_before + row_number() OVER (PARTITION BY rk.r ORDER BY rk.source) AS rn
+              FROM rk JOIN off o ON rk.r = o.r
+            ), per AS (
+              SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id, source, count(*) AS c
+              FROM pos GROUP BY 1, 2
+            )
+            SELECT batch_id, CAST(sum(c) AS BIGINT) AS n_docs,
+              count(*) AS n_sources, CAST(max(c) AS BIGINT) AS max_per_source
+            FROM per GROUP BY 1""")
+  )
+
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
-    sourceMixing)
+    sourceMixing, contrastiveBatches)
 }

@@ -101,5 +101,92 @@ object GraphQueries {
             FROM outw o JOIN it3 ON o.src = it3.s""")
   )
 
-  def all: Seq[Q] = Seq(syndicationRank)
+  /** A12 ⊕ — exact triangle counting over the part co-occurrence graph
+    * (edges = parts appearing in the same 2–6-item order, the j8 basket
+    * cap bounding pair expansion), by degree-ordered orientation — the
+    * compact-forward / Chiba–Nishizeki algorithm every distributed
+    * triangle counter (Cohen's MapReduce version, GraphX's triangleCount)
+    * uses:
+    *
+    *  1. orient every undirected edge from its lower-(degree, id)
+    *     endpoint to its higher one — a total order, so each edge gets
+    *     exactly one direction;
+    *  2. wedges: self-join the oriented edges on the SOURCE, keeping
+    *     ordered neighbor pairs — because out-degree under this
+    *     orientation is bounded by O(√m) (no node keeps more out-edges
+    *     than its rank in the degree order), Σ d_out² — the wedge count,
+    *     and the only super-linear term — is minimized; a 10⁸-follower
+    *     hub node contributes NOTHING quadratic because all its edges
+    *     point INTO it;
+    *  3. close: one hash equi-join of the wedge pairs against the
+    *     oriented edge list. Each triangle is found exactly once (its
+    *     three vertices have a unique (degree, id) ordering).
+    *
+    * Every stage is a key-partitioned join or aggregate; per-node counts
+    * come from exploding each triangle to its 3 corners. Counts are
+    * exact integers; the oracle counts the same triangles naively by id
+    * order (a < b < c), an independent formulation that must agree
+    * because both enumerate each triangle exactly once. */
+  val triangleCount = Q(
+    "a12_triangle_count",
+    "Exact triangle count via degree-ordered orientation: oriented wedge self-join + closing equi-join; top-10 nodes by triangle membership.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val keep = items.groupBy(col("o")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 6))
+        .select(col("o"))
+      val kept = items.join(keep, "o")
+      val edges = kept.select(col("o"), col("p").as("p1"))
+        .join(kept.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1"), col("p2")).distinct()
+      val deg = edges.select(col("p1").as("v")).unionAll(edges.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keyed = edges
+        .join(deg.select(col("v").as("p1"), col("d").as("d1")), "p1")
+        .join(deg.select(col("v").as("p2"), col("d").as("d2")), "p2")
+      val fwd = struct(col("d1"), col("p1")) < struct(col("d2"), col("p2"))
+      val oriented = keyed.select(
+        when(fwd, col("p1")).otherwise(col("p2")).as("u"),
+        when(fwd, col("p2")).otherwise(col("p1")).as("w"),
+        when(fwd, col("d2")).otherwise(col("d1")).as("dw"))
+        .cache()
+      val wedges = oriented.select(col("u"), col("w").as("w1"), col("dw").as("dw1"))
+        .join(oriented.select(col("u"), col("w").as("w2"), col("dw").as("dw2")), Seq("u"))
+        .filter(struct(col("dw1"), col("w1")) < struct(col("dw2"), col("w2")))
+        .select(col("u"), col("w1"), col("w2"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("w1"), col("w").as("w2")), Seq("w1", "w2"))
+      tri.select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node").asc)
+        .limit(10)
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), keep AS (
+              SELECT o FROM items GROUP BY o HAVING count(*) BETWEEN 2 AND 6
+            ), k AS (
+              SELECT items.* FROM items JOIN keep USING (o)
+            ), e AS (
+              SELECT DISTINCT a.p AS p1, b.p AS p2
+              FROM k a JOIN k b ON a.o = b.o AND a.p < b.p
+            ), tri AS (
+              SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+              FROM e e1
+              JOIN e e2 ON e2.p1 = e1.p2
+              JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+            ), corners AS (
+              SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            SELECT node, count(*) AS n_tri FROM corners
+            GROUP BY node ORDER BY n_tri DESC, node ASC LIMIT 10""")
+  )
+
+  def all: Seq[Q] = Seq(syndicationRank, triangleCount)
 }
