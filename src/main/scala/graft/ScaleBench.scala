@@ -33,18 +33,6 @@ object ScaleBench {
     "t6_event_collect", "x28_bpe_merges", "x28_bpe_apply",
     "w6_robust_outliers", "w7_retention_cohorts", "e2e_contrastive_pairs")
 
-  /** Accumulates shuffle WRITE bytes across completed stages — the
-    * data-plane counterpart of the wall-clock ratio. A query whose time
-    * ratio is < 10x because fixed overhead amortizes still shows its
-    * true data growth here; a hidden quadratic intermediate would show
-    * a ~100x byte ratio even if its time hid inside the noise. */
-  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
-    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
-    override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-  }
-
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val big = if (args.length > 1) args(1) else "/root/repo/target/scale/sf1"
