@@ -31,7 +31,11 @@ object ScaleBench {
     "q12_conditional_agg", "q3_join_topk", "q8_market_share",
     "j8_cooccurrence", "j9_spatial_neighbors", "u4_merge_upsert",
     "t6_event_collect", "x28_bpe_merges", "x28_bpe_apply",
-    "w6_robust_outliers", "w7_retention_cohorts", "e2e_contrastive_pairs")
+    "w6_robust_outliers", "w7_retention_cohorts", "e2e_contrastive_pairs",
+    // round-7 additions: graph build + wedge join, PQ refine stage,
+    // interleave batcher, DSIR censuses, span dedup
+    "a12_syndication_rank", "a12_triangle_count", "j5_pq_refine",
+    "a10_contrastive_batches", "a10_importance_weights", "x28_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -30,11 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  private val Micro = 1000000L
-
-  /** Fixed-point quantization of the embedding: exact Long micro-units. */
-  private def quantized = transform(col("embedding"),
-    x => floor(x.cast("double") * Micro).cast("long"))
+  /** Fixed-point quantization of the embedding: exact Long micro-units
+    * (shared with the streaming index-maintenance path via PqIndex). */
+  private def quantized = graft.ops.PqIndex.quantized
 
   /** J5 ⊕ — one Lloyd iteration of k-means over the embeddings: assign
     * every vector to its nearest of K=8 seed centroids (the first 8
@@ -176,25 +174,15 @@ object VectorQueries {
     * ADC query and the two-stage refine query build the SAME index and
     * stay plan- and bit-identical on the stage they share. */
   private def adcPipeline(t: Tables): (DataFrame, DataFrame) = {
+    import graft.ops.PqIndex
     val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
-    val sub = q
-      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("m"), col("qe"))
-      .withColumn("sub", slice(col("qe"), col("m") * 8 + 1, lit(8)))
-      .select(col("vec_id"), col("m"), col("sub"))
-    val cw = broadcast(sub.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").as("cw_id"), col("sub").as("cw")))
-    def d2 = aggregate(
-      zip_with(col("sub"), col("cw"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    val codes = sub.join(cw, "m")
-      .withColumn("d2", d2)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cw_id"))).as("mm"))
-      .select(col("vec_id"), col("m"), col("mm.cw_id").as("code"))
-    val lut = broadcast(sub.filter(col("vec_id").between(450, 459))
+    val cw = PqIndex.codebook(q)
+    val codes = PqIndex.encode(q, cw)
+    val lut = broadcast(PqIndex.subVectors(q)
+      .filter(col("vec_id").between(450, 459))
       .withColumnRenamed("vec_id", "q_id")
       .join(cw, "m")
-      .withColumn("d2", d2)
+      .withColumn("d2", PqIndex.subDist2)
       .select(col("q_id"), col("m").as("lm"), col("cw_id"), col("d2")))
     val adc = codes.join(lut, col("lm") === col("m") && col("cw_id") === col("code"))
       .filter(col("q_id") =!= col("vec_id"))
