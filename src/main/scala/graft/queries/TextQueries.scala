@@ -655,7 +655,142 @@ object TextQueries {
             GROUP BY s.doc_id""")
   )
 
+  /** X28 ⊕ — SymSpell dictionary correction (Garbe's delete-neighborhood
+    * algorithm): fuzzy-match a dirty token stream against a frequency-
+    * pruned dictionary WITHOUT an all-pairs edit-distance pass. Every
+    * string maps to the key set {itself} ∪ {single-char deletions}; two
+    * strings within edit distance 1 are guaranteed to share a key, so
+    * candidate generation is a hash equi-join on the key and the exact
+    * `levenshtein` runs only on candidates — the edit-distance analogue
+    * of the LSH band join.
+    *
+    * The corpus is the clean token stream with DETERMINISTIC noise
+    * planted (the pii-scrub discipline, hash-seeded so both engines
+    * plant identical noise): ~1/7 of len≥4 tokens get a single-char
+    * deletion (distance 1 — must be CORRECTED), a disjoint ~1/11 get an
+    * adjacent transposition (distance 2 — shares deletion keys, so it
+    * becomes a candidate the levenshtein gate must REJECT), and the
+    * low-frequency tail ("dup") is pruned from the dictionary so clean
+    * rare tokens exercise the no-candidate UNMATCHED path. All four
+    * classification branches fire at every sf.
+    *
+    * Scale shape: the dictionary (words with freq ≥ corpus/1000 — by
+    * Zipf a bounded set) and its key expansion are broadcast; the
+    * corpus side is one scan with a ~(len+1)× key fan-out, one hash
+    * join, and a per-mention min aggregate that partial-aggs before the
+    * (doc, pos)-keyed shuffle. Nothing is quadratic in corpus OR
+    * vocabulary size. */
+  val fuzzyMatch = Q(
+    "x28_fuzzy_match",
+    "SymSpell fuzzy match: delete-neighborhood keys, broadcast pruned dictionary, exact levenshtein gate on candidates; per-source exact/corrected/unmatched census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "w")))
+        .filter(col("w") =!= "")
+        .withColumn("pos", (col("p0") + 1).cast("long"))
+        .withColumn("L", length(col("w")))
+        .withColumn("hh", expr(
+          "cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(pos as string))), 1, 4), 16, 10) as bigint)"))
+      val noisy = toks
+        // greatest(,1) keeps the eager column ANSI-safe for L=1 tokens;
+        // the L>=4 branch guard means the clamp never changes a result
+        .withColumn("dp", (col("hh") / 7).cast("long") % col("L") + 1)
+        .withColumn("tp", (col("hh") / 11).cast("long") % greatest(col("L") - 1, lit(1)) + 1)
+        .withColumn("t",
+          when(col("L") >= 4 && col("hh") % 7 === 0,
+            expr("concat(substring(w, 1, cast(dp as int) - 1), substring(w, cast(dp as int) + 1, L))"))
+          .when(col("L") >= 4 && col("hh") % 11 === 0,
+            expr("concat(substring(w, 1, cast(tp as int) - 1), substring(w, cast(tp as int) + 1, 1), " +
+              "substring(w, cast(tp as int), 1), substring(w, cast(tp as int) + 2, L))"))
+          .otherwise(col("w")))
+        .select(col("doc_id"), col("pos"), col("source"), col("t"))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val total = freq.agg(sum(col("c")).as("total"))
+      val vocab = freq.crossJoin(broadcast(total))
+        .filter(col("c") >= expr("total div 1000"))
+        .select(col("w").as("vw"))
+      def keysOf(c: String) = explode(expr(
+        s"array_union(array($c), transform(sequence(1, length($c)), " +
+          s"i -> concat(substr($c, 1, i - 1), substr($c, i + 1, length($c)))))"))
+      val vkeys = broadcast(vocab.select(col("vw"), keysOf("vw").as("key")))
+      val mkeys = noisy.select(col("doc_id"), col("pos"), col("source"), col("t"),
+        keysOf("t").as("key"))
+      val dmin = mkeys.join(vkeys, "key")
+        .select(col("doc_id"), col("pos"), col("source"), col("t"), col("vw")).distinct()
+        .withColumn("d", levenshtein(col("t"), col("vw")))
+        .groupBy(col("doc_id"), col("pos"), col("source"))
+        .agg(min(col("d")).as("dmin"))
+      noisy.join(dmin, Seq("doc_id", "pos", "source"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_mentions"),
+          count(when(col("dmin") === 0, 1)).as("n_exact"),
+          count(when(col("dmin") === 1, 1)).as("n_corrected"),
+          count(when(col("dmin").isNull || col("dmin") >= 2, 1)).as("n_unmatched"))
+    },
+    Some("""WITH d0 AS (
+              SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+            ), m AS (
+              SELECT doc_id, source, CAST(t.i AS BIGINT) AS pos, ws[t.i] AS w
+              FROM d0, LATERAL unnest(generate_series(1, len(ws))) AS t(i)
+              WHERE ws[t.i] <> ''
+            ), hx AS (
+              SELECT doc_id, source, pos, w, len(w) AS L,
+                md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)) AS h
+              FROM m
+            ), hh AS (
+              SELECT doc_id, source, pos, w, L,
+                CAST((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                 + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                 + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                 + (strpos('0123456789abcdef', h[4]) - 1) AS BIGINT) AS hh
+              FROM hx
+            ), noisy AS (
+              SELECT doc_id, source, pos,
+                CASE WHEN L >= 4 AND hh % 7 = 0 THEN
+                       substr(w, 1, CAST((hh // 7) % L AS INT))
+                       || substr(w, CAST((hh // 7) % L AS INT) + 2, L)
+                     WHEN L >= 4 AND hh % 11 = 0 THEN
+                       substr(w, 1, CAST((hh // 11) % (L - 1) AS INT))
+                       || substr(w, CAST((hh // 11) % (L - 1) AS INT) + 2, 1)
+                       || substr(w, CAST((hh // 11) % (L - 1) AS INT) + 1, 1)
+                       || substr(w, CAST((hh // 11) % (L - 1) AS INT) + 3, L)
+                     ELSE w END AS t
+              FROM hh
+            ), freq AS (
+              SELECT w, count(*) AS c FROM m GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS total FROM freq
+            ), vocab AS (
+              SELECT w AS vw FROM freq, tot WHERE c >= total // 1000
+            ), vkeys AS (
+              SELECT DISTINCT vw, k.key
+              FROM vocab, LATERAL unnest(list_append(
+                list_transform(generate_series(1, len(vw)),
+                  i -> substr(vw, 1, i - 1) || substr(vw, i + 1)), vw)) AS k(key)
+            ), mkeys AS (
+              SELECT DISTINCT doc_id, pos, source, t, k.key
+              FROM noisy, LATERAL unnest(list_append(
+                list_transform(generate_series(1, len(t)),
+                  i -> substr(t, 1, i - 1) || substr(t, i + 1)), t)) AS k(key)
+            ), cand AS (
+              SELECT DISTINCT doc_id, pos, source, t, vw
+              FROM mkeys JOIN vkeys USING (key)
+            ), dm AS (
+              SELECT doc_id, pos, source, min(levenshtein(t, vw)) AS dmin
+              FROM cand GROUP BY 1, 2, 3
+            )
+            SELECT n.source, count(*) AS n_mentions,
+              count(CASE WHEN dm.dmin = 0 THEN 1 END) AS n_exact,
+              count(CASE WHEN dm.dmin = 1 THEN 1 END) AS n_corrected,
+              count(CASE WHEN dm.dmin IS NULL OR dm.dmin >= 2 THEN 1 END) AS n_unmatched
+            FROM noisy n LEFT JOIN dm
+              ON n.doc_id = dm.doc_id AND n.pos = dm.pos AND n.source = dm.source
+            GROUP BY 1""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
-      bpeMerges, bpeApply, oovRate, spanDedup)
+      bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch)
 }
