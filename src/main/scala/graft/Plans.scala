@@ -50,7 +50,12 @@ object Plans {
     "s9_compaction_plan" -> "OPTIMIZE planning: window over file METADATA, per-partition prefix-sum bins",
     "a10_decontaminate_bloom" -> "native bloom_filter_agg scalar subquery + codegen'd might_contain probe ahead of the exact gram join",
     "a10_importance_weights" -> "DSIR scoring: two bounded bucket censuses, broadcast ratio table, TakeOrdered head",
-    "a10_budget_select" -> "greedy budget fill: prefix sum over the bounded quality domain, no corpus-wide window"
+    "a10_budget_select" -> "greedy budget fill: prefix sum over the bounded quality domain, no corpus-wide window",
+    "s9_bucketed_join"  -> "bucketed scans (Bucketed: true, 8/8); at fixture sf AQE broadcasts the tiny side — with broadcast off the fact join is exchange-free (PlanShapeSpec-pinned)",
+    "j5_pq_refine"      -> "two-stage ANN: compressed ADC shortlist, broadcast candidates fetch raw vectors O(|Q|*k)",
+    "a12_triangle_count" -> "degree-ordered orientation: wedge self-join + closing equi-join, no quadratic hub term",
+    "a10_contrastive_batches" -> "interleave batcher: level offsets + partitioned in-level rank, no corpus-wide window",
+    "x28_fuzzy_match"   -> "SymSpell: delete-key equi-join against broadcast dictionary, levenshtein only on candidates"
   )
 
   def main(args: Array[String]): Unit = {
