@@ -518,6 +518,64 @@ object TimeSeriesQueries {
             FROM x GROUP BY event_type""")
   )
 
+  /** W9 ⊕ — seasonal-profile outliers: the deseasonalization a metrics
+    * pipeline runs before alerting — a value that is normal at peak hour
+    * is an anomaly at 3am, so the baseline must be the (event_type,
+    * hour-of-day) profile, not a global center. Two passes, exactly like
+    * w6's median/MAD: (1) profile = per-(type, hour) count + exact
+    * fixed-point sum; (2) per-event deviation from its profile mean,
+    * flagged when it exceeds 3× the profile's mean absolute deviation.
+    *
+    * Exactness discipline: v6 = floor(value·1e6) Long; the mean is
+    * never divided out — deviation is the cross-multiplied
+    * |v6·n − Σv6| (the q17 trick), and the threshold compares against
+    * 3·(Σdev div n), all non-negative integer arithmetic, so truncating
+    * div == flooring // and no double ever accumulates. The profile
+    * mean is emitted as the (sum_micro, n) pair rather than a quotient
+    * (Σv6 may be negative, where div and // diverge).
+    *
+    * Scale shape: two corpus scans, each ending in a ≤ (types×24)-group
+    * aggregate; the profile tables broadcast back. Headroom: |v6| ≤
+    * ~1e9 for fixture values, so v6·n holds to n ≈ 9e9 rows per
+    * (type, hour) cell before the Long would need a two-level split. */
+  val w9Seasonal = Q(
+    "w9_seasonal_outliers",
+    "Seasonal (event_type, hour-of-day) profile: exact integer mean-deviation census, outliers past 3x mean absolute deviation.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(col("event_type"), hour(col("ts")).as("hr"),
+        floor(col("value") * 1000000L).cast("long").as("v6"))
+      val prof = e.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("s6"))
+      val dev = e.join(broadcast(prof), Seq("event_type", "hr"))
+        .withColumn("dev", abs(col("v6") * col("n") - col("s6")))
+      val spread = dev.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("dev")).as("sum_dev"))
+      dev.join(broadcast(spread), Seq("event_type", "hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(first(col("n")).as("n"), first(col("s6")).as("sum_micro"),
+          count(when(col("dev") > lit(3) * expr("sum_dev div n"), 1)).as("n_outliers"))
+    },
+    Some("""WITH e AS (
+              SELECT event_type, hour(ts) AS hr,
+                CAST(floor(value * 1000000) AS BIGINT) AS v6
+              FROM events
+            ), prof AS (
+              SELECT event_type, hr, count(*) AS n, CAST(sum(v6) AS BIGINT) AS s6
+              FROM e GROUP BY 1, 2
+            ), dv AS (
+              SELECT e.event_type, e.hr, abs(e.v6 * p.n - p.s6) AS dev, p.n, p.s6
+              FROM e JOIN prof p USING (event_type, hr)
+            ), sd AS (
+              SELECT event_type, hr, CAST(sum(dev) AS BIGINT) AS sum_dev
+              FROM dv GROUP BY 1, 2
+            )
+            SELECT d.event_type, d.hr, d.n, d.s6 AS sum_micro,
+              count(CASE WHEN d.dev > 3 * (sd.sum_dev // d.n) THEN 1 END) AS n_outliers
+            FROM dv d JOIN sd USING (event_type, hr)
+            GROUP BY 1, 2, 3, 4""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
-    gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes)
+    gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes, w9Seasonal)
 }
