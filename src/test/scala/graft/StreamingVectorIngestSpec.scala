@@ -63,4 +63,32 @@ class StreamingVectorIngestSpec extends SparkSpecBase {
     assert(top1(inc) == top1(batch),
       "ADC probe over the incremental index diverged from the batch index")
   }
+
+  test("a restarted ingest resumes from the checkpoint: old vectors are not re-encoded") {
+    val base = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val cb = StreamingVectorIngest.trainedCodebook(base).cache()
+    val src = Files.createTempDirectory("vrs_src").toString
+    val idx = Files.createTempDirectory("vrs_idx").toString
+    val ck = Files.createTempDirectory("vrs_ck").toString
+
+    val trancheA = base.filter(col("vec_id") < 250)
+    val trancheB = base.filter(col("vec_id") >= 250)
+
+    trancheA.repartition(2).write.mode("append").parquet(src)
+    val q1 = StreamingVectorIngest.run(spark, src, idx, ck, cb)
+    assert(q1.awaitTermination(120000), "first ingest did not drain")
+    val afterA = StreamingVectorIngest.indexSegments(spark, idx).get.count()
+    assert(afterA == trancheA.count() * 8, s"first ingest wrote $afterA code rows")
+
+    // "restart": same checkpoint, new vectors landed in the meantime
+    trancheB.repartition(2).write.mode("append").parquet(src)
+    val q2 = StreamingVectorIngest.run(spark, src, idx, ck, cb)
+    assert(q2.awaitTermination(120000), "restarted ingest did not drain")
+
+    val out = StreamingVectorIngest.indexSegments(spark, idx).get
+    assert(out.count() == base.count() * 8,
+      s"restart re-encoded or dropped vectors: index=${out.count()} expected=${base.count() * 8}")
+    assert(out.select("vec_id", "m").distinct().count() == base.count() * 8,
+      "duplicate (vec_id, m) code rows after restart")
+  }
 }
