@@ -222,7 +222,17 @@ object RetrievalQueries {
           coalesce(col("r_vec"), lit(0)).as("r_vec"),
           round(col("rrf"), 6).as("rrf"), col("rank"))
     },
-    Some("""WITH d AS (
+    Some(s"""WITH $hybridCtes
+            SELECT doc_id, COALESCE(r_bm25, 0) AS r_bm25, COALESCE(r_vec, 0) AS r_vec,
+                   round(rrf, 6) AS rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""")
+  )
+
+  /** The hybrid-retrieval oracle CTE chain (BM25 leg → dense leg → RRF
+    * fusion), shared by `e2e_hybrid_search` and `e2e_rag_context`. */
+  private def hybridCtes: String =
+    """d AS (
               SELECT doc_id, string_split(text, ' ') AS toks,
                      CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
               FROM documents
@@ -271,12 +281,129 @@ object RetrievalQueries {
                 COALESCE(CAST(1 AS DOUBLE) / (lex.r_bm25 + 60), 0)
                   + COALESCE(CAST(1 AS DOUBLE) / (dense.r_vec + 60), 0) AS rrf
               FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+            )"""
+
+  /** E2E ⊕ — the full RAG serving path, stage-composed: hybrid
+    * retrieval (BM25 + dense fused by RRF, `e2e_hybrid_search`'s exact
+    * construction) nominates a top-10 shortlist → MMR (λ=0.7, the
+    * `j5_mmr_rerank` unrolled-greedy shape) picks 3 diverse passages
+    * WITHIN the shortlist → the picks are packed into a context window
+    * in pick order with a token budget. The budget is RELATIVE —
+    * (3·total)÷4 of the picks' own token mass — so the out-of-budget
+    * branch provably fires at every sf (the last pick's cumulative sum
+    * is always the full total) without depending on fixture lengths.
+    *
+    * Scale shape: the two retrieval legs are corpus scans ending in
+    * TakeOrdered top-20s; everything after operates on ≤ 20 rows
+    * (broadcast, driver-free) — the assembly cost is dominated by
+    * retrieval, exactly as a production RAG stack behaves. */
+  val ragContext = Q(
+    "e2e_rag_context",
+    "RAG context assembly: hybrid RRF top-10 -> MMR 3 diverse picks -> token-budget packing with cumulative counts and in_budget flags.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val lex = bm25Totals(t)
+        .orderBy(col("total").desc, col("doc_id").asc).limit(20)
+        .withColumn("r_bm25",
+          row_number().over(Window.orderBy(col("total").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("r_bm25"))
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val base = t.embeddings.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      val qv = broadcast(base.filter(col("vec_id") === 450)
+        .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm")))
+      val dense = base.filter(col("vec_id") =!= 450).crossJoin(qv)
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .orderBy(col("cos").desc, col("vec_id").asc).limit(20)
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      val top10 = lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("r_bm25") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_vec") + 60), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"))
+      val cand = broadcast(top10)
+        .join(base, col("vec_id") === col("doc_id"))
+        .crossJoin(qv)
+        .withColumn("rel", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .select(col("doc_id"), col("embedding"), col("nrm"), col("rel"))
+        .cache()
+      val p1 = cand.orderBy(col("rel").desc, col("doc_id").asc).limit(1)
+        .select(col("doc_id").as("p1_id"), col("embedding").as("p1_emb"), col("nrm").as("p1_nrm"))
+      val r2 = cand.crossJoin(broadcast(p1))
+        .filter(col("doc_id") =!= col("p1_id"))
+        .withColumn("sim1", dot(col("embedding"), col("p1_emb")) / (col("nrm") * col("p1_nrm")))
+      val p2 = r2.orderBy((col("rel") * 0.7 - col("sim1") * 0.3).desc, col("doc_id").asc).limit(1)
+        .select(col("doc_id").as("p2_id"), col("embedding").as("p2_emb"), col("nrm").as("p2_nrm"))
+      val p3 = r2.crossJoin(broadcast(p2))
+        .filter(col("doc_id") =!= col("p2_id"))
+        .withColumn("sim2", dot(col("embedding"), col("p2_emb")) / (col("nrm") * col("p2_nrm")))
+        .withColumn("mmr", col("rel") * 0.7 - greatest(col("sim1"), col("sim2")) * 0.3)
+        .orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
+        .select(col("doc_id").as("p3_id"))
+      val picks = p1.select(lit(1).as("pick_order"), col("p1_id").as("doc_id"))
+        .unionByName(p2.select(lit(2).as("pick_order"), col("p2_id").as("doc_id")))
+        .unionByName(p3.select(lit(3).as("pick_order"), col("p3_id").as("doc_id")))
+      val toks = t.documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val ctx = picks.join(toks, "doc_id")
+        .withColumn("cum_toks",
+          sum(col("n_toks")).over(Window.orderBy(col("pick_order"))))
+      ctx.crossJoin(broadcast(ctx.agg(sum(col("n_toks")).as("total"))))
+        .withColumn("in_budget",
+          when(col("cum_toks") <= expr("(3 * total) div 4"), lit(1)).otherwise(lit(0)))
+        .select(col("pick_order"), col("doc_id"), col("n_toks"),
+          col("cum_toks"), col("in_budget"))
+    },
+    Some(s"""WITH $hybridCtes, top10 AS (
+              SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+            ), cand AS (
+              SELECT t.doc_id, n.embedding, n.nrm,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(qv.q_emb[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (qv.q_nrm * n.nrm) AS rel
+              FROM top10 t JOIN n ON n.vec_id = t.doc_id CROSS JOIN qv
+            ), p1 AS (
+              SELECT doc_id, embedding, nrm FROM cand
+              ORDER BY rel DESC, doc_id ASC LIMIT 1
+            ), r2 AS (
+              SELECT c.doc_id, c.embedding, c.nrm, c.rel,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p1.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (c.nrm * p1.nrm) AS sim1
+              FROM cand c, p1 WHERE c.doc_id <> p1.doc_id
+            ), p2 AS (
+              SELECT doc_id, embedding, nrm FROM r2
+              ORDER BY rel * 0.7 - sim1 * 0.3 DESC, doc_id ASC LIMIT 1
+            ), p3 AS (
+              SELECT r2.doc_id FROM r2, p2 WHERE r2.doc_id <> p2.doc_id
+              ORDER BY r2.rel * 0.7 - greatest(r2.sim1,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(r2.embedding[i] AS DOUBLE) * CAST(p2.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (r2.nrm * p2.nrm)) * 0.3 DESC, r2.doc_id ASC
+              LIMIT 1
+            ), picks AS (
+              SELECT 1 AS pick_order, doc_id FROM p1
+              UNION ALL SELECT 2, doc_id FROM p2
+              UNION ALL SELECT 3, doc_id FROM p3
+            ), tk AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              FROM documents
+            ), ctx AS (
+              SELECT p.pick_order, p.doc_id, tk.n_toks,
+                CAST(sum(tk.n_toks) OVER (ORDER BY p.pick_order) AS BIGINT) AS cum_toks
+              FROM picks p JOIN tk USING (doc_id)
+            ), tot AS (
+              SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM ctx
             )
-            SELECT doc_id, COALESCE(r_bm25, 0) AS r_bm25, COALESCE(r_vec, 0) AS r_vec,
-                   round(rrf, 6) AS rrf,
-                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
-            FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""")
+            SELECT pick_order, doc_id, n_toks, cum_toks,
+              CASE WHEN cum_toks <= (3 * total) // 4 THEN 1 ELSE 0 END AS in_budget
+            FROM ctx, tot""")
   )
 
-  def all: Seq[Q] = Seq(bm25, heavyHitters, hybrid)
+  def all: Seq[Q] = Seq(bm25, heavyHitters, hybrid, ragContext)
 }
