@@ -461,5 +461,83 @@ object SimilarityQueries {
             SELECT q_id, 3, vec_id, round(score, 6) FROM s3""")
   )
 
-  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall, hardNegatives, mmrRerank)
+  /** J5 ⊕ — embedding-quality diagnostic: does the representation
+    * separate the labels? The pre-training sanity check a team runs
+    * before fitting a classifier head — if the average intra-label
+    * cosine does not exceed the inter-label one, the embeddings carry
+    * no label signal and training on them is wasted compute.
+    *
+    * The pair set is the sign-LSH bucket candidate set (the
+    * a10_embed_neardup bands), NOT all pairs — at corpus scale the
+    * diagnostic runs over the same bounded bucket joins the dedup path
+    * already pays for. Per-row cosine is double math (deterministic);
+    * the accumulation is exact: floor(cos·1e6) Long sums, so the census
+    * hash-matches DuckDB bit-for-bit. Output: one row per
+    * same_label ∈ {0, 1} with pair count, fixed-point cosine sum, and
+    * the min/max envelope. */
+  val labelSeparation = Q(
+    "j5_label_separation",
+    "Representation probe: intra- vs inter-label cosine census over the sign-LSH-bounded pair set; exact fixed-point sums, min/max envelope.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.embeddings.withColumn("nrm", norm(col("embedding")))
+      val bandStructs: Seq[Column] = (0 until 2).map { b =>
+        val key = (1 to 8).map(i =>
+          when(element_at(col("embedding"), 8 * b + i) >= 0f, "1").otherwise("0"))
+          .reduce(concat(_, _))
+        struct(lit(b).as("b"), key.as("band_key"))
+      }
+      val bands = base
+        .select(col("vec_id"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("vec_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
+      val cands = bands.select(col("b"), col("band_key"), col("vec_id").as("i"))
+        .join(bands.select(col("b"), col("band_key"), col("vec_id").as("j")), Seq("b", "band_key"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+      val ea = base.select(col("vec_id").as("i"), col("embedding").as("e_i"),
+        col("nrm").as("n_i"), col("label").as("l_i"))
+      val eb = base.select(col("vec_id").as("j"), col("embedding").as("e_j"),
+        col("nrm").as("n_j"), col("label").as("l_j"))
+      cands.join(ea, "i").join(eb, "j")
+        .withColumn("cos", dot(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")))
+        .withColumn("same_label", when(col("l_i") === col("l_j"), 1).otherwise(0))
+        .withColumn("cos_micro", floor(col("cos") * 1000000L).cast("long"))
+        .groupBy(col("same_label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cos_micro")).as("sum_cos_micro"),
+          min(col("cos_micro")).as("min_cos_micro"),
+          max(col("cos_micro")).as("max_cos_micro"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, label, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm
+              FROM embeddings
+            ), bands AS (
+              SELECT vec_id, g.b,
+                list_aggregate(list_transform(generate_series(1, 8),
+                  i -> CASE WHEN embedding[8 * g.b + i] >= 0 THEN '1' ELSE '0' END),
+                  'string_agg', '') AS band_key
+              FROM n CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) g
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS i, bb.vec_id AS j
+              FROM bands a JOIN bands bb
+                ON a.b = bb.b AND a.band_key = bb.band_key AND a.vec_id < bb.vec_id
+            ), scored AS (
+              SELECT CASE WHEN ni.label = nj.label THEN 1 ELSE 0 END AS same_label,
+                CAST(floor(1000000 * list_reduce(list_transform(generate_series(1, 64),
+                    k -> CAST(ni.embedding[k] AS DOUBLE) * CAST(nj.embedding[k] AS DOUBLE)),
+                    (x, y) -> x + y) / (ni.nrm * nj.nrm)) AS BIGINT) AS cos_micro
+              FROM cand JOIN n ni ON ni.vec_id = cand.i JOIN n nj ON nj.vec_id = cand.j
+            )
+            SELECT same_label, count(*) AS n_pairs,
+              CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro,
+              min(cos_micro) AS min_cos_micro, max(cos_micro) AS max_cos_micro
+            FROM scored GROUP BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall, hardNegatives,
+    mmrRerank, labelSeparation)
 }

@@ -26,7 +26,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "e2e_contrastive_pairs", "e2e_result_cache", "a12_syndication_rank",
     "j5_mmr_rerank", "x28_span_dedup", "a10_decontaminate_bloom",
     "a10_importance_weights", "j5_pq_refine", "s9_bucketed_join",
-    "a12_triangle_count", "x28_fuzzy_match", "e2e_rag_context")
+    "a12_triangle_count", "x28_fuzzy_match", "e2e_rag_context",
+    "j5_label_separation")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
