@@ -581,5 +581,57 @@ object CoreQueries {
             FROM pr WHERE d2 <= 400 GROUP BY 1""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert)
+  /** U5 ⊕ — SCD Type-2 history construction: u4 is the Type-1 face
+    * (latest state overwrites); this is the other canonical CDC
+    * pattern — every state CHANGE opens a versioned validity interval,
+    * so point-in-time queries ("what was this user's state at T?") are
+    * a range probe instead of a log replay. The kept rows are w8's
+    * change rows; valid_to comes from lead() over the change sequence,
+    * with -1 as the open-interval sentinel (no NULLs in the output — a
+    * NULL would be hash-compare-fragile and every consumer can range-
+    * probe `valid_to_us = -1 OR t < valid_to_us`).
+    *
+    * Exactness: interval bounds are unix_micros (== DuckDB epoch_us,
+    * exact integers); ordering is the unique (ts, event_id) pair.
+    * Scale shape: two windows, both partitioned by user_id (bounded
+    * per-user state, never corpus-global), one filter between them —
+    * the history table is strictly smaller than the event log. */
+  val scd2History = Q(
+    "u5_scd2_history",
+    "SCD Type-2 history: per-user state-change intervals with version numbers, exact microsecond validity bounds, -1 open sentinel.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t.events
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(byUser))
+        .withColumn("valid_from_us", expr("unix_micros(ts)"))
+        .withColumn("valid_to_us",
+          coalesce(lead(expr("unix_micros(ts)"), 1).over(byUser), lit(-1L)))
+        .withColumn("is_current", when(col("valid_to_us") === -1L, 1).otherwise(0))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_id, ts, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), changes AS (
+              SELECT user_id, event_id, ts, event_type
+              FROM marked WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+              event_type,
+              epoch_us(ts) AS valid_from_us,
+              coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                CAST(-1 AS BIGINT)) AS valid_to_us,
+              CASE WHEN coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                CAST(-1 AS BIGINT)) = -1 THEN 1 ELSE 0 END AS is_current
+            FROM changes""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert, scd2History)
 }

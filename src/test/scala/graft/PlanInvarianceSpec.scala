@@ -46,7 +46,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "a10_decontaminate_bloom", "a10_importance_weights",
         "a10_budget_select", "a10_curriculum_order",
         "a10_contrastive_batches", "a12_triangle_count",
-        "x28_fuzzy_match", "w9_seasonal_outliers")) {
+        "x28_fuzzy_match", "w9_seasonal_outliers", "u5_scd2_history")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
