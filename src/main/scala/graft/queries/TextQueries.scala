@@ -790,7 +790,87 @@ object TextQueries {
             GROUP BY 1""")
   )
 
+  /** X28 ⊕ — bigram-LM plausibility scoring: the KenLM-perplexity-style
+    * quality signal (does the text read like the corpus, or is it
+    * shuffled/garbled?) that catches what a unigram OOV rate cannot —
+    * junk made of KNOWN words in implausible order. The published
+    * recipe multiplies probabilities in log space; logs are libm (not
+    * bit-stable cross-engine), so the score here is the exact integer
+    * mean of smoothed bigram probabilities in micro-units:
+    * p6(w1,w2) = c(w1,w2)·1e6 div (c(w1) + V), doc score =
+    * (Σ p6) div n_bigrams — monotone in the same direction, and every
+    * quantity is a Long (the importance-weights trick applied to
+    * sequence modeling).
+    *
+    * "Junk" is a RELATIVE bottom-tail verdict — 100·score·N < 95·Σscores
+    * (a doc under 95% of the corpus mean; the fixture corpus scores in a
+    * tight ±15% band, so an absolute or deep-ratio cut would never
+    * fire) — relative to the corpus, it flags the low tail at every sf
+    * without fixture-tuned constants.
+    *
+    * Scale shape: training is two gram censuses (map-side partial agg);
+    * scoring joins the corpus bigram stream against the bigram-count
+    * table on the gram key and the unigram table on w1 — both
+    * key-partitioned equi-joins, vocabulary-sized tables, no all-pairs;
+    * the verdict join broadcasts one total row. */
+  val bigramLm = Q(
+    "x28_bigram_lm",
+    "Bigram-LM quality proxy: add-V-smoothed integer bigram probabilities, per-doc mean score, per-source census with relative junk verdict.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bigrams = toks.select(col("doc_id"), col("source"),
+          posexplode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as w1, w[i] as w2))"))
+            .as(Seq("p", "bg")))
+        .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val vocab = bigrams.select(col("w1")).unionAll(bigrams.select(col("w2").as("w1")))
+        .agg(count_distinct(col("w1")).as("v"))
+      val scored = bigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("p6", expr("(c2 * 1000000L) div (c1 + v)"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(expr("sum(p6) div count(1)").as("score"))
+      val tot = scored.agg(count(lit(1)).as("nd"), sum(col("score")).as("ts"))
+      scored.crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("sum_score"),
+          count(when(col("score") * 100 * col("nd") < col("ts") * 95, 1)).as("n_junk"))
+    },
+    Some("""WITH d0 AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+              WHERE len(string_split(text, ' ')) >= 2
+            ), bg AS (
+              SELECT doc_id, source, w[t.i] AS w1, w[t.i + 1] AS w2
+              FROM d0, LATERAL unnest(generate_series(1, len(w) - 1)) AS t(i)
+            ), uni AS (
+              SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+            ), bi AS (
+              SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+            ), vocab AS (
+              SELECT count(DISTINCT w) AS v FROM (
+                SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+            ), scored AS (
+              SELECT doc_id, source,
+                CAST(CAST(sum((c2 * 1000000) // (c1 + v)) AS BIGINT) // count(*) AS BIGINT) AS score
+              FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+              GROUP BY 1, 2
+            ), tot AS (
+              SELECT count(*) AS nd, CAST(sum(score) AS BIGINT) AS ts FROM scored
+            )
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(score) AS BIGINT) AS sum_score,
+              count(CASE WHEN score * 100 * nd < ts * 95 THEN 1 END) AS n_junk
+            FROM scored CROSS JOIN tot GROUP BY 1""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
-      bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch)
+      bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch, bigramLm)
 }

@@ -27,7 +27,7 @@ class PlanInvarianceSpec extends SparkSpecBase {
     "j5_mmr_rerank", "x28_span_dedup", "a10_decontaminate_bloom",
     "a10_importance_weights", "j5_pq_refine", "s9_bucketed_join",
     "a12_triangle_count", "x28_fuzzy_match", "e2e_rag_context",
-    "j5_label_separation")
+    "j5_label_separation", "x28_bigram_lm")
 
   test("results are invariant to the shuffle partition count") {
     for (name <- Seq("q1_agg", "q10_returned_top", "a10_dedup_clusters",
@@ -46,7 +46,8 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "a10_decontaminate_bloom", "a10_importance_weights",
         "a10_budget_select", "a10_curriculum_order",
         "a10_contrastive_batches", "a12_triangle_count",
-        "x28_fuzzy_match", "w9_seasonal_outliers", "u5_scd2_history")) {
+        "x28_fuzzy_match", "w9_seasonal_outliers", "u5_scd2_history",
+        "x28_bigram_lm")) {
       val fn = QueryRegistry.queries(name)
       val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
