@@ -139,10 +139,14 @@ object GraphQueries {
         .filter(col("n").between(2, 6))
         .select(col("o"))
       val kept = items.join(keep, "o")
+      // cached: the basket self-join feeds BOTH the degree census and
+      // the orientation join — uncached, Spark recomputes the pair
+      // expansion twice (the a12_syndication_rank lesson)
       val edges = kept.select(col("o"), col("p").as("p1"))
         .join(kept.select(col("o"), col("p").as("p2")), Seq("o"))
         .filter(col("p1") < col("p2"))
         .select(col("p1"), col("p2")).distinct()
+        .cache()
       val deg = edges.select(col("p1").as("v")).unionAll(edges.select(col("p2").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
       val keyed = edges
