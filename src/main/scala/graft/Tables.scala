@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver fixture tables (TESTDATA.md / FIXTURES.md §A).
   *
@@ -20,17 +20,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long nanos. The
-    * fixture data is µs-aligned, so integer-divide to micros (NOT a double
-    * divide — 1.7e18 ns exceeds double's 53-bit mantissa) and convert to a
-    * proper TimestampType column.
+  /** `events.ts` has shipped in three parquet encodings across driver
+    * fixture generations; normalize all of them to a session-TZ
+    * `TimestampType` column here so no downstream query has to care:
+    *
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong` it
+    *    arrives as long nanos. The fixture data is µs-aligned, so
+    *    integer-divide to micros (NOT a double divide — 1.7e18 ns exceeds
+    *    double's 53-bit mantissa) and convert via `timestamp_micros`.
+    *  - timestamp[us] with no timezone: Spark 4 reads `TIMESTAMP_NTZ`;
+    *    cast to `timestamp` (session TZ is pinned UTC in GraftSession, so
+    *    the cast is deterministic and matches the DuckDB oracle).
+    *  - plain TIMESTAMP: pass through.
     */
   def events: DataFrame = {
     val raw = table("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -12,6 +12,10 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Queries that throw must leave an explicit record in the artifact —
+    // a silently-omitted query would make a JSON-only consumer read the
+    // run as all-green (ADVICE r7). errors.json maps name -> message.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -19,6 +23,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
       // query-local .cache() blocks must not accumulate across the sweep
       spark.catalog.clearCache()
@@ -38,6 +43,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }
