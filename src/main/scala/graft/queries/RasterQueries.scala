@@ -320,6 +320,57 @@ object RasterQueries {
             FROM px GROUP BY product, decoded""")
   )
 
+  /** D1 — COMPRESSED raster decode: real LANDFIRE/USGS tiles arrive
+    * deflate- or LZW-compressed, striped or tiled, int- or float-banded
+    * (the reference's rasterio handles this transparently,
+    * landfire_container.py:89-96). Every supported layout is encoded
+    * from the same grid formula and decoded in executors; the oracle
+    * recomputes the formula per (layout, product) — matching proves each
+    * compression/layout/sample-format path end-to-end. */
+  val d1Compressed = Q(
+    "d1_tiff_compressed",
+    "Compressed TIFF decode matrix: LZW/deflate/PackBits x strip/tile x int16-predictor/f32/f64 layouts, decoded executor-side, stats vs formula oracle.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.TiffCodec
+      import graft.ops.TiffCodec._
+      def grid(p: Int): Array[Array[Double]] =
+        Array.tabulate(8, 8)((r, c) => ((r * 31 + c * 17 + p * 7) % 97).toDouble)
+      val layouts: Seq[(String, Array[Array[Double]] => Array[Byte])] = Seq(
+        ("lzw_strips" -> (g => encodeEx(g, compression = CompLzw, rowsPerStrip = 3))),
+        ("deflate_tiled" -> (g => encodeEx(g, compression = CompDeflate, tile = Some((16, 16))))),
+        ("packbits" -> (g => encodeEx(g, compression = CompPackBits))),
+        ("lzw_pred_i16" -> (g => encodeEx(g, compression = CompLzw, bits = 16, fmt = 1, predictor = 2))),
+        ("deflate_f32" -> (g => encodeEx(g, compression = CompDeflate, bits = 32, fmt = 3)))
+      )
+      val rows = for ((lname, enc) <- layouts; p <- 0 until 3)
+        yield (lname, s"product_$p", enc(grid(p)))
+      val decodeUdf = udf { (b: Array[Byte]) =>
+        TiffCodec.decode(b).map(_.pixels.toSeq).orNull
+      }
+      rows.toDF("layout", "product", "tiff")
+        .select(col("layout"), col("product"),
+          explode(decodeUdf(col("tiff"))).as("px"))
+        .groupBy(col("layout"), col("product"))
+        .agg(count(col("px")).as("n_px"),
+          round(min(col("px")), 4).as("min_px"),
+          round(max(col("px")), 4).as("max_px"),
+          round(avg(col("px")), 4).as("mean_px"))
+    },
+    Some("""WITH layouts(layout) AS (VALUES ('lzw_strips'), ('deflate_tiled'),
+              ('packbits'), ('lzw_pred_i16'), ('deflate_f32')),
+            px AS (
+              SELECT layout, 'product_' || CAST(p AS VARCHAR) AS product,
+                CAST((r * 31 + c * 17 + p * 7) % 97 AS DOUBLE) AS px
+              FROM layouts, generate_series(0, 2) AS ps(p),
+                   generate_series(0, 7) AS rs(r), generate_series(0, 7) AS cs(c)
+            )
+            SELECT layout, product, count(px) AS n_px,
+                   round(min(px), 4) AS min_px, round(max(px), 4) AS max_px,
+                   round(avg(px), 4) AS mean_px
+            FROM px GROUP BY layout, product""")
+  )
+
   /** J3+D1 fused — the reference's `interpret_pixel_at_coordinate`
     * (landfire_container.py:86-116) over REAL binary rasters: decode the
     * TIFF bytes, inverse-affine the coordinate, bounds-check, extract
@@ -367,5 +418,5 @@ object RasterQueries {
             FROM l""")
   )
 
-  def all: Seq[Q] = Seq(a1, a1Welford, j3, j3Binary, j2, a8, d1, v1)
+  def all: Seq[Q] = Seq(a1, a1Welford, j3, j3Binary, j2, a8, d1, d1Compressed, v1)
 }

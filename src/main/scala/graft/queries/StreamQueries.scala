@@ -70,6 +70,61 @@ object StreamQueries {
             FROM events WHERE event_type IN ('signup', 'purchase')""")
   )
 
+  /** T2 enforced — the piece the reference never implements: its
+    * orchestrator assigns 60/120/30 s budgets (orchestrator.py:924-935)
+    * but awaits container calls with no cancellation. Here each routed
+    * source's collect runs as a real Spark job inside a job group that
+    * [[graft.ops.PriorityBudget]] cancels at the deadline; a
+    * deliberately hung source (executor-side 60 s sleep under a 300 ms
+    * budget) proves the kill path — the query returns in well under a
+    * second for that source, with the orchestrator's failure accounting
+    * (timed_out, no rows) instead of a wedged pipeline. */
+  val t2Enforce = Q(
+    "t2_budget_enforce",
+    "Per-source budget ENFORCEMENT: each routed collect runs in a watchdog-cancelled job group; a hung source is killed at its deadline and folded into failure accounting.",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.PriorityBudget
+      val t = Tables(s, dir)
+      def sourceJob(source: String): Long = source match {
+        case "hung_source" =>
+          // the upstream-never-responds case: tasks sleep far past any budget
+          s.sparkContext.parallelize(1 to 2, 2).map { i => Thread.sleep(60000L); i }
+            .count()
+        case src =>
+          t.events.filter(col("event_type").isNotNull)
+            .withColumn("src", lit(src)).count()
+      }
+      val plan = Seq(
+        ("landfire", "emergency", "updated"),
+        ("modis", "normal", "created"),
+        ("weather", "normal", "updated"),
+        ("topography", "emergency", "created"),
+        ("hung_source", "normal", "updated"))
+      val results = plan.map { case (src, prio, etype) =>
+        val budget =
+          if (src == "hung_source") 300L else PriorityBudget.budgetMsFor(prio, etype)
+        val r = PriorityBudget.run(s, s"t2-budget-$src", budget)(sourceJob(src))
+        (src, prio, PriorityBudget.budgetMsFor(prio, etype) / 1000L,
+          !r.timedOut, r.timedOut, r.value.getOrElse(0L))
+      }
+      results.toDF("source", "priority", "budget_s", "ok", "timed_out", "rows_collected")
+    },
+    Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events
+                       WHERE event_type IS NOT NULL),
+            plan(source, priority, budget_s) AS (VALUES
+              ('landfire',   'emergency', CAST(60 AS BIGINT)),
+              ('modis',      'normal',    CAST(120 AS BIGINT)),
+              ('weather',    'normal',    CAST(30 AS BIGINT)),
+              ('topography', 'emergency', CAST(60 AS BIGINT)))
+            SELECT source, priority, budget_s, true AS ok, false AS timed_out,
+                   nn AS rows_collected
+            FROM plan, n
+            UNION ALL
+            SELECT 'hung_source', 'normal', CAST(30 AS BIGINT), false, true,
+                   CAST(0 AS BIGINT)""")
+  )
+
   /** T4 — health-tick summary: the 30 s health poll as a batch roll-up
     * over per-minute buckets (rate/availability per source). */
   val t4 = Q(
@@ -181,5 +236,5 @@ object StreamQueries {
             FROM wide GROUP BY 1, 2, 3, 4, 5, 6, 7""")
   )
 
-  def all: Seq[Q] = Seq(t2, t3, t4, t6)
+  def all: Seq[Q] = Seq(t2, t2Enforce, t3, t4, t6)
 }
