@@ -55,7 +55,15 @@ object Plans {
     "j5_pq_refine"      -> "two-stage ANN: compressed ADC shortlist, broadcast candidates fetch raw vectors O(|Q|*k)",
     "a12_triangle_count" -> "degree-ordered orientation: wedge self-join + closing equi-join, no quadratic hub term",
     "a10_contrastive_batches" -> "interleave batcher: level offsets + partitioned in-level rank, no corpus-wide window",
-    "x28_fuzzy_match"   -> "SymSpell: delete-key equi-join against broadcast dictionary, levenshtein only on candidates"
+    "x28_fuzzy_match"   -> "SymSpell: delete-key equi-join against broadcast dictionary, levenshtein only on candidates",
+    "u5_scd2_history"   -> "SCD Type-2: one pass, lead window builds intervals, no self-join",
+    "w9_seasonal_outliers" -> "seasonal median/MAD per (dow,hour) cell — bounded-domain censuses, broadcast back",
+    "x28_bigram_lm"     -> "bigram LM proxy: bounded vocab census joined twice, integer log-probs",
+    "e2e_rag_context"   -> "RAG packing: TakeOrdered shortlist, prefix-sum token budget on <=20 rows",
+    "j5_label_separation" -> "label-separation probe: windowed argmax over bounded candidate pairs",
+    "d1_tiff_compressed" -> "compressed TIFF decode matrix: one scan, executor-side LZW/deflate kernels, pixel explode",
+    "t2_budget_enforce" -> "budgeted per-source jobs under watchdog-cancelled job groups",
+    "s1_rest_fetch"     -> "live HTTP V2 scan: url-partitioned fetch, in-plan JSON + TIFF decode"
   )
 
   def main(args: Array[String]): Unit = {

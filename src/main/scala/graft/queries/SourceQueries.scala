@@ -373,6 +373,81 @@ object SourceQueries {
         count(when(col("minh") <= 115 && col("maxh") >= 100, 1)).as("files_time_q"))
   }
 
+  /** S1–S6 as the LIVE connector — [[graft.sources.RestSource]] doing
+    * real HTTP GETs (java.net.http, executor-side, retry/backoff)
+    * against [[graft.ops.StagedRestEndpoint]], a loopback server
+    * serving the staged fixture estate: the weather JSON feed, one
+    * raster tile per site, a flaky endpoint (503×2 then 200 — proves
+    * the retry path), and a missing resource (404 → row, not task
+    * failure). Fetched bytes are decoded in the SAME plan: JSON lines
+    * via get_json_object, TIFF via [[graft.ops.TiffCodec]]. The oracle
+    * reads the identical staged files from disk and recomputes the
+    * raster formula — matching proves the HTTP transport is lossless
+    * end-to-end. At 100 TB the url list is a DataFrame of millions of
+    * requests partitioned across executors; here urlsPerPartition=3
+    * exercises the multi-partition plan. */
+  val restFetch = Q(
+    "s1_rest_fetch",
+    "Live HTTP DataSource V2: loopback REST fetch of JSON + TIFF fixtures with retry on 503 and 404-as-row; fetched bytes decoded and aggregated in-plan.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.{Fixtures, StagedRestEndpoint, TiffCodec}
+      val base = StagedRestEndpoint.baseUrl
+      val urls =
+        Seq(s"$base/files/text/weather_current.jsonl") ++
+          Fixtures.sites.map(st => s"$base/files/rasters/veg_${st.id}.tif") ++
+          Seq(s"$base/flaky/s1fetch", s"$base/missing/resource")
+      val fetched = s.read.format("graft.sources.RestSource")
+        .option("urls", urls.mkString("\n"))
+        .option("urlsPerPartition", "3")
+        .option("retries", "3").option("retryBackoffMs", "10")
+        .load()
+        .select(
+          element_at(split(col("url"), "/"), -1).as("resource"),
+          col("status"), col("body"), col("attempts"))
+        .cache()
+      val decodePx = udf { (b: Array[Byte]) =>
+        Option(b).flatMap(TiffCodec.decode).map(_.pixels.toSeq).orNull
+      }
+      val rasters = fetched.filter(col("resource").endsWith(".tif"))
+        .select(col("resource"), col("status"), explode(decodePx(col("body"))).as("px"))
+        .groupBy(col("resource"), col("status"))
+        .agg(count(col("px")).as("n_items"), round(avg(col("px")), 4).as("metric"))
+      val weather = fetched.filter(col("resource").endsWith(".jsonl"))
+        .select(col("resource"), col("status"),
+          explode(split(col("body").cast("string"), "\n")).as("line"))
+        .filter(length(trim(col("line"))) > 0)
+        .groupBy(col("resource"), col("status"))
+        .agg(count(lit(1)).as("n_items"),
+          round(avg(get_json_object(col("line"), "$.main.temp").cast("double")), 4).as("metric"))
+      val statusRows = fetched.filter(!col("resource").endsWith(".tif") &&
+          !col("resource").endsWith(".jsonl"))
+        .select(col("resource"), col("status"),
+          col("attempts").cast("long").as("n_items"),
+          col("status").cast("double").as("metric"))
+      rasters.unionByName(weather).unionByName(statusRows)
+    },
+    Some("""WITH sites(idx, id, veg) AS (VALUES
+              (0, 'req_la', 7299), (1, 'req_yellowstone', 3215),
+              (2, 'req_death_valley', 2092), (3, 'req_seattle', 7292),
+              (4, 'req_mono', 0)),
+            px AS (
+              SELECT idx, id, CASE WHEN r = 8 AND c = 8 THEN CAST(veg AS DOUBLE)
+                ELSE CAST(2000 + ((r * 31 + c * 17 + idx * 7) % 97) AS DOUBLE) END AS v
+              FROM sites, generate_series(0, 15) AS rs(r), generate_series(0, 15) AS cs(c))
+            SELECT 'veg_' || id || '.tif' AS resource, 200 AS status,
+                   count(*) AS n_items, round(avg(v), 4) AS metric
+            FROM px GROUP BY id
+            UNION ALL
+            SELECT 'weather_current.jsonl', 200, CAST(count(*) AS BIGINT),
+                   round(avg(CAST(main.temp AS DOUBLE)), 4)
+            FROM read_json_auto('/root/repo/target/graft_fixtures/text/weather_current.jsonl')
+            UNION ALL
+            SELECT 's1fetch', 200, CAST(3 AS BIGINT), CAST(200 AS DOUBLE)
+            UNION ALL
+            SELECT 'resource', 404, CAST(1 AS BIGINT), CAST(404 AS DOUBLE)""")
+  )
+
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
-    zorder, compactionPlan, bucketedJoin)
+    zorder, compactionPlan, bucketedJoin, restFetch)
 }

@@ -1,0 +1,173 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY §2.1 S1–S6 — the LIVE HTTP connector the reference's container
+  * layer actually is: LANDFIRE WCS (landfire_container.py:255-295),
+  * MODIS ORNL (modis_container.py:124-171), OpenWeatherMap
+  * (weather_container.py:108-144), USGS exportImage
+  * (topography_container.py:111-142) are all "GET a URL, decode the
+  * payload". This DataSource V2 does the GET where the EXECUTOR runs —
+  * the 100 TB shape: a million fetches are a million partition-local
+  * tasks with per-request retry/backoff, not a driver-side loop.
+  *
+  *   spark.read.format("graft.sources.RestSource")
+  *     .option("urls", "http://host/a\nhttp://host/b")
+  *     .option("retries", 2).load()
+  *
+  * Row per URL: (url, status, content_type, body, attempts, error).
+  * Transport failures and HTTP errors become ROWS (status/error), never
+  * task failures — one dead upstream URL must not kill a 10^6-fetch
+  * stage; the caller filters `status = 200` and routes the rest to its
+  * failure accounting (the orchestrator.py:735-741 path). Retries with
+  * exponential backoff are per-request, on connect errors and 5xx.
+  * Column pruning reaches the source: `select(url, status)` never
+  * materializes body bytes into rows (the fetch itself still runs —
+  * status IS the fetch result).
+  */
+class RestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RestSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RestTable(RestConf(
+      urls = properties.getOrDefault("urls", "").split("\n").map(_.trim).filter(_.nonEmpty),
+      urlsPerPartition = properties.getOrDefault("urlsPerPartition", "16").toInt,
+      connectTimeoutMs = properties.getOrDefault("connectTimeoutMs", "5000").toLong,
+      requestTimeoutMs = properties.getOrDefault("requestTimeoutMs", "10000").toLong,
+      retries = properties.getOrDefault("retries", "2").toInt,
+      retryBackoffMs = properties.getOrDefault("retryBackoffMs", "100").toLong))
+}
+
+final case class RestConf(
+    urls: Array[String],
+    urlsPerPartition: Int,
+    connectTimeoutMs: Long,
+    requestTimeoutMs: Long,
+    retries: Int,
+    retryBackoffMs: Long)
+
+object RestSource {
+  val schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("status", IntegerType, nullable = false), // -1 = transport failure
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true),
+    StructField("attempts", IntegerType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  // One HttpClient per (executor JVM, connect timeout): HttpClient keeps
+  // a connection pool — per-row construction would defeat keep-alive.
+  private val clients = new ConcurrentHashMap[Long, HttpClient]()
+  def client(connectTimeoutMs: Long): HttpClient =
+    clients.computeIfAbsent(connectTimeoutMs, t =>
+      HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(t))
+        .followRedirects(HttpClient.Redirect.NORMAL)
+        .build())
+
+  final case class Fetched(status: Int, contentType: String, body: Array[Byte],
+                           attempts: Int, error: String)
+
+  /** GET with bounded retries: connect/transport errors and 5xx retry
+    * with exponential backoff; 2xx–4xx are final (a 404 is an answer,
+    * not a flake). Never throws. */
+  def fetch(conf: RestConf, url: String): Fetched = {
+    val cl = client(conf.connectTimeoutMs)
+    var attempt = 0
+    var lastErr: String = null
+    while (attempt <= conf.retries) {
+      attempt += 1
+      try {
+        val req = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofMillis(conf.requestTimeoutMs))
+          .GET().build()
+        val resp = cl.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        val status = resp.statusCode()
+        if (status < 500)
+          return Fetched(status, resp.headers().firstValue("content-type").orElse(null),
+            resp.body(), attempt, null)
+        lastErr = s"HTTP $status"
+      } catch {
+        case e: Exception =>
+          lastErr = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200)
+          if (e.isInstanceOf[InterruptedException]) // budget cancellation — stop now
+            return Fetched(-1, null, null, attempt, lastErr)
+      }
+      if (attempt <= conf.retries)
+        try Thread.sleep(conf.retryBackoffMs * (1L << (attempt - 1)))
+        catch { case _: InterruptedException => return Fetched(-1, null, null, attempt, lastErr) }
+    }
+    Fetched(-1, null, null, attempt, lastErr)
+  }
+}
+
+class RestTable(conf: RestConf) extends Table with SupportsRead {
+  override def name(): String = s"rest(${conf.urls.length} urls)"
+  override def schema(): StructType = RestSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(conf)
+}
+
+class RestScanBuilder(conf: RestConf) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var requiredSchema: StructType = RestSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    this.requiredSchema = requiredSchema
+  override def build(): Scan = new RestScan(conf, requiredSchema)
+}
+
+class RestScan(conf: RestConf, requiredSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RestScan[${conf.urls.length} urls] cols=${requiredSchema.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    conf.urls.grouped(math.max(1, conf.urlsPerPartition))
+      .map(g => RestPartition(g): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(conf, requiredSchema)
+}
+
+case class RestPartition(urls: Array[String]) extends InputPartition
+
+class RestReaderFactory(conf: RestConf, requiredSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val urls = partition.asInstanceOf[RestPartition].urls
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private var cur: RestSource.Fetched = _
+      override def next(): Boolean = {
+        i += 1
+        if (i >= urls.length) return false
+        cur = RestSource.fetch(conf, urls(i))
+        true
+      }
+      override def get(): InternalRow = {
+        val values = requiredSchema.fieldNames.map {
+          case "url"          => UTF8String.fromString(urls(i))
+          case "status"       => cur.status: java.lang.Integer
+          case "content_type" => if (cur.contentType == null) null else UTF8String.fromString(cur.contentType)
+          case "body"         => cur.body
+          case "attempts"     => cur.attempts: java.lang.Integer
+          case "error"        => if (cur.error == null) null else UTF8String.fromString(cur.error)
+        }
+        InternalRow.fromSeq(values.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.BeforeAndAfterAll
+
+/** The live HTTP connector over a real loopback server: fetch, retry on
+  * 5xx, 404/transport-failure as rows (never task failures), partition
+  * planning over the url list, and source-level column pruning. */
+class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val flakyHits = new AtomicInteger(0)
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/item/", { ex =>
+      val id = ex.getRequestURI.getPath.stripPrefix("/item/")
+      val body = s"""{"id":$id,"value":${id.toInt * 10}}""".getBytes
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/flaky", { ex =>
+      val n = flakyHits.getAndIncrement()
+      val (status, body) = if (n < 2) (503, "busy".getBytes) else (200, "recovered".getBytes)
+      ex.sendResponseHeaders(status, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.createContext("/", { ex =>
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  private def read(urls: Seq[String], opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("graft.sources.RestSource")
+      .option("urls", urls.mkString("\n"))
+      .option("retryBackoffMs", "5")
+    opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("fetches each url as a row with status and body") {
+    val rows = read((1 to 6).map(i => s"$base/item/$i"))
+      .selectExpr("url", "status", "cast(body as string) AS body", "attempts")
+      .collect().sortBy(_.getString(0))
+    assert(rows.length == 6)
+    assert(rows.forall(_.getInt(1) == 200))
+    assert(rows.forall(_.getInt(3) == 1))
+    val one = rows.find(_.getString(0).endsWith("/item/3")).get
+    assert(one.getString(2) == """{"id":3,"value":30}""")
+  }
+
+  test("5xx retries with backoff until success; attempts recorded") {
+    val row = read(Seq(s"$base/flaky"), Map("retries" -> "4")).collect()(0)
+    assert(row.getAs[Int]("status") == 200)
+    assert(row.getAs[Int]("attempts") == 3) // 503, 503, 200
+    assert(new String(row.getAs[Array[Byte]]("body")) == "recovered")
+  }
+
+  test("404 is a final answer: one attempt, row not failure") {
+    val row = read(Seq(s"$base/nope"), Map("retries" -> "3")).collect()(0)
+    assert(row.getAs[Int]("status") == 404)
+    assert(row.getAs[Int]("attempts") == 1)
+  }
+
+  test("transport failure (dead port) yields status=-1 row after retries") {
+    // bind-then-close: the port is real but nothing listens
+    val dead = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val deadPort = dead.getAddress.getPort
+    dead.stop(0)
+    val row = read(Seq(s"http://127.0.0.1:$deadPort/x"), Map("retries" -> "1")).collect()(0)
+    assert(row.getAs[Int]("status") == -1)
+    assert(row.getAs[Int]("attempts") == 2)
+    assert(row.getAs[String]("error") != null)
+  }
+
+  test("url list splits into partitions; pruning reaches the source") {
+    val df = read((1 to 10).map(i => s"$base/item/$i"), Map("urlsPerPartition" -> "3"))
+    assert(df.rdd.getNumPartitions == 4) // ceil(10/3)
+    val pruned = df.select("url", "status")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=url,status") || !plan.contains("body"),
+      s"body not pruned from source scan:\n$plan")
+    assert(pruned.collect().length == 10)
+  }
+}
