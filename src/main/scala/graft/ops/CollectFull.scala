@@ -42,10 +42,50 @@ object CollectFull {
   val RetrievedAt = "2024-06-01T12:00:00"
   val LandfireCurrency = "2024-01-01T00:00:00Z"
 
+  /** Input transport: the SAME pipeline runs over local staged files
+    * (`Files`, the default) or over live HTTP (`Rest`) — every byte then
+    * arrives through [[graft.sources.RestSource]] from the loopback
+    * [[StagedRestEndpoint]], the shape of the reference's actual WAN
+    * deployment (four REST containers). Only the acquisition differs;
+    * parse, decode, classify, and envelope assembly are shared code, so
+    * `e2e_collect_rest` hash-matching `e2e_collect_full`'s oracle proves
+    * the HTTP path end-to-end. */
+  sealed trait Transport
+  object Transport {
+    case object Files extends Transport
+    case object Rest extends Transport
+  }
+  import Transport._
+
   final case class RasterPx(w: Int, h: Int, px: Seq[Double])
 
   private val decodeRaster = udf { bytes: Array[Byte] =>
     TiffCodec.decode(bytes).map(r => RasterPx(r.width, r.height, r.pixels.toSeq))
+  }
+
+  /** Fetch fixture-estate files over the loopback REST endpoint:
+    * (file_name, content) — the REST analogue of a binaryFile scan. */
+  private def restFiles(s: SparkSession, relPaths: Seq[String]): DataFrame = {
+    val base = StagedRestEndpoint.baseUrl
+    s.read.format("graft.sources.RestSource")
+      .option("urls", relPaths.map(p => s"$base/files/$p").mkString("\n"))
+      .option("urlsPerPartition", "4")
+      .option("retries", "2").option("retryBackoffMs", "25")
+      .load()
+      .filter(col("status") === 200)
+      .select(element_at(split(col("url"), "/"), -1).as("file_name"),
+        col("body").as("content"))
+  }
+
+  /** One fetched text file as a line Dataset — feeds the SAME
+    * DataFrameReader.csv/json parsers the file path uses. */
+  private def restLines(s: SparkSession, relPath: String): org.apache.spark.sql.Dataset[String] = {
+    import s.implicits._
+    restFiles(s, Seq(relPath))
+      .select(col("content").cast("string"))
+      .as[String]
+      .flatMap(_.split("\n"))
+      .filter(length(trim(col("value"))) > 0)
   }
 
   /** The four golden-coordinate requests (README.md:262-266). */
@@ -57,25 +97,39 @@ object CollectFull {
 
   /** S7 — the attribute table as a genuine broadcast CSV read, cached
     * like the reference's `_attribute_cache` (landfire_container.py:65). */
-  def attributeTable(s: SparkSession): DataFrame = {
+  def attributeTable(s: SparkSession, t: Transport = Files): DataFrame = {
     Fixtures.stage()
-    s.read.option("header", "true")
+    val reader = s.read.option("header", "true")
       .schema("product STRING, value INT, classname STRING")
-      .csv(AttributeCsv)
-      .cache()
+    (t match {
+      case Files => reader.csv(AttributeCsv)
+      case Rest  => reader.csv(restLines(s, "text/landfire_attributes.csv"))
+    }).cache()
   }
 
-  def rasterIndex(s: SparkSession): DataFrame = {
+  def rasterIndex(s: SparkSession, t: Transport = Files): DataFrame = {
     Fixtures.stage()
-    s.read.option("header", "true")
+    val reader = s.read.option("header", "true")
       .schema("file_name STRING, site STRING, product STRING, x0 DOUBLE, dx DOUBLE, y0 DOUBLE, dy DOUBLE")
-      .csv(RasterIndexCsv)
+    t match {
+      case Files => reader.csv(RasterIndexCsv)
+      case Rest  => reader.csv(restLines(s, "text/rasters_index.csv"))
+    }
   }
 
-  private def rasterFiles(s: SparkSession): DataFrame = {
+  private def rasterFiles(s: SparkSession, t: Transport = Files): DataFrame = {
     Fixtures.stage()
-    s.read.format("binaryFile").load(s"$RasterDir/*.tif")
-      .select(element_at(split(col("path"), "/"), -1).as("file_name"), col("content"))
+    t match {
+      case Files =>
+        s.read.format("binaryFile").load(s"$RasterDir/*.tif")
+          .select(element_at(split(col("path"), "/"), -1).as("file_name"), col("content"))
+      case Rest =>
+        // the raster estate is enumerable from the site table — at
+        // production scale this url list is itself a DataFrame column
+        val names = for (st <- sites; p <- Seq("veg", "fuel", "elev"))
+          yield s"rasters/${p}_${st.id}.tif"
+        restFiles(s, names)
+    }
   }
 
   /** Decoded raster joined to its transform + request, with the
@@ -83,9 +137,9 @@ object CollectFull {
     * bounds check (:96-113) — an out-of-bounds coordinate yields a null
     * pixel, which downstream becomes the reference's
     * "Coordinates outside raster bounds" interpretation error. */
-  private def pixelLookup(s: SparkSession, products: Seq[String]): DataFrame =
-    rasterFiles(s)
-      .join(broadcast(rasterIndex(s).filter(col("product").isin(products: _*))), "file_name")
+  private def pixelLookup(s: SparkSession, products: Seq[String], t: Transport = Files): DataFrame =
+    rasterFiles(s, t)
+      .join(broadcast(rasterIndex(s, t).filter(col("product").isin(products: _*))), "file_name")
       .join(broadcast(requests(s)), "site")
       .withColumn("ras", decodeRaster(col("content")))
       .withColumn("px_row", floor((col("lat") - col("y0")) / col("dy")).cast("int"))
@@ -95,9 +149,9 @@ object CollectFull {
           element_at(col("ras.px"), col("px_row") * col("ras.w") + col("px_col") + 1).cast("int")))
 
   /** LANDFIRE: veg + fuel point classification over the real TIFFs. */
-  def landfire(s: SparkSession): DataFrame = {
-    val attrs = broadcast(attributeTable(s)).withColumnRenamed("product", "a_product")
-    val classified = pixelLookup(s, Seq("vegetation_type", "fuel_model"))
+  def landfire(s: SparkSession, t: Transport = Files): DataFrame = {
+    val attrs = broadcast(attributeTable(s, t)).withColumnRenamed("product", "a_product")
+    val classified = pixelLookup(s, Seq("vegetation_type", "fuel_model"), t)
       .join(attrs,
         col("a_product") === col("product") && col("value") === col("pixel_int"), "left")
       .withColumn("range_label",
@@ -135,11 +189,14 @@ object CollectFull {
 
   /** MODIS: last-valid NDVI (modis_container.py:249-258) + first-valid
     * LST (:289-301) + health/risk chains (:261-272). */
-  def modis(s: SparkSession): DataFrame = {
+  def modis(s: SparkSession, t: Transport = Files): DataFrame = {
     Fixtures.stage()
-    val subset = s.read
+    val reader = s.read
       .schema("site STRING, product STRING, band STRING, calendar_date STRING, data ARRAY<INT>")
-      .json(ModisJsonl)
+    val subset = (t match {
+      case Files => reader.json(ModisJsonl)
+      case Rest  => reader.json(restLines(s, "text/modis_subset.jsonl"))
+    })
       .withColumn("n_px", size(col("data")))
       .withColumn("center",
         when(col("n_px") > 0,
@@ -186,14 +243,17 @@ object CollectFull {
       .when(score >= 3, "MODERATE").otherwise("LOW")
 
   /** Weather: current decode + risk + forecast roll-up. */
-  def weather(s: SparkSession): DataFrame = {
+  def weather(s: SparkSession, t: Transport = Files): DataFrame = {
     Fixtures.stage()
-    val w = s.read
+    val reader = s.read
       .schema("site STRING, dt BIGINT, main STRUCT<temp: DOUBLE, humidity: INT, pressure: INT>, " +
         "wind STRUCT<speed: DOUBLE, deg: INT>, weather ARRAY<STRUCT<main: STRING, description: STRING>>, " +
         "visibility INT, name STRING, " +
         "forecast ARRAY<STRUCT<dt: BIGINT, main: STRUCT<temp: DOUBLE, humidity: INT, pressure: INT>, wind: STRUCT<speed: DOUBLE, deg: INT>>>")
-      .json(WeatherJsonl)
+    val w = t match {
+      case Files => reader.json(WeatherJsonl)
+      case Rest  => reader.json(restLines(s, "text/weather_current.jsonl"))
+    }
     w.select(
       col("site"),
       col("main.temp").as("temperature_celsius"),
@@ -214,9 +274,9 @@ object CollectFull {
 
   /** Decoded elevation raster as (site, pos, elev) pixel rows — shared
     * by the stats aggregate and the visualization downsample. */
-  def elevationPixels(s: SparkSession): DataFrame =
-    rasterFiles(s)
-      .join(broadcast(rasterIndex(s).filter(col("product") === "elevation")), "file_name")
+  def elevationPixels(s: SparkSession, t: Transport = Files): DataFrame =
+    rasterFiles(s, t)
+      .join(broadcast(rasterIndex(s, t).filter(col("product") === "elevation")), "file_name")
       .withColumn("ras", decodeRaster(col("content")))
       .select(col("site"), posexplode(col("ras.px")).as(Seq("pos", "elev")))
 
@@ -225,8 +285,8 @@ object CollectFull {
     * fixture elevations are integral doubles; mean/std are single
     * divisions/sqrt over those exact sums, mirrored verbatim in the
     * oracle so both engines produce bit-identical doubles. */
-  def topography(s: SparkSession): DataFrame =
-    elevationPixels(s)
+  def topography(s: SparkSession, t: Transport = Files): DataFrame =
+    elevationPixels(s, t)
       .filter(col("elev") =!= NoData)
       .groupBy("site")
       .agg(
@@ -284,13 +344,13 @@ object CollectFull {
     * interpretation (UNKNOWN risk) and a NULL modis envelope plus the
     * orchestrator's failure accounting (orchestrator.py:735-741,
     * :783-790). */
-  def run(s: SparkSession): DataFrame = {
+  def run(s: SparkSession, t: Transport = Files): DataFrame = {
     Fixtures.stage()
     val joined = requests(s)
-      .join(landfire(s), Seq("site"), "left")
-      .join(modis(s), Seq("site"), "left")
-      .join(weather(s), Seq("site"), "left")
-      .join(topography(s), Seq("site"), "left")
+      .join(landfire(s, t), Seq("site"), "left")
+      .join(modis(s, t), Seq("site"), "left")
+      .join(weather(s, t), Seq("site"), "left")
+      .join(topography(s, t), Seq("site"), "left")
 
     val landfireOk = col("px_row").isNotNull
     val modisOk = col("modis_ok").isNotNull

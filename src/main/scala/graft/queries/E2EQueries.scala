@@ -605,5 +605,33 @@ LEFT JOIN topo2 t ON s.site = t.site""")
             FROM all_served GROUP BY batch, outcome""")
   )
 
-  def all: Seq[Q] = Seq(collect, collectFull, llmPipeline, contrastivePairs, resultCache)
+  /** §3.1 over the WIRE — the identical pipeline with every input byte
+    * arriving over live HTTP ([[graft.ops.CollectFull.Transport.Rest]]:
+    * rasters, attribute/index CSVs, and both JSON feeds fetched through
+    * [[graft.sources.RestSource]] from the loopback endpoint). Reuses
+    * `e2e_collect_full`'s oracle verbatim: the HTTP transport must be
+    * byte-lossless through parse, decode, classify, and envelope
+    * assembly — the deployment shape of the reference's four WAN
+    * containers, proven by hash equality. */
+  val collectRest = Q(
+    "e2e_collect_rest",
+    "Full /collect with ALL inputs over live HTTP (DataSource V2 REST fetch): must hash-match the file-transport oracle.",
+    (s, _) => {
+      val j = Map("ignoreNullFields" -> "false")
+      CollectFull.run(s, CollectFull.Transport.Rest).select(
+        col("request_id"), col("event_id"),
+        to_json(col("location"), j).as("location"),
+        col("timestamp"),
+        to_json(col("landfire"), j).as("landfire"),
+        to_json(col("modis"), j).as("modis"),
+        to_json(col("weather"), j).as("weather"),
+        to_json(col("topography"), j).as("topography"),
+        to_json(col("summary"), j).as("summary"),
+        col("total_processing_time_ms"))
+    },
+    collectFull.oracle
+  )
+
+  def all: Seq[Q] = Seq(collect, collectFull, collectRest, llmPipeline, contrastivePairs,
+    resultCache)
 }
