@@ -47,7 +47,8 @@ class RestSource extends TableProvider {
       connectTimeoutMs = properties.getOrDefault("connectTimeoutMs", "5000").toLong,
       requestTimeoutMs = properties.getOrDefault("requestTimeoutMs", "10000").toLong,
       retries = properties.getOrDefault("retries", "2").toInt,
-      retryBackoffMs = properties.getOrDefault("retryBackoffMs", "100").toLong))
+      retryBackoffMs = properties.getOrDefault("retryBackoffMs", "100").toLong,
+      maxPolls = properties.getOrDefault("maxPolls", Long.MaxValue.toString).toLong))
 }
 
 final case class RestConf(
@@ -56,7 +57,8 @@ final case class RestConf(
     connectTimeoutMs: Long,
     requestTimeoutMs: Long,
     retries: Int,
-    retryBackoffMs: Long)
+    retryBackoffMs: Long,
+    maxPolls: Long = Long.MaxValue)
 
 object RestSource {
   val schema: StructType = StructType(Seq(
@@ -117,7 +119,7 @@ class RestTable(conf: RestConf) extends Table with SupportsRead {
   override def name(): String = s"rest(${conf.urls.length} urls)"
   override def schema(): StructType = RestSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(conf)
 }
@@ -132,6 +134,9 @@ class RestScanBuilder(conf: RestConf) extends ScanBuilder with SupportsPushDownR
 class RestScan(conf: RestConf, requiredSchema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RestMicroBatchStream(conf, requiredSchema)
   override def description(): String =
     s"RestScan[${conf.urls.length} urls] cols=${requiredSchema.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
@@ -142,6 +147,48 @@ class RestScan(conf: RestConf, requiredSchema: StructType) extends Scan with Bat
 }
 
 case class RestPartition(urls: Array[String]) extends InputPartition
+
+/** The POLLING stream (readStream over the same source): each trigger
+  * is one poll round of the whole url list — the T4 health-poll shape
+  * (the reference's 30 s status loop) done as Structured Streaming.
+  * Offsets count poll rounds (checkpointable), one round becomes
+  * available per trigger (`maxPolls` bounds the stream for finite
+  * runs/tests; live deployments leave it unbounded and pace polling
+  * with Trigger.ProcessingTime). Recovery semantics are AT-LEAST-ONCE
+  * by nature: replaying a round re-fetches a possibly-mutated remote —
+  * the honest contract for polling live endpoints (identical to the
+  * reference re-GETting after a crash). Mutable-content dedup belongs
+  * downstream, keyed on body content (a10_incremental's shape).
+  */
+class RestMicroBatchStream(conf: RestConf, requiredSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class PollOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+  private var planned = 0L
+
+  override def initialOffset(): Offset = PollOffset(0L)
+  override def latestOffset(): Offset = {
+    planned = math.min(conf.maxPolls, planned + 1)
+    PollOffset(planned)
+  }
+  override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PollOffset].n
+    val e = end.asInstanceOf[PollOffset].n
+    val groups = conf.urls.grouped(math.max(1, conf.urlsPerPartition)).toArray
+    // one url sweep per round in (s, e]; each group is its own partition
+    (s until e).flatMap(_ => groups.map(g => RestPartition(g): InputPartition)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(conf, requiredSchema)
+}
 
 class RestReaderFactory(conf: RestConf, requiredSchema: StructType)
     extends PartitionReaderFactory {

@@ -83,6 +83,31 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(row.getAs[String]("error") != null)
   }
 
+  test("readStream polls the endpoint once per trigger, offsets bound the rounds") {
+    // /seq returns a fresh monotonically-increasing body per request —
+    // distinct bodies across micro-batches prove three REAL polls, not
+    // one fetch replayed
+    val seqHits = new AtomicInteger(0)
+    server.createContext("/seq", { ex =>
+      val body = s"tick-${seqHits.incrementAndGet()}".getBytes
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    val q = spark.readStream.format("graft.sources.RestSource")
+      .option("urls", s"$base/seq")
+      .option("maxPolls", "3")
+      .load()
+      .selectExpr("cast(body as string) AS body", "status")
+      .writeStream.outputMode("append").format("memory").queryName("rest_poll")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("rest_poll").collect()
+    assert(rows.length == 3, s"expected 3 poll rounds, got ${rows.length}")
+    assert(rows.forall(_.getInt(1) == 200))
+    assert(rows.map(_.getString(0)).toSet == Set("tick-1", "tick-2", "tick-3"))
+  }
+
   test("url list splits into partitions; pruning reaches the source") {
     val df = read((1 to 10).map(i => s"$base/item/$i"), Map("urlsPerPartition" -> "3"))
     assert(df.rdd.getNumPartitions == 4) // ceil(10/3)

@@ -114,7 +114,19 @@ def main():
             err = f"UNSORTABLE: {e}"
         results[name] = err or "OK"
 
-    missing = [n for n in oracle_sql if n not in names
+    # Verify records every query that threw during the dump in
+    # errors.json — surface those as explicit FAIL rows (with the actual
+    # exception) instead of the generic "no spark output".
+    errors_path = os.path.join(out_dir, "errors.json")
+    dump_errors = {}
+    if os.path.exists(errors_path):
+        with open(errors_path) as f:
+            dump_errors = json.load(f)
+    for name, msg in sorted(dump_errors.items()):
+        if (only is None or name in only) and name not in results:
+            results[name] = f"DUMP FAIL: {msg}"
+
+    missing = [n for n in oracle_sql if n not in names and n not in dump_errors
                and (only is None or n in only)]
     nfail = 0
     for name, res in sorted(results.items()):
