@@ -12,7 +12,8 @@ import java.nio.file.{Files, Paths}
   * (weather_container.py:146-185), USGS 3DEP elevation rasters
   * (topography_container.py:233-296). The engine's contract starts at
   * "bytes arrive": this object stages those payloads as REAL files —
-  * uncompressed float64 TIFFs ([[TiffCodec]]), newline-delimited JSON,
+  * float64 TIFFs in production layouts — LZW strips, deflate tiles,
+  * legacy uncompressed ([[TiffCodec]]) — newline-delimited JSON,
   * CSV — at a fixed path, so the Spark side exercises genuine
   * binaryFile/csv/json scans and the DuckDB oracle can independently
   * read the SAME files (read_text / read_csv / read_json).
@@ -35,7 +36,7 @@ object Fixtures {
   val WeatherJsonl = s"$TextDir/weather_current.jsonl"
 
   /** Bump when any generated content changes (stale-dir guard). */
-  private val Version = "v6"
+  private val Version = "v7"
 
   /** One golden coordinate (README.md:262-266) + its fixture parameters:
     * center-pixel product codes and the elevation field's base/amplitude
@@ -198,10 +199,19 @@ object Fixtures {
     writeText(RasterIndexCsv, rasterIndexCsvContent)
     writeText(ModisJsonl, modisJsonlContent)
     writeText(WeatherJsonl, weatherJsonlContent)
+    // The raster estate ships in the layouts real tiles actually use
+    // (landfire_container.py:89-96 relies on rasterio for exactly this):
+    // veg = LZW multi-strip, elev = deflate 16x16-tiled, fuel = legacy
+    // uncompressed single-strip. The e2e decode path handles all three
+    // transparently, so compressed decode is load-bearing in /collect,
+    // not just in the d1_tiff_compressed matrix. Pixel VALUES (and thus
+    // every oracle) are unchanged — only the byte layout differs.
     for (s <- sites) {
-      Files.write(Paths.get(RasterDir, s"veg_${s.id}.tif"), TiffCodec.encode(grid(vegAt(s))))
+      Files.write(Paths.get(RasterDir, s"veg_${s.id}.tif"),
+        TiffCodec.encodeEx(grid(vegAt(s)), compression = TiffCodec.CompLzw, rowsPerStrip = 4))
       Files.write(Paths.get(RasterDir, s"fuel_${s.id}.tif"), TiffCodec.encode(grid(fuelAt(s))))
-      Files.write(Paths.get(RasterDir, s"elev_${s.id}.tif"), TiffCodec.encode(grid(elevAt(s))))
+      Files.write(Paths.get(RasterDir, s"elev_${s.id}.tif"),
+        TiffCodec.encodeEx(grid(elevAt(s)), compression = TiffCodec.CompDeflate, tile = Some((16, 16))))
     }
     Files.write(marker, Array.emptyByteArray)
   }
