@@ -108,6 +108,27 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSet == Set("tick-1", "tick-2", "tick-3"))
   }
 
+  test("RestFetch drives fetches from a DataFrame column (the million-request shape)") {
+    import graft.ops.RestFetch
+    import spark.implicits._
+    val requests = (1 to 12).map(i => (i, s"$base/item/$i")).toDF("req_id", "url")
+      .repartition(3)
+    val fetched = RestFetch.fetchRows(requests, "url", retryBackoffMs = 5)
+    assert(fetched.rdd.getNumPartitions == 3) // fetch parallelism = input partitioning
+    val rows = fetched
+      .selectExpr("req_id", "status", "cast(body as string) AS body")
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 12)
+    assert(rows.forall(_.getInt(1) == 200))
+    assert(rows(4).getString(2) == """{"id":5,"value":50}""")
+    // mixed outcomes stay rows: a 404 url rides along with good ones
+    val mixed = RestFetch.fetchRows(
+      Seq((1, s"$base/item/1"), (2, s"$base/nope")).toDF("req_id", "url"), "url",
+      retryBackoffMs = 5)
+      .select("req_id", "status").collect().sortBy(_.getInt(0))
+    assert(mixed.map(_.getInt(1)).toSeq == Seq(200, 404))
+  }
+
   test("url list splits into partitions; pruning reaches the source") {
     val df = read((1 to 10).map(i => s"$base/item/$i"), Map("urlsPerPartition" -> "3"))
     assert(df.rdd.getNumPartitions == 4) // ceil(10/3)
