@@ -35,7 +35,10 @@ object ScaleBench {
     // round-7 additions: graph build + wedge join, PQ refine stage,
     // interleave batcher, DSIR censuses, span dedup
     "a12_syndication_rank", "a12_triangle_count", "j5_pq_refine",
-    "a10_contrastive_batches", "a10_importance_weights", "x28_span_dedup")
+    "a10_contrastive_batches", "a10_importance_weights", "x28_span_dedup",
+    // round-8 additions: the bigram-LM census (this round's cache fix),
+    // SCD2 interval build, seasonal MAD cells, RAG packing
+    "x28_bigram_lm", "u5_scd2_history", "w9_seasonal_outliers", "e2e_rag_context")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -384,35 +384,34 @@ object CoreQueries {
             FROM pairs GROUP BY user_id""")
   )
 
-  /** J8 ⊕ — market-basket co-occurrence mining (the self-join pattern
-    * behind "frequently bought together" and feature co-occurrence
-    * statistics): distinct (order, part) items, pair expansion WITHIN
-    * each order, co-count histogram. The per-basket cap (2..6 items) is
-    * the same production skew guard as the LSH MaxBucket: an order with
-    * k items expands to C(k,2) pairs, so one degenerate 10k-item basket
-    * would emit 50M rows — capping bounds the expansion at C(6,2)=15
-    * pairs per order and drops the documented long tail (baskets up to
-    * 13 exist at every sf, so the guard demonstrably fires).
-    *
-    * Scale shape: shuffles key on order (distinct + size census), then
-    * on the pair — both hash aggregates with map-side partials; the
-    * self-join is per-order row-local after the order-key exchange. */
+  /** J8 ⊕ — market-basket co-occurrence mining (the workload behind
+    * "frequently bought together" and feature co-occurrence stats).
+    * The classic formulation is a per-order self-join; the scale form
+    * used here folds the whole thing into ONE order-keyed shuffle:
+    * `collect_set` is simultaneously the distinct, the basket build,
+    * and the size census, the 2..6-item cap filters BEFORE any
+    * expansion (a degenerate 10k-item basket is one 40 KB array row,
+    * dropped — never C(10k,2) pairs; baskets up to 13 exist at every
+    * sf, so the guard demonstrably fires), and the C(k,2) pair
+    * expansion is a row-local array transform. Three hash-aggregate
+    * shuffles total (basket, pair, histogram) versus five plus a join
+    * for the self-join form — the 100 TB difference. */
   val cooccurrence = Q(
     "j8_cooccurrence",
-    "Market-basket co-occurrence: distinct order items, capped per-basket pair expansion (C(6,2) max), pair co-count histogram.",
+    "Market-basket co-occurrence: one collect_set shuffle builds capped baskets, row-local C(k,2) pair expansion, co-count histogram.",
     (s, dir) => {
       val t = Tables(s, dir)
-      val items = t.lineitem
+      val baskets = t.lineitem
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val keep = items.groupBy(col("o")).agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 6))
-        .select(col("o"))
-      val kept = items.join(keep, "o").cache()
-      val a = kept.select(col("o"), col("p").as("p1"))
-      val b = kept.select(col("o"), col("p").as("p2"))
-      a.join(b, Seq("o"))
-        .filter(col("p1") < col("p2"))
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .filter(size(col("ps")).between(2, 6))
+      baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+          .as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("co_count"))
         .groupBy(col("co_count")).agg(count(lit(1)).as("n_pairs"))
     },

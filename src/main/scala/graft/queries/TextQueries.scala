@@ -825,9 +825,15 @@ object TextQueries {
           posexplode(expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] as w1, w[i] as w2))"))
             .as(Seq("p", "bg")))
         .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val uni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val vocab = bigrams.select(col("w1")).unionAll(bigrams.select(col("w2").as("w1")))
+      // The bigram-TYPE census is vocabulary-bounded (not corpus-bounded)
+      // — cache it: uni DERIVES from it (sum(c2) per w1 == count of
+      // w1-as-first) and so does vocab (distinct word set over types ==
+      // over instances), so the corpus-wide tokenize+posexplode runs for
+      // the census ONCE plus once for the probe, instead of four times
+      // (the round-7 plan re-scanned documents 10x end to end).
+      val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")).cache()
+      val uni = bi.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = bi.select(col("w1")).unionAll(bi.select(col("w2").as("w1")))
         .agg(count_distinct(col("w1")).as("v"))
       val scored = bigrams
         .join(bi, Seq("w1", "w2"))
@@ -836,6 +842,10 @@ object TextQueries {
         .withColumn("p6", expr("(c2 * 1000000L) div (c1 + v)"))
         .groupBy(col("doc_id"), col("source"))
         .agg(expr("sum(p6) div count(1)").as("score"))
+        // one row per doc, consumed twice (global total + per-source
+        // census vs that total) — cache instead of recomputing the
+        // whole probe lineage for each consumer
+        .cache()
       val tot = scored.agg(count(lit(1)).as("nd"), sum(col("score")).as("ts"))
       scored.crossJoin(broadcast(tot))
         .groupBy(col("source"))

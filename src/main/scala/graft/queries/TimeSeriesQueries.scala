@@ -413,8 +413,14 @@ object TimeSeriesQueries {
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
         .filter(col("rk") === ceil(col("n") / 2.0))
         .select(col("event_type"), col("value").as("med"))
-      val withDev = t.events.join(broadcast(medOf), "event_type")
+      // consumed twice (MAD rank-selection + final census) — cache the
+      // narrow (type, id, value, med, dev) projection instead of
+      // re-running the scan + median lineage for each consumer
+      val withDev = t.events
+        .select(col("event_type"), col("event_id"), col("value"))
+        .join(broadcast(medOf), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
+        .cache()
       val byDev = Window.partitionBy(col("event_type")).orderBy(col("dev").asc, col("event_id").asc)
       val madOf = withDev
         .withColumn("rk", row_number().over(byDev))

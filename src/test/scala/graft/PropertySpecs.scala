@@ -33,6 +33,32 @@ object TiffCodecProps extends Properties("TiffCodec") {
     Prop.forAll(Gen.listOfN(64, Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
       TiffCodec.decode(bs.toArray).isEmpty
     }
+
+  private val genLayout: Gen[(Int, Int, Option[(Int, Int)])] = Gen.oneOf(
+    (TiffCodec.CompLzw, 0, None), (TiffCodec.CompLzw, 3, None),
+    (TiffCodec.CompDeflate, 0, None), (TiffCodec.CompDeflate, 5, None),
+    (TiffCodec.CompPackBits, 0, None),
+    (TiffCodec.CompLzw, 0, Some((16, 16))), (TiffCodec.CompDeflate, 0, Some((16, 16))))
+
+  property("decode(encodeEx(g)) is the identity across compressed/tiled layouts") =
+    Prop.forAll(genGrid, genLayout) { case (g, (comp, rps, tile)) =>
+      val r = TiffCodec.decode(
+        TiffCodec.encodeEx(g, compression = comp, rowsPerStrip = rps, tile = tile)).get
+      r.height == g.length && r.width == g(0).length &&
+        g.indices.forall(row => g(row).indices.forall(col => r.at(row, col) == g(row)(col)))
+    }
+
+  property("integer-predictor layouts roundtrip (LZW and deflate)") =
+    Prop.forAll(
+      Gen.choose(1, 20), Gen.choose(1, 20),
+      Gen.oneOf(TiffCodec.CompLzw, TiffCodec.CompDeflate),
+      Gen.choose(0L, 1L << 30)) { (h, w, comp, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val g = Array.fill(h, w)(rnd.nextInt(65536).toDouble)
+      val r = TiffCodec.decode(TiffCodec.encodeEx(
+        g, compression = comp, bits = 16, fmt = 1, predictor = 2)).get
+      g.indices.forall(row => g(row).indices.forall(col => r.at(row, col) == g(row)(col)))
+    }
 }
 
 object WelfordProps extends Properties("WelfordStats") {
