@@ -51,13 +51,19 @@ object ResultCache {
   def serve(cache: DataFrame, requests: DataFrame, ttlSeconds: Long,
             compute: DataFrame => DataFrame): Step = {
     val resultCols = cache.columns.filter(c => c != "key" && c != "cached_at")
-    val reqs = requests.groupBy(col("key")).agg(min(col("ts")).as("rts"))
+    // reqs and probed are each consumed twice (probe + carry-over
+    // anti-join; hit leg + miss leg) and both are bounded by the
+    // request BATCH, not the corpus — cache them so the request log is
+    // scanned once and the probe join runs once, instead of re-running
+    // per consumer.
+    val reqs = requests.groupBy(col("key")).agg(min(col("ts")).as("rts")).cache()
     val probed = reqs.join(cache, Seq("key"), "left")
       .withColumn("outcome",
         when(col("cached_at").isNotNull &&
           unix_micros(col("rts")) - unix_micros(col("cached_at")) <= ttlSeconds * 1000000L, "hit")
           .when(col("cached_at").isNotNull, "expired")
           .otherwise("cold"))
+      .cache()
     val hits = probed.filter(col("outcome") === "hit")
       .select(col("key") +: col("rts") +: col("outcome") +:
         resultCols.map(col) :+ col("cached_at"): _*)
@@ -65,7 +71,9 @@ object ResultCache {
         .select(col("key"), col("rts"), col("outcome")))
       .select(col("key") +: col("rts") +: col("outcome") +:
         resultCols.map(col) :+ col("rts").as("cached_at"): _*)
-    val served = hits.unionByName(computed)
+    // served feeds both the returned batch and the next snapshot —
+    // cache (request-batch-sized) so `compute` runs exactly once
+    val served = hits.unionByName(computed).cache()
     val nextCache = served
       .select(col("key") +: resultCols.map(col) :+ col("cached_at"): _*)
       .unionByName(cache.join(reqs, Seq("key"), "left_anti"))

@@ -350,9 +350,12 @@ object RetrievalQueries {
         .unionByName(p3.select(lit(3).as("pick_order"), col("p3_id").as("doc_id")))
       val toks = t.documents.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
+      // 3 rows, consumed twice (rows + their own total) — cache so the
+      // MMR pick chain and the documents token scan run once
       val ctx = picks.join(toks, "doc_id")
         .withColumn("cum_toks",
           sum(col("n_toks")).over(Window.orderBy(col("pick_order"))))
+        .cache()
       ctx.crossJoin(broadcast(ctx.agg(sum(col("n_toks")).as("total"))))
         .withColumn("in_budget",
           when(col("cum_toks") <= expr("(3 * total) div 4"), lit(1)).otherwise(lit(0)))

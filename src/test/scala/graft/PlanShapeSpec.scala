@@ -192,8 +192,12 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "cache probe degraded to all-pairs")
-    // request dedup is computed once and reused by the probe legs
-    assert(p.contains("ReusedExchange"), "per-batch request dedup should be reused, not recomputed")
+    // request dedup is computed once and reused by the probe legs —
+    // either via AQE exchange reuse or (since the ResultCache
+    // intermediates became explicit .cache()s, which also survive
+    // ACROSS the serve step's jobs) via an in-memory table scan
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      "per-batch request dedup should be reused, not recomputed")
   }
 
   test("s9_compaction_plan: the planning window is partitioned by the table " +
