@@ -108,6 +108,41 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSet == Set("tick-1", "tick-2", "tick-3"))
   }
 
+  test("T4 over HTTP: the 30s health poll as a parsed streaming pipeline") {
+    // per-source monotone tick counters, served as JSON — the reference's
+    // container /health endpoints (orchestrator.py health loop)
+    val counters = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    server.createContext("/health/", { ex =>
+      val src = ex.getRequestURI.getPath.stripPrefix("/health/")
+      val n = counters.computeIfAbsent(src, _ => new AtomicInteger(0)).incrementAndGet()
+      val body = s"""{"source":"$src","ok":true,"tick":$n}""".getBytes
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    val sources = Seq("landfire", "modis", "weather", "topography")
+    val q = spark.readStream.format("graft.sources.RestSource")
+      .option("urls", sources.map(s => s"$base/health/$s").mkString("\n"))
+      .option("maxPolls", "3")
+      .load()
+      .selectExpr("from_json(cast(body as string), 'source STRING, ok BOOLEAN, tick INT') AS h")
+      .select("h.source", "h.ok", "h.tick")
+      .writeStream.outputMode("append").format("memory").queryName("health_poll")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ticks = spark.table("health_poll")
+    assert(ticks.count() == 12) // 4 sources x 3 polls
+    val perSource = ticks.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource == sources.map(_ -> 3L).toMap)
+    // each source saw three REAL polls in order, not one replayed fetch
+    import org.apache.spark.sql.functions.collect_set
+    val tickSets = ticks.groupBy("source")
+      .agg(collect_set("tick").as("ts")).collect()
+    assert(tickSets.forall(_.getAs[Seq[Int]]("ts").sorted == Seq(1, 2, 3)))
+  }
+
   test("RestFetch drives fetches from a DataFrame column (the million-request shape)") {
     import graft.ops.RestFetch
     import spark.implicits._
