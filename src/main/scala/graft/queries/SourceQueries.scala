@@ -448,6 +448,85 @@ object SourceQueries {
             SELECT 'resource', 404, CAST(1 AS BIGINT), CAST(404 AS DOUBLE)""")
   )
 
+  /** S1–S6 request CONSTRUCTION — [[graft.ops.RequestUrls]]: every
+    * container's URL built from the request row as codegen'd Column
+    * expressions (WCS GetCoverage with the degree bbox, ORNL subset
+    * with AYYYYDDD dates, OpenWeatherMap current+forecast, USGS
+    * exportImage with the Web-Mercator meter bbox) — the projection a
+    * million-request table goes through before [[graft.ops.RestFetch]].
+    * The oracle rebuilds every URL with DuckDB string/math functions;
+    * hash equality pins bbox arithmetic, projection math, date format,
+    * and parameter order. */
+  val requestUrls = Q(
+    "s1_request_urls",
+    "Connector request construction: all four container URL families built from request rows as pure Column expressions, byte-compared to the oracle.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.RequestUrls._
+      val req = graft.ops.CollectFull.requests(s)
+        .select(col("site"), col("lat"), col("lon"), col("buffer_m"))
+      val lf = Seq(("vegetation_type", "220EVT"), ("fuel_model", "220F40"))
+        .toDF("product", "code")
+      val landfire = req.crossJoin(broadcast(lf))
+        .select(col("site"), concat(lit("landfire:"), col("product")).as("source"),
+          landfireWcs(lit("https://landfire.example/wcs"), col("code"),
+            col("lat"), col("lon"), col("buffer_m")).as("url"))
+      val mp = Seq("MOD13Q1", "MOD11A2").toDF("product")
+      val modis = req.crossJoin(broadcast(mp))
+        .select(col("site"), concat(lit("modis:"), col("product")).as("source"),
+          modisSubset(lit("https://modis.ornl.gov/rst/api/v1"), col("product"),
+            col("lat"), col("lon"),
+            lit("2024-05-01").cast("date"), lit("2024-06-01").cast("date")).as("url"))
+      val wp = Seq("weather", "forecast").toDF("path")
+      val weather = req.crossJoin(broadcast(wp))
+        .select(col("site"), concat(lit("owm:"), col("path")).as("source"),
+          weatherUrl(lit("https://api.openweathermap.org/data/2.5"), col("path"),
+            col("lat"), col("lon"), lit("demo_key")).as("url"))
+      val usgs = req
+        .select(col("site"), lit("usgs:elevation").as("source"),
+          usgsExportImage(lit("https://elevation.example/ImageServer"),
+            col("lat"), col("lon"), col("buffer_m")).as("url"))
+      landfire.unionByName(modis).unionByName(weather).unionByName(usgs)
+    },
+    Some("""WITH req(site, lat, lon, buffer_m) AS (VALUES
+              ('req_la', CAST(34.0522 AS DOUBLE), CAST(-118.2437 AS DOUBLE), 1000),
+              ('req_yellowstone', CAST(44.6 AS DOUBLE), CAST(-110.5 AS DOUBLE), 5000),
+              ('req_death_valley', CAST(36.5 AS DOUBLE), CAST(-117.0 AS DOUBLE), 1000),
+              ('req_seattle', CAST(47.5086 AS DOUBLE), CAST(-122.3551 AS DOUBLE), 2000),
+              ('req_mono', CAST(40.0 AS DOUBLE), CAST(-115.0 AS DOUBLE), 1000)),
+            d AS (SELECT *, CAST(buffer_m AS DOUBLE) / 111000.0 AS bd FROM req)
+            SELECT site, 'landfire:' || product AS source,
+              'https://landfire.example/wcs?service=WCS&version=1.0.0&request=GetCoverage'
+              || '&coverage=landfire_wcs:' || code
+              || '&bbox=' || printf('%.6f', lon - bd) || ',' || printf('%.6f', lat - bd)
+              || ',' || printf('%.6f', lon + bd) || ',' || printf('%.6f', lat + bd)
+              || '&crs=EPSG:4326&format=GeoTIFF&width=256&height=256' AS url
+            FROM d, (VALUES ('vegetation_type', '220EVT'), ('fuel_model', '220F40')) lf(product, code)
+            UNION ALL
+            SELECT site, 'modis:' || product,
+              'https://modis.ornl.gov/rst/api/v1/' || product || '/subset'
+              || '?latitude=' || printf('%.6f', lat) || '&longitude=' || printf('%.6f', lon)
+              || '&startDate=A2024122&endDate=A2024153'
+              || '&kmAboveBelow=1&kmLeftRight=1'
+            FROM d, (VALUES ('MOD13Q1'), ('MOD11A2')) mp(product)
+            UNION ALL
+            SELECT site, 'owm:' || path,
+              'https://api.openweathermap.org/data/2.5/' || path
+              || '?lat=' || printf('%.6f', lat) || '&lon=' || printf('%.6f', lon)
+              || '&appid=demo_key&units=metric'
+            FROM d, (VALUES ('weather'), ('forecast')) wp(path)
+            UNION ALL
+            SELECT site, 'usgs:elevation',
+              'https://elevation.example/ImageServer/exportImage?f=image'
+              || '&bbox=' || printf('%.2f', lon * 6378137.0 * pi() / 180.0 - buffer_m)
+              || ',' || printf('%.2f', ln(tan(pi() / 4.0 + lat * pi() / 360.0)) * 6378137.0 - buffer_m)
+              || ',' || printf('%.2f', lon * 6378137.0 * pi() / 180.0 + buffer_m)
+              || ',' || printf('%.2f', ln(tan(pi() / 4.0 + lat * pi() / 360.0)) * 6378137.0 + buffer_m)
+              || '&bboxSR=3857&imageSR=4326&size=256,256&format=tiff&pixelType=F32'
+              || '&interpolation=RSP_BilinearInterpolation'
+            FROM d""")
+  )
+
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
-    zorder, compactionPlan, bucketedJoin, restFetch)
+    zorder, compactionPlan, bucketedJoin, restFetch, requestUrls)
 }

@@ -164,6 +164,27 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(mixed.map(_.getInt(1)).toSeq == Seq(200, 404))
   }
 
+  test("RequestUrls-built URLs drive real fetches (builder -> fetch -> server echo)") {
+    import graft.ops.{RequestUrls, RestFetch}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    server.createContext("/echo", { ex =>
+      val body = ex.getRequestURI.toString.getBytes
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    val req = Seq(("req_la", 34.0522, -118.2437, 1000)).toDF("site", "lat", "lon", "buffer_m")
+      .withColumn("url", RequestUrls.weatherUrl(
+        lit(s"$base/echo"), lit("weather"), col("lat"), col("lon"), lit("demo_key")))
+    val row = RestFetch.fetchRows(req, "url", retryBackoffMs = 5)
+      .selectExpr("cast(body as string) AS echoed", "status").collect()(0)
+    assert(row.getInt(1) == 200)
+    // the server saw exactly the reference-shaped query string
+    assert(row.getString(0) ==
+      "/echo/weather?lat=34.052200&lon=-118.243700&appid=demo_key&units=metric")
+  }
+
   test("url list splits into partitions; pruning reaches the source") {
     val df = read((1 to 10).map(i => s"$base/item/$i"), Map("urlsPerPartition" -> "3"))
     assert(df.rdd.getNumPartitions == 4) // ceil(10/3)
