@@ -63,7 +63,9 @@ object Plans {
     "j5_label_separation" -> "label-separation probe: windowed argmax over bounded candidate pairs",
     "d1_tiff_compressed" -> "compressed TIFF decode matrix: one scan, executor-side LZW/deflate kernels, pixel explode",
     "t2_budget_enforce" -> "budgeted per-source jobs under watchdog-cancelled job groups",
-    "s1_rest_fetch"     -> "live HTTP V2 scan: url-partitioned fetch, in-plan JSON + TIFF decode"
+    "s1_rest_fetch"     -> "live HTTP V2 scan: url-partitioned fetch, in-plan JSON + TIFF decode",
+    "s1_request_urls"   -> "request construction: four URL families as codegen'd string exprs, one projection",
+    "e2e_collect_rest"  -> "full /collect with all inputs over HTTP: same plan as collect_full behind the fetch"
   )
 
   def main(args: Array[String]): Unit = {

@@ -125,10 +125,14 @@ object CollectFull {
           .select(element_at(split(col("path"), "/"), -1).as("file_name"), col("content"))
       case Rest =>
         // the raster estate is enumerable from the site table — at
-        // production scale this url list is itself a DataFrame column
+        // production scale this url list is itself a DataFrame column.
+        // Cached: landfire and topography both consume this sweep, and
+        // a remote byte should cross the wire once, not once per
+        // consumer (the reference fetches each product exactly once
+        // per /collect too).
         val names = for (st <- sites; p <- Seq("veg", "fuel", "elev"))
           yield s"rasters/${p}_${st.id}.tif"
-        restFiles(s, names)
+        restFiles(s, names).cache()
     }
   }
 
