@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A13 ⊕ dataset MONITORING — the observability layer a 100 TB training
+  * corpus needs between pipeline runs: is today's batch distributed like
+  * yesterday's (drift), and what does each source actually contain
+  * (profile card)? The reference stops at per-request summaries
+  * (orchestrator.py:850); these are the corpus-level rollups a curation
+  * team would page on.
+  *
+  * Both follow graft's oracle-exactness rule: all statistics are exact
+  * integer arithmetic (counts, parts-per-million frequencies, integer-div
+  * means, rank-based medians) — no libm logs, no float accumulation — so
+  * the DuckDB oracle hash-matches bit-for-bit and the result is invariant
+  * to partitioning and fold order.
+  */
+object MonitorQueries {
+
+  /** Distribution drift between two document batches, on the classic
+    * PSI/KL shape but log-free: bucket `n_chars` into 20 fixed-width
+    * bins, express each batch's bin mass in parts-per-million (ppm,
+    * integer-div — order-independent), and report per-bin
+    * |ref_ppm − cur_ppm| (summing the column gives 2× the total
+    * variation distance in ppm) plus a chi-square-style
+    * (ref−cur)²/(cur+1) integer surrogate that, like PSI, over-weights
+    * bins that moved a lot relative to their size. Batches here are the
+    * even/odd doc_id halves — the stand-in for yesterday/today.
+    *
+    * Scale shape: ONE census over a bounded bin domain (≤ 20 × 2 groups
+    * after the map-side partial agg — kilobytes on the wire no matter
+    * the corpus size), then a broadcast of the single-row batch totals.
+    * Nothing is per-document after the first aggregate; the plan is a
+    * scan + one tiny shuffle at any scale. */
+  val driftTvd = Q(
+    "a13_drift_tvd",
+    "Distribution drift, log-free PSI shape: 20 fixed n_chars bins, per-batch ppm mass, |ref-cur| ppm and (ref-cur)^2/(cur+1) per bin.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val binned = t.documents.select(
+        expr("least(n_chars div 100L, 19L)").as("bin"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      val perBin = binned.groupBy(col("bin")).agg(
+        count(when(col("is_ref"), 1)).as("c_ref"),
+        count(when(!col("is_ref"), 1)).as("c_cur"))
+      val totals = perBin.agg(sum(col("c_ref")).as("t_ref"), sum(col("c_cur")).as("t_cur"))
+      perBin.crossJoin(broadcast(totals))
+        .select(col("bin"),
+          expr("(c_ref * 1000000L) div t_ref").as("ref_ppm"),
+          expr("(c_cur * 1000000L) div t_cur").as("cur_ppm"))
+        .withColumn("diff_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+        .withColumn("drift_score",
+          expr("((ref_ppm - cur_ppm) * (ref_ppm - cur_ppm)) div (cur_ppm + 1L)"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH binned AS (
+              SELECT least(n_chars // 100, 19) AS bin, doc_id % 2 = 0 AS is_ref
+              FROM documents
+            ), per_bin AS (
+              SELECT bin,
+                count(CASE WHEN is_ref THEN 1 END) AS c_ref,
+                count(CASE WHEN NOT is_ref THEN 1 END) AS c_cur
+              FROM binned GROUP BY 1
+            ), tot AS (
+              SELECT sum(c_ref) AS t_ref, sum(c_cur) AS t_cur FROM per_bin
+            ), ppm AS (
+              SELECT bin,
+                CAST((c_ref * 1000000) // t_ref AS BIGINT) AS ref_ppm,
+                CAST((c_cur * 1000000) // t_cur AS BIGINT) AS cur_ppm
+              FROM per_bin, tot
+            )
+            SELECT bin, ref_ppm, cur_ppm,
+              abs(ref_ppm - cur_ppm) AS diff_ppm,
+              CAST(((ref_ppm - cur_ppm) * (ref_ppm - cur_ppm)) // (cur_ppm + 1) AS BIGINT) AS drift_score
+            FROM ppm ORDER BY bin""")
+  )
+
+  /** Per-source dataset card — the one-page profile a curation team
+    * reads before training: volume (docs, chars), language spread,
+    * emptiness, length range, exact rank-based median length, and mean
+    * length (integer div). The median is percentile_disc-style — the
+    * value at ordered position (n+1)/2, tie-broken by doc_id — computed
+    * with a per-source window, NOT percentile_approx: exact, and
+    * cross-engine stable where approx sketches are not.
+    *
+    * Scale shape: one shuffle by source for the window (sources are few;
+    * if one source held half the corpus you'd pre-aggregate by
+    * (source, n_chars) first — the bounded-domain trick budget_select
+    * uses), then a per-source aggregate. No driver-side anything. */
+  val profileCard = Q(
+    "a13_profile_card",
+    "Per-source dataset card: n_docs, langs, chars total/mean/min/max, exact rank-median n_chars, empty-doc count.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val ranked = t.documents.select(
+          col("source"), col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          (length(col("text")) === 0 || col("text").isNull).as("empty"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+      ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_chars"))).as("median_chars"),
+        count(when(col("empty"), 1)).as("n_empty"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ranked AS (
+              SELECT source, doc_id, lang, n_chars,
+                (length(text) = 0 OR text IS NULL) AS empty,
+                row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                count(*) OVER (PARTITION BY source) AS cnt
+              FROM documents
+            )
+            SELECT source,
+              count(*) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+              min(n_chars) AS min_chars,
+              max(n_chars) AS max_chars,
+              max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS median_chars,
+              count(CASE WHEN empty THEN 1 END) AS n_empty
+            FROM ranked GROUP BY 1 ORDER BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(driftTvd, profileCard)
+}

@@ -32,6 +32,7 @@ object QueryRegistry {
       CurationQueries.all ++
       SelectionQueries.all ++
       GraphQueries.all ++
+      MonitorQueries.all ++
       SimilarityQueries.all ++
       VectorQueries.all ++
       StreamQueries.all ++

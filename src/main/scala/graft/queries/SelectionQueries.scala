@@ -196,5 +196,62 @@ object SelectionQueries {
             FROM d ORDER BY stage, h, doc_id LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(importanceWeights, budgetSelect, curriculumOrder)
+  /** Preference-pair construction (the DPO/RLHF data shape — Rafailov
+    * et al. 2023): within each (source, lang) "prompt group", rank
+    * documents by a deterministic quality proxy (type-token ratio in
+    * basis points, the same exact-integer score budget_select uses) and
+    * pair each document with its NEXT-ranked neighbor as
+    * (chosen, rejected), keeping only strict preferences (margin > 0).
+    * Adjacent pairing yields n−1 pairs per group — linear, not the
+    * quadratic best×worst-cross-product a naive pairer builds — and the
+    * hardest pairs (smallest positive margin) are exactly the ones
+    * preference-tuning papers report the most signal from; the result
+    * surfaces the top-20 widest margins as the schedule head.
+    *
+    * Scale shape: one shuffle by (source, lang) for the window, one
+    * `lead` per row, a global TakeOrderedAndProject for the head. No
+    * self-join, no pair blowup, nothing driver-side. */
+  val preferencePairs = Q(
+    "a10_preference_pairs",
+    "DPO-style pairs: rank docs by exact TTR quality within (source, lang), pair adjacent ranks as chosen/rejected with margin > 0, top-20 by margin.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("(size(array_distinct(toks)) * 10000L) div size(toks)").as("q"))
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("q").desc, col("doc_id").asc)
+      docs
+        .withColumn("rejected_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("rejected_q", lead(col("q"), 1).over(w))
+        .filter(col("rejected_id").isNotNull && col("q") > col("rejected_q"))
+        .select(col("source"), col("lang"),
+          col("doc_id").as("chosen_id"), col("rejected_id"),
+          (col("q") - col("rejected_q")).as("margin"))
+        .orderBy(col("margin").desc, col("chosen_id").asc)
+        .limit(20)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source, lang,
+                CAST((len(list_distinct(string_split(text, ' '))) * 10000)
+                     // len(string_split(text, ' ')) AS BIGINT) AS q
+              FROM documents
+            ), p AS (
+              SELECT source, lang, doc_id AS chosen_id, q,
+                lead(doc_id, 1) OVER w AS rejected_id,
+                lead(q, 1) OVER w AS rejected_q
+              FROM d
+              WINDOW w AS (PARTITION BY source, lang ORDER BY q DESC, doc_id ASC)
+            )
+            SELECT source, lang, chosen_id, rejected_id,
+              CAST(q - rejected_q AS BIGINT) AS margin
+            FROM p
+            WHERE rejected_id IS NOT NULL AND q > rejected_q
+            ORDER BY margin DESC, chosen_id ASC
+            LIMIT 20""")
+  )
+
+  def all: Seq[Q] =
+    Seq(importanceWeights, budgetSelect, curriculumOrder, preferencePairs)
 }

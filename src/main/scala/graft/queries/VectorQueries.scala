@@ -308,5 +308,64 @@ object VectorQueries {
               GROUP BY 1, 2
             )"""
 
-  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine)
+  /** J5 ⊕ — binary-sign (1-bit) quantization + Hamming top-k: keep only
+    * the SIGN of each of the 64 dimensions, packed into two 32-bit words
+    * (two halves so no packed value ever crosses the BIGINT sign bit —
+    * DuckDB widens BIGINT sums to HUGEINT, so a 2^63 bit would diverge),
+    * then rank the corpus against a probe vector by
+    * popcount(xor(lo)) + popcount(xor(hi)). This is the coarsest, fastest
+    * ANN tier — 64 dims × 4 bytes → 8 bytes/vector, a 32× compression —
+    * and on sign-distributed embeddings Hamming distance tracks angular
+    * distance (Charikar 2002, SimHash for cosine); production stacks use
+    * it as the shortlist tier in front of SQ8/PQ re-rank (j5_pq_refine).
+    *
+    * Scale shape: packing is ONE aggregate per vector (map-side combine,
+    * 2 longs of state); the probe row is a broadcast single-row
+    * aggregate; ranking is a row-local xor/popcount scan planning as
+    * TakeOrderedAndProject. At 100 TB the packed index is ~0.8% the size
+    * of the raw float corpus and the scan never touches the floats. */
+  val hammingTopK = Q(
+    "j5_hamming_topk",
+    "1-bit sign quantization packed to 2x32-bit words; Hamming top-20 vs probe vec_id=0 via bit_count(xor) — 32x-compressed coarse ANN tier.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val packed = t.embeddings
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          // functions.shiftleft only takes a literal shift — the
+          // column-shift form is SQL-only, hence expr()
+          expr("sum(CASE WHEN pos < 32 AND e >= 0 THEN shiftleft(1L, int(pos)) ELSE 0L END)").as("lo"),
+          expr("sum(CASE WHEN pos >= 32 AND e >= 0 THEN shiftleft(1L, int(pos) - 32) ELSE 0L END)").as("hi"))
+      val probe = broadcast(packed.filter(col("vec_id") === 0)
+        .select(col("lo").as("p_lo"), col("hi").as("p_hi")))
+      packed.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id"), col("label"),
+          (bit_count(col("lo").bitwiseXOR(col("p_lo"))) +
+            bit_count(col("hi").bitwiseXOR(col("p_hi")))).cast("long").as("hd"))
+        .orderBy(col("hd").asc, col("vec_id").asc)
+        .limit(20)
+    },
+    Some("""WITH packed AS (
+              SELECT vec_id, label,
+                CAST(sum(CASE WHEN i <= 32 AND embedding[i] >= 0
+                  THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+                CAST(sum(CASE WHEN i > 32 AND embedding[i] >= 0
+                  THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+              GROUP BY vec_id, label
+            ), probe AS (
+              SELECT lo AS p_lo, hi AS p_hi FROM packed WHERE vec_id = 0
+            )
+            SELECT vec_id, label,
+              CAST(bit_count(xor(lo, p_lo)) + bit_count(xor(hi, p_hi)) AS BIGINT) AS hd
+            FROM packed, probe
+            WHERE vec_id <> 0
+            ORDER BY hd ASC, vec_id ASC
+            LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine, hammingTopK)
 }

@@ -49,36 +49,54 @@ class PlanInvarianceSpec extends SparkSpecBase {
         "x28_fuzzy_match", "w9_seasonal_outliers", "u5_scd2_history",
         "x28_bigram_lm")) {
       val fn = QueryRegistry.queries(name)
-      val baseline = fn(spark, dir).collect().map(_.toString).sorted
       val old = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "5")
       try {
+        val baseline = fn(spark, dir).collect().map(_.toString).sorted
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
         val repartitioned = fn(spark, dir).collect().map(_.toString).sorted
-        assert(repartitioned.sameElements(baseline),
-          s"$name: result depends on spark.sql.shuffle.partitions (fold-order or partition-count leak)")
+        if (!repartitioned.sameElements(baseline))
+          failures += s"$name: result depends on spark.sql.shuffle.partitions (fold-order or partition-count leak)"
+      } catch {
+        case e: Throwable => failures += s"$name failed to execute: ${firstLine(e)}"
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", old)
       }
     }
+    assertNoFailures("shuffle-partition invariance")
   }
 
   test("join-heavy queries produce identical rows with broadcasts and AQE disabled") {
     for (name <- names) {
       val fn = QueryRegistry.queries(name)
-      val baseline = fn(spark, dir).collect().map(_.toString).sorted
-
       val old = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
         spark.conf.get("spark.sql.adaptive.enabled"))
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
+        val baseline = fn(spark, dir).collect().map(_.toString).sorted
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         val degraded = fn(spark, dir).collect().map(_.toString).sorted
-        assert(degraded.sameElements(baseline),
-          s"$name: result depends on the physical plan (broadcast/AQE)")
+        if (!degraded.sameElements(baseline))
+          failures += s"$name: result depends on the physical plan (broadcast/AQE)"
+      } catch {
+        case e: Throwable => failures += s"$name failed to execute: ${firstLine(e)}"
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._1)
         spark.conf.set("spark.sql.adaptive.enabled", old._2)
       }
     }
+    assertNoFailures("broadcast/AQE invariance")
+  }
+
+  // Sweep failures ACCUMULATE so one query that breaks analysis (as the
+  // round-7 NTZ fixture regression did) cannot mask invariance signals
+  // for every other query in the registry; the sweep names all offenders.
+  private val failures = scala.collection.mutable.ArrayBuffer[String]()
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString
+  private def assertNoFailures(sweep: String): Unit = {
+    val fs = failures.toSeq
+    failures.clear()
+    assert(fs.isEmpty, s"${fs.size} queries failed the $sweep sweep:\n  " +
+      fs.mkString("\n  "))
   }
 }

@@ -17,11 +17,22 @@ class PlanShapeSpec extends SparkSpecBase {
   private def exchanges(p: String): Int = "Exchange".r.findAllIn(p).length
 
   test("no query plans a CartesianProduct") {
-    // every registered query — a cartesian anywhere is a scale bug
+    // every registered query — a cartesian anywhere is a scale bug.
+    // Failures ACCUMULATE: one query that breaks analysis (as the r7
+    // NTZ fixture regression did) must not mask plan signals for the
+    // other ~170 — the sweep reports every offender at once.
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- QueryRegistry.queries) {
-      val p = fn(spark, dir).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) failures += s"$name plans a CartesianProduct"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name failed to plan: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString}"
+      }
     }
+    assert(failures.isEmpty, s"${failures.size} queries failed the cartesian sweep:\n  " +
+      failures.mkString("\n  "))
   }
 
   test("q1_agg: filter pushed to scan, partial aggregation, single shuffle") {
