@@ -553,7 +553,53 @@ object CurationQueries {
             FROM per GROUP BY 1""")
   )
 
+  /** Per-domain frequency capping (the RefinedWeb/C4 recipe: no single
+    * domain may dominate the corpus): keep at most 50 documents per
+    * source, chosen by a SEEDED md5 shuffle — deterministic across
+    * runs, machines, and partitionings, unlike a random() sample — and
+    * report the kept/dropped census per source. Differs from
+    * a10_source_mixing (soft proportional quotas over a shared budget):
+    * the cap is a hard per-domain ceiling applied independently.
+    *
+    * Scale shape: one shuffle by source for the per-domain rank. The
+    * domain column is high-cardinality in production (millions of
+    * hosts) so the window partitioning is healthy; for a pathological
+    * mega-domain the rank only needs the hash-top-50, which the bounded
+    * partial/final heap of o2_topk_custom computes without a full
+    * per-domain sort. */
+  val domainCap = Q(
+    "a10_domain_cap",
+    "Hard per-domain cap: keep <=50 docs per source by seeded md5 shuffle rank; per-source kept/dropped census with char mass.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("cap42:"), col("doc_id").cast("string"))), col("doc_id"))
+      t.documents
+        .withColumn("rn", row_number().over(w))
+        .withColumn("kept", col("rn") <= 50)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          count(when(!col("kept"), 1)).as("n_dropped"),
+          coalesce(sum(when(col("kept"), col("n_chars"))), lit(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH r AS (
+              SELECT source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5('cap42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+              count(CASE WHEN rn <= 50 THEN 1 END) AS n_kept,
+              count(CASE WHEN rn > 50 THEN 1 END) AS n_dropped,
+              CAST(coalesce(sum(CASE WHEN rn <= 50 THEN n_chars END), 0) AS BIGINT) AS chars_kept
+            FROM r GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
-    sourceMixing, contrastiveBatches)
+    sourceMixing, contrastiveBatches, domainCap)
 }

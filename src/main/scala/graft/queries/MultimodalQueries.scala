@@ -212,5 +212,84 @@ object MultimodalQueries {
             WHERE vec_id < 50""")
   )
 
-  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5)
+  /** Content-defined chunking (CDC — the rsync/LBFS boundary rule): a
+    * chunk boundary falls wherever the hash of the trailing 8-char
+    * window lands in a 1-in-32 bucket, so the EXPECTED chunk is ~32
+    * chars but every boundary is decided by LOCAL content only. That
+    * locality is the point: insert a byte early in a document and all
+    * fixed-window chunks (m4) after it shift — every downstream
+    * fingerprint changes — while CDC boundaries re-synchronize at the
+    * next content match, so near-identical documents share almost all
+    * chunk fingerprints. That makes CDC the chunking tier that FEEDS
+    * chunk-level dedup (a10_dedup_exact over chunk_fp) and delta
+    * storage. Production CDC adds min/max chunk gates (a sequential
+    * per-doc pass — still row-local, omitted here to keep the
+    * relational form position-independent).
+    *
+    * Scale shape: boundary detection is a per-row explode of positions
+    * with row-local hashing (embarrassingly parallel; the real engine
+    * runs it as a rolling hash in one pass per doc — same cost class);
+    * chunk assembly is one per-doc window over the boundary rows, keyed
+    * by doc_id. Nothing crosses documents; 100 TB chunk rows inherit
+    * the scan's partitioning, exactly like m4. */
+  val m6 = Q(
+    "m6_cdc_chunks",
+    "Content-defined chunking: boundary where md5(trailing 8 chars) hits a 1-in-32 bucket; per-doc chunk rows with start, length, fingerprint.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+        .filter(col("doc_id") < 40 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      // candidate boundaries: window END positions p in [8, len);
+      // Spark's sequence(8, len) steps BACKWARD when len < 8, so the
+      // explode side is pre-filtered (DuckDB's generate_series is
+      // simply empty there)
+      val bounds = docs.filter(col("len") >= 8)
+        .select(col("doc_id"), col("text"), col("len"),
+          explode(sequence(lit(8), col("len"))).as("p"))
+        .filter(col("p") < col("len") &&
+          expr("cast(conv(substring(md5(substring(text, p - 7, 8)), 1, 4), 16, 10) as int) % 32 = 0"))
+      // every doc closes with a sentinel boundary at len — a doc with
+      // no content boundary is one whole-doc chunk
+      val ends = bounds.select(col("doc_id"), col("text"), col("p"))
+        .unionByName(docs.select(col("doc_id"), col("text"), col("len").as("p")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      ends
+        .withColumn("chunk_start", coalesce(lag(col("p"), 1).over(w), lit(0)))
+        .select(col("doc_id"),
+          (row_number().over(w) - 1).as("chunk_idx"),
+          col("chunk_start"),
+          (col("p") - col("chunk_start")).as("chunk_len"),
+          md5(col("text").substr(col("chunk_start") + 1, col("p") - col("chunk_start"))).as("chunk_fp"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text, length(text) AS len FROM documents
+              WHERE doc_id < 40 AND length(text) > 0
+            ), b AS (
+              SELECT doc_id, text, p FROM d,
+                unnest(generate_series(8, len)) AS t(p)
+              WHERE p < len AND
+                ((strpos('0123456789abcdef', md5(substring(text, p - 7, 8))[1]) - 1) * 4096
+                 + (strpos('0123456789abcdef', md5(substring(text, p - 7, 8))[2]) - 1) * 256
+                 + (strpos('0123456789abcdef', md5(substring(text, p - 7, 8))[3]) - 1) * 16
+                 + (strpos('0123456789abcdef', md5(substring(text, p - 7, 8))[4]) - 1)) % 32 = 0
+            ), e AS (
+              SELECT doc_id, text, CAST(p AS BIGINT) AS p FROM b
+              UNION ALL
+              SELECT doc_id, text, CAST(len AS BIGINT) AS p FROM d
+            ), c AS (
+              SELECT doc_id, text, p,
+                coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS chunk_start,
+                row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS chunk_idx
+              FROM e
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+              CAST(chunk_start AS INT) AS chunk_start,
+              CAST(p - chunk_start AS INT) AS chunk_len,
+              md5(substring(text, CAST(chunk_start AS INT) + 1, CAST(p - chunk_start AS INT))) AS chunk_fp
+            FROM c""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6)
 }
