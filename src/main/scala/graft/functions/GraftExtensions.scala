@@ -40,6 +40,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSigs(children(0))
       }
     ))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          s"cdc_boundaries requires exactly 1 argument, got ${children.size}")
+        CdcBoundaries(children(0))
+      }
+    ))
     // Spark ships a native, codegen'd bloom-filter pair
     // (BloomFilterAggregate / BloomFilterMightContain) but only wires it
     // through the InjectRuntimeFilter optimizer rule — the SQL surface is

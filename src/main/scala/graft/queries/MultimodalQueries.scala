@@ -291,5 +291,68 @@ object MultimodalQueries {
             FROM c""")
   )
 
-  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6)
+  /** m6's boundary detection re-expressed through the NATIVE rolling-hash
+    * expression [[graft.functions.CdcBoundaries]] (D5): one O(n) pass per
+    * document — constant work per position — where m6's relational form
+    * re-hashes the full 8-char window at every position (O(n·w), an md5
+    * each). Same chunk-assembly tail (sentinel end, lag window,
+    * fingerprints); the boundary rule differs only in hash family
+    * (polynomial/2^20/37 here vs md5-bucket/32 there), both ~32-char
+    * expected chunks. The oracle replicates the polynomial hash
+    * positionally — independently validating the rolling recurrence
+    * against the closed-form window sum. */
+  val m6Native = Q(
+    "m6_cdc_native",
+    "CDC via the native O(n) rolling-hash expression cdc_boundaries(text); same chunk rows (start, length, fingerprint) as the relational form.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents
+        .filter(col("doc_id") < 40 && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val ends = docs.select(col("doc_id"), col("text"),
+        explode(concat(expr("cdc_boundaries(text)"), array(col("len")))).as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      ends
+        .withColumn("chunk_start", coalesce(lag(col("p"), 1).over(w), lit(0)))
+        .select(col("doc_id"),
+          (row_number().over(w) - 1).as("chunk_idx"),
+          col("chunk_start"),
+          (col("p") - col("chunk_start")).as("chunk_len"),
+          md5(col("text").substr(col("chunk_start") + 1, col("p") - col("chunk_start"))).as("chunk_fp"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, text, length(text) AS len FROM documents
+              WHERE doc_id < 40 AND length(text) > 0
+            ), b AS (
+              -- closed-form window hash at each end position p:
+              -- sum(code * 31^(7-k)) mod 2^20, boundary iff % 37 = 0
+              SELECT doc_id, text, p FROM d,
+                unnest(generate_series(8, len - 1)) AS t(p)
+              WHERE ((unicode(substring(text, CAST(p AS INT) - 7, 1)) * 77023
+                    + unicode(substring(text, CAST(p AS INT) - 6, 1)) * 408385
+                    + unicode(substring(text, CAST(p AS INT) - 5, 1)) * 317599
+                    + unicode(substring(text, CAST(p AS INT) - 4, 1)) * 923521
+                    + unicode(substring(text, CAST(p AS INT) - 3, 1)) * 29791
+                    + unicode(substring(text, CAST(p AS INT) - 2, 1)) * 961
+                    + unicode(substring(text, CAST(p AS INT) - 1, 1)) * 31
+                    + unicode(substring(text, CAST(p AS INT), 1))) % 1048576) % 37 = 0
+            ), e AS (
+              SELECT doc_id, text, CAST(p AS BIGINT) AS p FROM b
+              UNION ALL
+              SELECT doc_id, text, CAST(len AS BIGINT) AS p FROM d
+            ), c AS (
+              SELECT doc_id, text, p,
+                coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS chunk_start,
+                row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS chunk_idx
+              FROM e
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+              CAST(chunk_start AS INT) AS chunk_start,
+              CAST(p - chunk_start AS INT) AS chunk_len,
+              md5(substring(text, CAST(chunk_start AS INT) + 1, CAST(p - chunk_start AS INT))) AS chunk_fp
+            FROM c""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6, m6Native)
 }
