@@ -599,7 +599,51 @@ object CurationQueries {
             FROM r GROUP BY 1 ORDER BY 1""")
   )
 
+  /** k-anonymity census (Sweeney 2002) — the privacy gate that runs
+    * BESIDE x28_pii_scrub in a release pipeline: PII scrubbing removes
+    * direct identifiers, k-anonymity measures whether the remaining
+    * quasi-identifiers (here: lang × source × length band) still single
+    * people out. An equivalence class smaller than k = 5 is re-identifi-
+    * able; the census reports, per language, how many classes and
+    * documents sit below the threshold — the rows a release process
+    * would suppress or generalize.
+    *
+    * Scale shape: one hash aggregate over the quasi-identifier tuple
+    * (map-side combinable), then a tiny per-lang rollup of class sizes.
+    * The class census is proportional to DISTINCT quasi-identifier
+    * tuples, not documents — bounded at any corpus size. */
+  val kAnonymity = Q(
+    "a10_k_anonymity",
+    "k-anonymity census over (lang, source, n_chars-band) quasi-identifiers: per-lang classes, sub-k classes/docs, min class size.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cls = t.documents
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100L").as("len_band"))
+        .agg(count(lit(1)).as("sz"))
+      cls.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          count(when(col("sz") < 5, 1)).as("n_risky_classes"),
+          coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L)).as("n_risky_docs"),
+          min(col("sz")).as("min_class_size"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH cls AS (
+              SELECT lang, source, n_chars // 100 AS len_band, count(*) AS sz
+              FROM documents GROUP BY 1, 2, 3
+            )
+            SELECT lang,
+              count(*) AS n_classes,
+              count(CASE WHEN sz < 5 THEN 1 END) AS n_risky_classes,
+              CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT) AS n_risky_docs,
+              min(sz) AS min_class_size,
+              CAST(sum(sz) AS BIGINT) AS n_docs
+            FROM cls GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
-    sourceMixing, contrastiveBatches, domainCap)
+    sourceMixing, contrastiveBatches, domainCap, kAnonymity)
 }

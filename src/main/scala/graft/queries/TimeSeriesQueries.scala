@@ -582,6 +582,98 @@ object TimeSeriesQueries {
             GROUP BY 1, 2, 3, 4""")
   )
 
+  /** Multi-touch attribution — the marketing-analytics shape w4's funnel
+    * doesn't cover: every `purchase` distributes its revenue across the
+    * SAME user's click/view touches in the preceding hour under three
+    * credit models at once — first-touch, last-touch, and linear (equal
+    * split, integer cents, remainder to the last touch so every model
+    * conserves revenue exactly). Purchases with no in-window touch land
+    * in an explicit `unattributed` row rather than silently dropping.
+    *
+    * Scale shape: the 1-hour lookback is a RANGE join expressed as a
+    * time-bin hash equi-join (the j7_interval_overlap trick — the
+    * purchase side explodes into its 2 covering hour bins, the join key
+    * is (user_id, bin)) so no nested loop ever plans; per-purchase
+    * ranking windows partition by purchase id (high cardinality,
+    * healthy); the census is a bounded group-by. At 100 TB the join
+    * stays bounded because a user×hour cell holds few events. */
+  val w10Attribution = Q(
+    "w10_attribution",
+    "Multi-touch attribution: 1h lookback range join (time-bin equi), first/last/linear credit in exact cents, per-touch-type census + unattributed.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hourUs = 3600000000L
+      val e = t.events.select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"),
+          expr("cast(floor(value * 100) as long)").as("cents"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("event_id").as("t_id"), col("us").as("t_us"))
+      val pb = purchases.withColumn("bin",
+        explode(array(expr(s"p_us div $hourUs"), expr(s"p_us div $hourUs - 1"))))
+      val tb = touches.withColumn("bin", expr(s"t_us div $hourUs"))
+      val cand = pb.join(tb, Seq("user_id", "bin"))
+        .filter(col("t_us") >= col("p_us") - hourUs && col("t_us") < col("p_us"))
+      val w = Window.partitionBy(col("p_id")).orderBy(col("t_us").asc, col("t_id").asc)
+      val ranked = cand
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+        .select(col("touch_type"), col("p_id"), col("cents"), col("rn"), col("n"))
+      val unattributed = purchases
+        .join(cand.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+        .select(lit("unattributed").as("touch_type"), col("p_id"), col("cents"),
+          lit(1).as("rn"), lit(1L).as("n"))
+      ranked.unionByName(unattributed)
+        .withColumn("first_cents", when(col("rn") === 1, col("cents")).otherwise(0L))
+        .withColumn("last_cents", when(col("rn") === col("n"), col("cents")).otherwise(0L))
+        .withColumn("linear_cents",
+          expr("cents div n + CASE WHEN rn = n THEN cents % n ELSE 0L END"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          sum(col("first_cents")).as("first_cents"),
+          sum(col("last_cents")).as("last_cents"),
+          sum(col("linear_cents")).as("linear_cents"))
+        .orderBy(col("touch_type"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value FROM events
+            ), p AS (
+              SELECT user_id, event_id AS p_id, us AS p_us,
+                CAST(floor(value * 100) AS BIGINT) AS cents
+              FROM e WHERE event_type = 'purchase'
+            ), t AS (
+              SELECT user_id, event_type AS touch_type, event_id AS t_id, us AS t_us
+              FROM e WHERE event_type IN ('click', 'view')
+            ), cand AS (
+              SELECT t.touch_type, p.p_id, p.cents, t.t_us, t.t_id
+              FROM p JOIN t ON p.user_id = t.user_id
+                AND t.t_us >= p.p_us - 3600000000 AND t.t_us < p.p_us
+            ), ranked AS (
+              SELECT touch_type, p_id, cents,
+                row_number() OVER (PARTITION BY p_id ORDER BY t_us ASC, t_id ASC) AS rn,
+                count(*) OVER (PARTITION BY p_id) AS n
+              FROM cand
+            ), unattr AS (
+              SELECT 'unattributed' AS touch_type, p_id, cents, 1 AS rn, 1 AS n
+              FROM p WHERE p_id NOT IN (SELECT p_id FROM cand)
+            ), credits AS (
+              SELECT touch_type, p_id, cents, rn, n FROM ranked
+              UNION ALL
+              SELECT touch_type, p_id, cents, rn, n FROM unattr
+            )
+            SELECT touch_type,
+              count(*) AS n_touches,
+              count(DISTINCT p_id) AS n_purchases,
+              CAST(sum(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT) AS first_cents,
+              CAST(sum(CASE WHEN rn = n THEN cents ELSE 0 END) AS BIGINT) AS last_cents,
+              CAST(sum(cents // n + CASE WHEN rn = n THEN cents % n ELSE 0 END) AS BIGINT) AS linear_cents
+            FROM credits GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
-    gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes, w9Seasonal)
+    gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes, w9Seasonal,
+    w10Attribution)
 }
