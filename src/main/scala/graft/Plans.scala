@@ -65,7 +65,13 @@ object Plans {
     "t2_budget_enforce" -> "budgeted per-source jobs under watchdog-cancelled job groups",
     "s1_rest_fetch"     -> "live HTTP V2 scan: url-partitioned fetch, in-plan JSON + TIFF decode",
     "s1_request_urls"   -> "request construction: four URL families as codegen'd string exprs, one projection",
-    "e2e_collect_rest"  -> "full /collect with all inputs over HTTP: same plan as collect_full behind the fetch"
+    "e2e_collect_rest"  -> "full /collect with all inputs over HTTP: same plan as collect_full behind the fetch",
+    "a13_drift_tvd"     -> "drift census: <=20-bin partial agg + broadcast one-row totals — scan + tiny shuffle at any scale",
+    "j5_hamming_topk"   -> "1-bit ANN: sign-pack aggregate, broadcast probe row, TakeOrdered xor/popcount scan",
+    "w10_attribution"   -> "1h-lookback range join as (user, hour-bin) hash equi-join; per-purchase rank windows, no nested loop",
+    "a10_domain_cap"    -> "hard per-domain cap: seeded md5 shuffle rank within source, single window shuffle",
+    "a10_preference_pairs" -> "DPO pairing: lead() over (source, lang) rank — adjacent pairs, linear not quadratic",
+    "m6_cdc_native"     -> "CDC via native O(n) rolling-hash expression; per-doc lag-window chunk assembly"
   )
 
   def main(args: Array[String]): Unit = {

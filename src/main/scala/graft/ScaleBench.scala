@@ -38,7 +38,12 @@ object ScaleBench {
     "a10_contrastive_batches", "a10_importance_weights", "x28_span_dedup",
     // round-8 additions: the bigram-LM census (this round's cache fix),
     // SCD2 interval build, seasonal MAD cells, RAG packing
-    "x28_bigram_lm", "u5_scd2_history", "w9_seasonal_outliers", "e2e_rag_context")
+    "x28_bigram_lm", "u5_scd2_history", "w9_seasonal_outliers", "e2e_rag_context",
+    // round-8 second wave: attribution range join, 1-bit ANN pack+scan,
+    // drift/profile monitoring censuses, hard domain caps, DPO pairing,
+    // k-anonymity classes (CDC queries are doc-capped — no curve to read)
+    "w10_attribution", "j5_hamming_topk", "a13_drift_tvd", "a13_profile_card",
+    "a10_domain_cap", "a10_preference_pairs", "a10_k_anonymity")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

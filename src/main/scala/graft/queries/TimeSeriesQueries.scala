@@ -673,7 +673,54 @@ object TimeSeriesQueries {
             FROM credits GROUP BY 1 ORDER BY 1""")
   )
 
+  /** Cross-series co-movement census — do two event types rise and fall
+    * together hour-to-hour? The Pearson numerator n·Σxy − Σx·Σy over
+    * each type-pair's co-observed hourly counts, kept as EXACT integers
+    * (the full correlation needs two libm sqrts; the numerator alone
+    * already carries the sign and ordering of the relationship, which is
+    * what an alerting rule thresholds on). Pairs are ordered type_a <
+    * type_b; only hours where BOTH series have events count (inner
+    * join — absent-as-zero is a different estimator, documented choice).
+    *
+    * Scale shape: the hourly census collapses the corpus to a bounded
+    * (type × hour) table FIRST (map-side combinable), and the pair
+    * self-join runs on that census keyed by hour — never on events. At
+    * 100 TB the join input is |types|·|hours| rows regardless of event
+    * count. */
+  val w11Comovement = Q(
+    "w11_comovement",
+    "Pairwise co-movement of hourly event-type series: exact integer Pearson numerator n*Sxy - Sx*Sy per type pair over co-observed hours.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val a = hourly.select(col("event_type").as("type_a"), col("hour"), col("c").as("x"))
+      val b = hourly.select(col("event_type").as("type_b"), col("hour"), col("c").as("y"))
+      a.join(b, Seq("hour")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x")).as("sum_x"),
+          sum(col("y")).as("sum_y"))
+        .select(col("type_a"), col("type_b"), col("n_hours"),
+          (col("n_hours") * col("sum_xy") - col("sum_x") * col("sum_y")).as("cov_num"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""WITH hourly AS (
+              SELECT event_type, epoch_us(ts) // 3600000000 AS hour, count(*) AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+              count(*) AS n_hours,
+              CAST(count(*) * sum(a.c * b.c) - sum(a.c) * sum(b.c) AS BIGINT) AS cov_num
+            FROM hourly a JOIN hourly b
+              ON a.hour = b.hour AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
     gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes, w9Seasonal,
-    w10Attribution)
+    w10Attribution, w11Comovement)
 }
