@@ -131,5 +131,60 @@ object MonitorQueries {
             FROM ranked GROUP BY 1 ORDER BY 1""")
   )
 
-  def all: Seq[Q] = Seq(driftTvd, profileCard)
+  /** Trending terms — a13_drift_tvd at TOKEN granularity: which words
+    * gained the most corpus mass between the reference and current
+    * batches (even/odd doc_id halves again)? Each batch's token counts
+    * become ppm masses (integer-div, order-independent), and the rise
+    * score is the signed ppm delta; the result is the top-20 risers.
+    * This is the monitor that catches a new spam template or scraped
+    * domain changing the vocabulary before a quality metric moves.
+    *
+    * Scale shape: unlike the bin census, the token domain is UNBOUNDED —
+    * so the plan demonstrates the other monitoring discipline: one
+    * token census (map-side combinable), one single-row total broadcast,
+    * and a global top-k that plans as TakeOrderedAndProject — the
+    * full-ordering never materializes, output stays 20 rows at any
+    * corpus size. */
+  val trendingTerms = Q(
+    "a13_trending_terms",
+    "Token-level drift: per-batch ppm mass per token, top-20 by signed ppm rise (cur - ref) — TakeOrdered over an unbounded token domain.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = t.documents.select(
+        (col("doc_id") % 2 === 0).as("is_ref"),
+        explode(split(col("text"), " ")).as("tok"))
+      val perTok = toks.groupBy(col("tok")).agg(
+        count(when(col("is_ref"), 1)).as("c_ref"),
+        count(when(!col("is_ref"), 1)).as("c_cur"))
+      val totals = perTok.agg(sum(col("c_ref")).as("t_ref"), sum(col("c_cur")).as("t_cur"))
+      perTok.crossJoin(broadcast(totals))
+        .select(col("tok"),
+          expr("(c_ref * 1000000L) div t_ref").as("ref_ppm"),
+          expr("(c_cur * 1000000L) div t_cur").as("cur_ppm"))
+        .withColumn("rise_ppm", col("cur_ppm") - col("ref_ppm"))
+        .orderBy(col("rise_ppm").desc, col("tok").asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id % 2 = 0 AS is_ref,
+                unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), per_tok AS (
+              SELECT tok,
+                count(CASE WHEN is_ref THEN 1 END) AS c_ref,
+                count(CASE WHEN NOT is_ref THEN 1 END) AS c_cur
+              FROM toks GROUP BY 1
+            ), tot AS (
+              SELECT sum(c_ref) AS t_ref, sum(c_cur) AS t_cur FROM per_tok
+            ), ppm AS (
+              SELECT tok,
+                CAST((c_ref * 1000000) // t_ref AS BIGINT) AS ref_ppm,
+                CAST((c_cur * 1000000) // t_cur AS BIGINT) AS cur_ppm
+              FROM per_tok, tot
+            )
+            SELECT tok, ref_ppm, cur_ppm, cur_ppm - ref_ppm AS rise_ppm
+            FROM ppm ORDER BY rise_ppm DESC, tok ASC LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms)
 }

@@ -247,4 +247,47 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       s"expected the shortlist to broadcast:\n${p.take(2000)}")
   }
+
+  test("j5_hamming_topk: packed scan ends in TakeOrdered; the only nested loop is the 1-row probe") {
+    val p = plan("j5_hamming_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "Hamming top-k must plan as TakeOrdered, not a global sort")
+    // the probe is a broadcast single-row aggregate — exactly one
+    // nested-loop join is the accepted 1-row-crossJoin shape
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"expected only the 1-row probe broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_"),
+      "sign-packing aggregate lost its map-side combine")
+  }
+
+  test("w10_attribution: the lookback window joins hash-partitioned, never nested-loop") {
+    val p = plan("w10_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the 1h range join degraded to all-pairs — the time-bin equi key is load-bearing")
+    // bin joins + the SHARED p_id window exchange (rn and n partition
+    // alike) + distinct-rewritten census + anti-join dedup + final order
+    val shuffles = exchanges(p)
+    assert(shuffles <= 9,
+      s"attribution should need only bin-join + window + census exchanges, found $shuffles")
+  }
+
+  test("m6_cdc_native: boundary detection runs the native expression, not per-window md5") {
+    val df = QueryRegistry.queries("m6_cdc_native")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cdc_boundaries"),
+      "plan lost the native rolling-hash expression")
+    // md5 appears ONLY in chunk fingerprinting (one call per chunk), never
+    // in boundary detection (one call per position in the relational form)
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty && gens.forall(!_.generator.toString.contains("sequence")),
+      "native form must explode the boundary ARRAY, not a per-position sequence")
+  }
+
+  test("a13_trending_terms: unbounded token domain still ends in TakeOrdered, not a global sort") {
+    val p = plan("a13_trending_terms")
+    assert(p.contains("TakeOrderedAndProject"),
+      "trending terms must plan as TakeOrdered — a full order over the token domain is a scale bug")
+    assert(p.contains("partial_"), "token census lost its map-side combine")
+  }
 }
