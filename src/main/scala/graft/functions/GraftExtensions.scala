@@ -82,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
     ))
     ext.injectOptimizerRule(_ => FuseDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
