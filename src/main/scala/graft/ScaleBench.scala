@@ -43,7 +43,10 @@ object ScaleBench {
     // drift/profile monitoring censuses, hard domain caps, DPO pairing,
     // k-anonymity classes (CDC queries are doc-capped — no curve to read)
     "w10_attribution", "j5_hamming_topk", "a13_drift_tvd", "a13_profile_card",
-    "a10_domain_cap", "a10_preference_pairs", "a10_k_anonymity")
+    "a10_domain_cap", "a10_preference_pairs", "a10_k_anonymity",
+    // token-domain drift (unbounded census + TakeOrdered head) and the
+    // rank-filter query the TopK rewrite now lowers (heap vs sort curve)
+    "a13_trending_terms", "a7_latest_last")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -38,8 +38,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * valid) tied subset. A query that was deterministic before the
   * rewrite (total order — the engine's own convention: every registered
   * query tiebreaks explicitly) is row-identical after it; a query that
-  * relied on ties was never deterministic. Disable with
-  * `spark.graft.topk.rewrite=false` to fall back to WindowExec.
+  * relied on ties was never deterministic.
+  *
+  * DEFAULT OFF (`spark.graft.topk.rewrite=true` to enable), on
+  * measurement, not principle: with the rule on engine-wide the full
+  * oracle gate stays green (186/186 — the rewrite is semantically safe
+  * across the registry), but the sf0.1 bench moved the rank-filter-heavy
+  * j5 family 1.7-2.0× SLOWER (e.g. j5_pq_adc 0.78→1.46 s, j5_mmr_rerank
+  * 0.47→0.94 s): at fixture group sizes (tens to hundreds of rows per
+  * key) WindowExec's codegen'd sort beats the interpreted per-row heap
+  * updates on constant factors. The crossover is MEASURED
+  * (`graft.TopKBench`, 10M rows, scale/topk_crossover.json): sort wins
+  * 2.5× at 10 rows/key, parity at ~1,000 rows/key, heap wins 1.67× at
+  * 100k rows/key and 3.21× at 2.5M rows/key — the regime the operator
+  * documents, where the sort's O(n log n) and partition-sized spill
+  * surface are the job. Flip the flag (per session or per query) when
+  * groups are large; `o2_topk_custom` uses the operator explicitly
+  * either way.
   */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 
@@ -54,7 +69,7 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
   }
 
   private def enabled: Boolean =
-    conf.getConfString("spark.graft.topk.rewrite", "true").toBoolean
+    conf.getConfString("spark.graft.topk.rewrite", "false").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * refuse the rewrite. */
 class RewriteRankFilterSpec extends SparkSpecBase {
 
+  /** The rewrite is opt-in (default off on measured small-group constant
+    * factors — see the rule's scaladoc); every positive proof here runs
+    * with it enabled. */
+  private def withRule[T](on: Boolean)(body: => T): T = {
+    spark.conf.set("spark.graft.topk.rewrite", on.toString)
+    try body finally spark.conf.unset("spark.graft.topk.rewrite")
+  }
+
   private def sample: DataFrame = {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -26,8 +34,13 @@ class RewriteRankFilterSpec extends SparkSpecBase {
 
   private def exec(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  test("the window row_number idiom lowers to TopKPerKeyExec with no sort") {
+  test("the rewrite is off by default — stock plans keep WindowExec") {
     val p = exec(windowed(sample))
+    assert(!p.contains("TopKPerKey"), "default-off flag did not hold")
+  }
+
+  test("the window row_number idiom lowers to TopKPerKeyExec with no sort") {
+    val p = withRule(true) { exec(windowed(sample)) }
     assert(p.contains("TopKPerKey"), s"rewrite did not fire:\n${p.take(1500)}")
     assert(!p.contains("WindowExec") && !p.contains("Window "),
       s"WindowExec survived the rewrite:\n${p.take(1500)}")
@@ -37,10 +50,12 @@ class RewriteRankFilterSpec extends SparkSpecBase {
   test("rewritten results equal the WindowExec plan row-for-row on a total order") {
     val df = sample.cache()
     try {
-      val rewritten = windowed(df).collect().map(_.toString).sorted
-      spark.conf.set("spark.graft.topk.rewrite", "false")
-      val stock = try windowed(df).collect().map(_.toString).sorted
-      finally spark.conf.set("spark.graft.topk.rewrite", "true")
+      val rewritten = withRule(true) {
+        val d = windowed(df)
+        assert(exec(d).contains("TopKPerKey"), "rewrite did not fire on the comparison plan")
+        d.collect().map(_.toString).sorted
+      }
+      val stock = withRule(false) { windowed(df).collect().map(_.toString).sorted }
       assert(rewritten.sameElements(stock), "rewrite changed the result set")
     } finally df.unpersist()
   }
@@ -48,14 +63,18 @@ class RewriteRankFilterSpec extends SparkSpecBase {
   test("keeping the rank column refuses the rewrite") {
     val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)
     val df = sample.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-    assert(!exec(df.select(col("k"), col("rn"))).contains("TopKPerKey"),
-      "rewrite fired although the caller kept the rank")
+    withRule(true) {
+      assert(!exec(df.select(col("k"), col("rn"))).contains("TopKPerKey"),
+        "rewrite fired although the caller kept the rank")
+    }
   }
 
   test("rank() refuses the rewrite — ties may admit more than k rows") {
     val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
     val df = sample.withColumn("rn", rank().over(w)).filter(col("rn") <= 3).drop("rn")
-    assert(!exec(df).contains("TopKPerKey"), "rewrite fired on rank()")
+    withRule(true) {
+      assert(!exec(df).contains("TopKPerKey"), "rewrite fired on rank()")
+    }
   }
 
   test("a second window expression refuses the rewrite") {
@@ -64,15 +83,19 @@ class RewriteRankFilterSpec extends SparkSpecBase {
       .withColumn("rn", row_number().over(w))
       .withColumn("total", count(lit(1)).over(Window.partitionBy(col("k"))))
       .filter(col("rn") <= 3).drop("rn")
-    assert(!exec(df).contains("TopKPerKey"),
-      "rewrite fired although the Window computes more than the rank")
+    withRule(true) {
+      assert(!exec(df).contains("TopKPerKey"),
+        "rewrite fired although the Window computes more than the rank")
+    }
   }
 
   test("global top-k (no partition keys) lowers too") {
     val w = Window.orderBy(col("v").desc, col("id").asc)
     val df = sample.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
-    val p = exec(df)
-    assert(p.contains("TopKPerKey"), s"global form did not lower:\n${p.take(1500)}")
-    assert(df.count() == 5)
+    withRule(true) {
+      val p = exec(df)
+      assert(p.contains("TopKPerKey"), s"global form did not lower:\n${p.take(1500)}")
+      assert(df.count() == 5)
+    }
   }
 }
