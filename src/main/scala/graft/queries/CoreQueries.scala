@@ -632,5 +632,53 @@ object CoreQueries {
             FROM changes""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert, scd2History)
+  /** U6 ⊕ — right-to-be-forgotten erasure (the GDPR/CCPA deletion a
+    * lakehouse MUST support): given a deletion-request set (here the
+    * deterministic user_id % 10 = 3 cohort), produce the next snapshot
+    * WITHOUT those users' events and — the part naive DELETEs skip — an
+    * auditable per-user erasure manifest: rows purged, the purged
+    * data's time span, and an id-sum checksum, plus the global
+    * surviving-row count so purged + remaining provably equals the
+    * original corpus. The manifest is what a compliance audit reads;
+    * the snapshot rewrite is u4's one-anti-join CDC shape.
+    *
+    * Scale shape: the deletion set is a predicate here; as a table it
+    * would broadcast (requests ≪ corpus) into the same anti-join. One
+    * scan builds both the manifest (per-user aggregate over the purged
+    * slice) and the survivor census (single-row aggregate, broadcast
+    * back onto the ≤ |requests| manifest rows). Nothing driver-side. */
+  val forgetUsers = Q(
+    "u6_forget_users",
+    "GDPR erasure: purge the user_id % 10 = 3 cohort; per-user manifest (rows, us span, id-sum checksum) + global surviving count for the audit.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      val manifest = e.filter(col("user_id") % 10 === 3)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_purged"),
+          min(col("us")).as("first_us"),
+          max(col("us")).as("last_us"),
+          sum(col("event_id")).as("purged_id_sum"))
+      val remaining = e.filter(col("user_id") % 10 =!= 3)
+        .agg(count(lit(1)).as("n_remaining_total"))
+      manifest.crossJoin(broadcast(remaining)).orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+            ), manifest AS (
+              SELECT user_id, count(*) AS n_purged,
+                min(us) AS first_us, max(us) AS last_us,
+                CAST(sum(event_id) AS BIGINT) AS purged_id_sum
+              FROM e WHERE user_id % 10 = 3 GROUP BY 1
+            ), remaining AS (
+              SELECT count(*) AS n_remaining_total FROM e WHERE user_id % 10 <> 3
+            )
+            SELECT user_id, n_purged, first_us, last_us, purged_id_sum,
+              n_remaining_total
+            FROM manifest, remaining ORDER BY user_id""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers)
 }
