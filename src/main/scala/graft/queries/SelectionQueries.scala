@@ -252,6 +252,60 @@ object SelectionQueries {
             LIMIT 20""")
   )
 
+  /** Leave-one-out target encoding — the feature-prep op that turns a
+    * categorical column into a numeric feature without LABEL LEAKAGE:
+    * each row's encoding is the mean target of its (source, lang)
+    * category EXCLUDING the row itself ((Σ − own) div (n − 1)), so a
+    * model can't read its own label back out of the feature — the naive
+    * per-category mean does exactly that and inflates validation scores.
+    * Singleton categories fall back to the global mean (their LOO set is
+    * empty). Target here is n_chars; everything is exact integer
+    * arithmetic (sums, counts, integer div), so the oracle hash-matches.
+    *
+    * Scale shape: one category census (map-side combinable, bounded by
+    * |source|×|lang|), broadcast back onto the scan; the LOO subtraction
+    * is row-local — no window, no self-join, nothing per-row beyond the
+    * one broadcast probe. The global mean is a single-row broadcast. */
+  val targetEncode = Q(
+    "a10_target_encode",
+    "Leave-one-out target encoding of (source, lang) against n_chars: (sum - own) div (n - 1), singleton fallback to global mean, exact integers.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars").cast("long").as("y"))
+      val census = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cat_n"), sum(col("y")).as("cat_sum"))
+      val global = docs.agg(expr("sum(y) div count(1)").as("global_mean"))
+      docs
+        .join(broadcast(census), Seq("source", "lang"))
+        .crossJoin(broadcast(global))
+        .withColumn("loo_enc",
+          when(col("cat_n") > 1, expr("(cat_sum - y) div (cat_n - 1L)"))
+            .otherwise(col("global_mean")))
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("source"), col("lang"), col("y"), col("loo_enc"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, source, lang, n_chars AS y FROM documents
+            ), census AS (
+              SELECT source, lang, count(*) AS cat_n,
+                CAST(sum(y) AS BIGINT) AS cat_sum
+              FROM d GROUP BY 1, 2
+            ), g AS (
+              SELECT CAST(sum(y) // count(*) AS BIGINT) AS global_mean FROM d
+            )
+            SELECT doc_id, d.source, d.lang, y,
+              CASE WHEN cat_n > 1
+                THEN CAST((cat_sum - y) // (cat_n - 1) AS BIGINT)
+                ELSE global_mean END AS loo_enc
+            FROM d
+            JOIN census ON d.source = census.source AND d.lang = census.lang
+            CROSS JOIN g
+            WHERE doc_id < 20 ORDER BY doc_id""")
+  )
+
   def all: Seq[Q] =
-    Seq(importanceWeights, budgetSelect, curriculumOrder, preferencePairs)
+    Seq(importanceWeights, budgetSelect, curriculumOrder, preferencePairs,
+      targetEncode)
 }
