@@ -186,5 +186,64 @@ object MonitorQueries {
             FROM ppm ORDER BY rise_ppm DESC, tok ASC LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms)
+  /** Embedding-space drift — the vector-side companion to the text
+    * monitors: per label, how far did the batch centroid MOVE between
+    * the reference and current halves (even/odd vec_id)? Reported as
+    * the exact squared L2 distance between the two centroids in
+    * micro-unit integers. A retrained embedding model, a corrupted
+    * encoder, or a shifted upstream corpus all announce themselves here
+    * before any retrieval metric degrades.
+    *
+    * Exactness: values are fixed-pointed (floor·1e6) then OFFSET by
+    * +2e6 so every per-dim sum is non-negative — integer division
+    * truncation and floor agree on non-negatives, so Spark's `div` and
+    * DuckDB's `//` compute the same centroid (the offset cancels in the
+    * centroid difference up to that shared rounding). Labels must
+    * appear in both halves (guarded; true of the fixtures).
+    *
+    * Scale shape: one (label × 64-dim) census — bounded groups, map-side
+    * combinable — then a per-label rollup. Corpus size only changes the
+    * scan, never the state. */
+  val embeddingDrift = Q(
+    "a13_embedding_drift",
+    "Per-label centroid shift between vec_id-parity halves: exact micro-unit squared L2 between half-centroids over a bounded (label, dim) census.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dims = t.embeddings
+        .select(col("label"), (col("vec_id") % 2 === 0).as("is_ref"),
+          posexplode(expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000d) as long) + 2000000L)"))
+            .as(Seq("d", "v")))
+      val cent = dims.groupBy(col("label"), col("d")).agg(
+          sum(when(col("is_ref"), col("v"))).as("s_ref"),
+          count(when(col("is_ref"), 1)).as("n_ref"),
+          sum(when(!col("is_ref"), col("v"))).as("s_cur"),
+          count(when(!col("is_ref"), 1)).as("n_cur"))
+        .filter(col("n_ref") > 0 && col("n_cur") > 0)
+        .withColumn("diff", expr("s_ref div n_ref - s_cur div n_cur"))
+      cent.groupBy(col("label"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          sum(col("diff") * col("diff")).as("shift_l2sq_micro"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH dims AS (
+              SELECT label, vec_id % 2 = 0 AS is_ref, i - 1 AS d,
+                CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) + 2000000 AS v
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+            ), cent AS (
+              SELECT label, d,
+                CAST(sum(CASE WHEN is_ref THEN v END) AS BIGINT) AS s_ref,
+                count(CASE WHEN is_ref THEN 1 END) AS n_ref,
+                CAST(sum(CASE WHEN NOT is_ref THEN v END) AS BIGINT) AS s_cur,
+                count(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+              FROM dims GROUP BY 1, 2
+            ), diffs AS (
+              SELECT label, n_ref, n_cur, s_ref // n_ref - s_cur // n_cur AS diff
+              FROM cent WHERE n_ref > 0 AND n_cur > 0
+            )
+            SELECT label, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+              CAST(sum(diff * diff) AS BIGINT) AS shift_l2sq_micro
+            FROM diffs GROUP BY 1 ORDER BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift)
 }
