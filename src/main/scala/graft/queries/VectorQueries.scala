@@ -367,5 +367,123 @@ object VectorQueries {
             LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine, hammingTopK)
+  /** J5 ⊕ — the full production retrieval CASCADE, tiered coarse→fine
+    * exactly as a serving stack layers it (e.g. a FAISS binary-prefilter
+    * + IVFPQR deployment): the 1-bit Hamming tier (8 bytes/vector, xor +
+    * popcount) nominates 64 candidates per query; the PQ-ADC tier
+    * (8 bytes of codes + a broadcast LUT) re-scores ONLY those and keeps
+    * 16; the exact integer-L2 tier touches raw vectors for just that
+    * shortlist and emits the final top-3 — with all three ranks visible
+    * so the successive reorderings are auditable. Per query the raw
+    * corpus is touched 16 times regardless of corpus size; the
+    * compressed tiers are the only full scans, at ~1.6% of the raw
+    * bytes.
+    *
+    * Scale shape: tier 0 is a row-local xor/popcount scan against a
+    * 10-row broadcast; tier 1 restricts the codes scan to a broadcast
+    * 640-row candidate list before the LUT join; tier 2 is pqRefine's
+    * broadcast-fetch. Every tier's intermediate is bounded by
+    * |Q|×k, never by the corpus. */
+  val cascade = Q(
+    "j5_cascade",
+    "Tiered ANN cascade: 1-bit Hamming top-64 -> PQ-ADC top-16 -> exact integer L2 top-3 per query, all three ranks emitted.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.PqIndex
+      val t = Tables(s, dir)
+      val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+      // tier 0: 1-bit sign pack (two 32-bit words, as j5_hamming_topk)
+      val packed = t.embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("vec_id"))
+        .agg(
+          expr("sum(CASE WHEN pos < 32 AND e >= 0 THEN shiftleft(1L, int(pos)) ELSE 0L END)").as("lo"),
+          expr("sum(CASE WHEN pos >= 32 AND e >= 0 THEN shiftleft(1L, int(pos) - 32) ELSE 0L END)").as("hi"))
+      val hamQ = broadcast(packed.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("q_id"), col("lo").as("p_lo"), col("hi").as("p_hi")))
+      val wHam = Window.partitionBy(col("q_id"))
+        .orderBy(col("hd").asc, col("vec_id").asc)
+      val ham = packed.crossJoin(hamQ)
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("hd",
+          (bit_count(col("lo").bitwiseXOR(col("p_lo"))) +
+            bit_count(col("hi").bitwiseXOR(col("p_hi")))).cast("long"))
+        .withColumn("ham_rank", row_number().over(wHam))
+        .filter(col("ham_rank") <= 64)
+        .select(col("q_id"), col("vec_id"), col("ham_rank"))
+      // tier 1: ADC restricted to the Hamming survivors
+      val cw = PqIndex.codebook(q)
+      val codes = PqIndex.encode(q, cw)
+      val lut = broadcast(PqIndex.subVectors(q)
+        .filter(col("vec_id").between(450, 459))
+        .withColumnRenamed("vec_id", "lq_id")
+        .join(cw, "m")
+        .withColumn("d2", PqIndex.subDist2)
+        .select(col("lq_id"), col("m").as("lm"), col("cw_id"), col("d2")))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      val short = broadcast(ham).join(codes, "vec_id")
+        .join(lut, col("lm") === col("m") && col("cw_id") === col("code") &&
+          col("lq_id") === col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"), col("ham_rank"))
+        .agg(sum(col("d2")).as("adc_dist"))
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= 16)
+      // tier 2: exact integer L2 on the 16-row shortlist
+      val qvecs = broadcast(q.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("qq_id"), col("qe").as("q_vec")))
+      val wEx = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2_exact").asc, col("vec_id").asc)
+      broadcast(short).join(q, "vec_id")
+        .join(qvecs, col("qq_id") === col("q_id"))
+        .withColumn("d2_exact", aggregate(
+          zip_with(col("qe"), col("q_vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rank", row_number().over(wEx))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"), col("rank"),
+          col("d2_exact"), col("adc_rank"), col("ham_rank"))
+    },
+    Some(s"""WITH $adcCtes, packed AS (
+              SELECT vec_id,
+                CAST(sum(CASE WHEN i <= 32 AND embedding[i] >= 0
+                  THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+                CAST(sum(CASE WHEN i > 32 AND embedding[i] >= 0
+                  THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g2
+              GROUP BY vec_id
+            ), hamq AS (
+              SELECT vec_id AS q_id, lo AS p_lo, hi AS p_hi FROM packed
+              WHERE vec_id BETWEEN 450 AND 459
+            ), ham AS (
+              SELECT q_id, vec_id, ham_rank FROM (
+                SELECT hq.q_id, p.vec_id, row_number() OVER (
+                  PARTITION BY hq.q_id ORDER BY
+                    bit_count(xor(p.lo, hq.p_lo)) + bit_count(xor(p.hi, hq.p_hi)) ASC,
+                    p.vec_id ASC) AS ham_rank
+                FROM packed p, hamq hq WHERE p.vec_id <> hq.q_id)
+              WHERE ham_rank <= 64
+            ), shortl AS (
+              SELECT q_id, vec_id, ham_rank, adc_rank FROM (
+                SELECT h.q_id, h.vec_id, h.ham_rank, row_number() OVER (
+                  PARTITION BY h.q_id ORDER BY a.adc_dist ASC, h.vec_id ASC) AS adc_rank
+                FROM ham h JOIN adc a ON a.q_id = h.q_id AND a.vec_id = h.vec_id)
+              WHERE adc_rank <= 16
+            ), ex AS (
+              SELECT c.q_id, c.vec_id, c.ham_rank, c.adc_rank,
+                CAST(list_reduce(list_transform(generate_series(1, 64),
+                  i -> (qv.qe[i] - qq.qe[i]) * (qv.qe[i] - qq.qe[i])), (x, y) -> x + y)
+                  AS BIGINT) AS d2_exact
+              FROM shortl c
+              JOIN q qv ON qv.vec_id = c.vec_id
+              JOIN q qq ON qq.vec_id = c.q_id
+            )
+            SELECT q_id, vec_id, rank, d2_exact, adc_rank, ham_rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY d2_exact ASC, vec_id ASC) AS rank
+              FROM ex)
+            WHERE rank <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine, hammingTopK, cascade)
 }
