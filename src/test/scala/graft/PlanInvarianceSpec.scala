@@ -118,6 +118,12 @@ class PlanInvarianceSpec extends SparkSpecBase {
   private def firstLine(e: Throwable): String =
     Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString
   private def assertNoFailures(sweep: String): Unit = {
+    // Queries with internal .cache() blocks materialized them under this
+    // sweep's non-default confs (broadcasts off, 5 shuffle partitions,
+    // rewrite on); the cache manager would serve those plan fragments to
+    // LATER suites' plan-shape pins (observed: j5_ivf_probe's pin seeing
+    // the rewrite-on cached index). Drop them before handing back.
+    spark.catalog.clearCache()
     val fs = failures.toSeq
     failures.clear()
     assert(fs.isEmpty, s"${fs.size} queries failed the $sweep sweep:\n  " +
