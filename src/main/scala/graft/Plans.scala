@@ -71,7 +71,9 @@ object Plans {
     "w10_attribution"   -> "1h-lookback range join as (user, hour-bin) hash equi-join; per-purchase rank windows, no nested loop",
     "a10_domain_cap"    -> "hard per-domain cap: seeded md5 shuffle rank within source, single window shuffle",
     "a10_preference_pairs" -> "DPO pairing: lead() over (source, lang) rank — adjacent pairs, linear not quadratic",
-    "m6_cdc_native"     -> "CDC via native O(n) rolling-hash expression; per-doc lag-window chunk assembly"
+    "m6_cdc_native"     -> "CDC via native O(n) rolling-hash expression; per-doc lag-window chunk assembly",
+    "j5_cascade"        -> "tiered ANN: Hamming-64 -> ADC-16 -> exact-3; every tier's intermediate bounded by |Q|*k",
+    "a13_embedding_drift" -> "per-label centroid shift: bounded (label, dim) census, nothing corpus-sized after the scan"
   )
 
   def main(args: Array[String]): Unit = {
