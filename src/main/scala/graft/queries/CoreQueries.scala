@@ -680,5 +680,142 @@ object CoreQueries {
             FROM manifest, remaining ORDER BY user_id""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers)
+  /** U7 ⊕ — incremental materialized-view refresh: the maintenance
+    * pattern that makes a 100 TB daily roll-up affordable. The
+    * "materialized view" is the per-type (n, Σcents) partial-aggregate
+    * table over everything before the current day; the refresh merges
+    * the view with the SAME partial aggregate computed over ONLY the
+    * delta (today's events) — count and sum are commutative monoids, so
+    * view ⊎ delta == full recompute, and the refresh never rescans the
+    * base corpus. The emitted row keeps base/delta provenance next to
+    * the merged totals so the no-rescan claim is auditable.
+    *
+    * Cutoff is data-derived but deterministic: the UTC day boundary
+    * containing max(ts) (`max_us div 86400e6 · 86400e6`) — one tiny
+    * broadcast scalar, identical integer arithmetic in the oracle.
+    *
+    * Scale shape: two partial aggregates (each one shuffle on
+    * event_type — and at 100 TB the base one is a stored TABLE, not a
+    * scan), then a merge over ≤|types| rows via tagged union + re-agg
+    * (the relational spelling of the full-outer view⋈delta merge). */
+  val matviewRefresh = Q(
+    "u7_matview_refresh",
+    "Incremental matview refresh: per-type base partials (before the max-ts day) merged with delta partials (that day) — base_n/delta_n provenance + merged totals, exact integer cents.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      val cut = e.agg(expr("(max(us) div 86400000000) * 86400000000").as("c"))
+      val tagged = e.crossJoin(broadcast(cut))
+        .withColumn("is_base", when(col("us") < col("c"), 1L).otherwise(0L))
+      // Partial aggregate per (type, generation): this is the stored
+      // matview row (is_base=1) and the delta partial (is_base=0).
+      val partials = tagged.groupBy(col("event_type"), col("is_base"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      // The refresh merge: monoid-add the two generations per type.
+      partials.groupBy(col("event_type"))
+        .agg(
+          sum(when(col("is_base") === 1L, col("n")).otherwise(0L)).as("base_n"),
+          sum(when(col("is_base") === 0L, col("n")).otherwise(0L)).as("delta_n"),
+          sum(col("n")).as("total_n"),
+          sum(col("sc")).as("total_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (
+              SELECT event_type, epoch_us(ts) AS us,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), cut AS (
+              SELECT (max(us) // 86400000000) * 86400000000 AS c FROM e
+            )
+            SELECT event_type,
+              CAST(sum(CASE WHEN us < c THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+              CAST(sum(CASE WHEN us >= c THEN 1 ELSE 0 END) AS BIGINT) AS delta_n,
+              count(*) AS total_n,
+              CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM e, cut GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** U8 ⊕ — snapshot versioning + time travel: the lakehouse read face
+    * of u4/u6's snapshot writes. Two VERSIONS of the per-user
+    * latest-state table are materialized as real parquet snapshots —
+    * v0 as of the corpus time midpoint, v1 current — and the query
+    * reads BOTH version files back (that read IS time travel) and
+    * diffs them into a CDC census: which users appeared, which changed
+    * state, which held, per new state (Delta's `table_changes` /
+    * Iceberg's incremental read, reconstructed from plain versioned
+    * parquet).
+    *
+    * Scale shape: each version is a7's latest-per-group (one shuffle on
+    * user_id); the diff is a user_id equi-join of two co-keyed
+    * snapshots — with both snapshots bucketed by user_id at write time
+    * it would plan shuffle-free (s9_bucketed_join proves that path).
+    * The census output is ≤ 3·|types| rows. */
+  val timeTravel = Q(
+    "u8_time_travel",
+    "Snapshot time travel: materialize v0 (midpoint) / v1 (current) latest-state snapshots, read both versions back, diff into an insert/update/unchanged census per new state.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = s"${graft.ops.Fixtures.Root}/state_versions_${new java.io.File(dir).getName}"
+      val t = Tables(s, dir)
+      val e = t.events.select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      def latest(src: org.apache.spark.sql.DataFrame) = {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        src.withColumn("rn", row_number().over(byUser))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("state"))
+      }
+      def snap(v: Int): String = {
+        val path = s"$root/v$v"
+        if (!new java.io.File(path, "_SUCCESS").exists()) {
+          val src =
+            if (v == 1) e
+            else {
+              val cut = e.agg(expr("min(us) + (max(us) - min(us)) div 2").as("c"))
+              e.crossJoin(broadcast(cut)).filter(col("us") < col("c"))
+                .select(e.columns.map(col): _*)
+            }
+          latest(src).write.mode("overwrite").parquet(path)
+        }
+        path
+      }
+      val v0 = s.read.parquet(snap(0)).withColumnRenamed("state", "old_state")
+      val v1 = s.read.parquet(snap(1)).withColumnRenamed("state", "new_state")
+      v1.join(v0, Seq("user_id"), "left")
+        .withColumn("change_kind",
+          when(col("old_state").isNull, lit("insert"))
+            .when(col("old_state") =!= col("new_state"), lit("update"))
+            .otherwise(lit("unchanged")))
+        .groupBy(col("change_kind"), col("new_state"))
+        .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_sum"))
+        .orderBy(col("change_kind"), col("new_state"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+            ), cut AS (
+              SELECT min(us) + (max(us) - min(us)) // 2 AS c FROM e
+            ), v0 AS (
+              SELECT user_id, event_type AS old_state FROM (
+                SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                FROM e, cut WHERE us < c) WHERE rn = 1
+            ), v1 AS (
+              SELECT user_id, event_type AS new_state FROM (
+                SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+                FROM e) WHERE rn = 1
+            )
+            SELECT CASE WHEN v0.old_state IS NULL THEN 'insert'
+                        WHEN v0.old_state <> v1.new_state THEN 'update'
+                        ELSE 'unchanged' END AS change_kind,
+              v1.new_state, count(*) AS n_users,
+              CAST(sum(v1.user_id) AS BIGINT) AS user_sum
+            FROM v1 LEFT JOIN v0 ON v1.user_id = v0.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers, matviewRefresh, timeTravel)
 }

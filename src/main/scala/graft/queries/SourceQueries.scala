@@ -527,6 +527,60 @@ object SourceQueries {
             FROM d""")
   )
 
+  /** S9 ⊕ — schema evolution across parquet generations: at 100 TB a
+    * table's files were written over years by different pipeline
+    * versions, so "the schema" is a merge. Generation 1 (even
+    * event_ids) is written WITHOUT the later `cents` column; generation
+    * 2 (odd event_ids) adds it. One `mergeSchema` read reconciles both
+    * under the partition-discovered `gen` column, old files surface the
+    * evolved column as NULL, and the census proves: the legacy column
+    * (`value`) still aggregates across generations while the evolved
+    * column is exactly as populated as its generation.
+    *
+    * Scale note: mergeSchema's footer-merge pass is a file-listing-time
+    * cost (and on a real estate you'd pin the merged schema in a
+    * catalog instead of re-deriving it per query); the scan itself
+    * stays columnar with pruning/pushdown intact — PlanShapeSpec-class
+    * properties are unchanged by evolution. */
+  val schemaEvolution = Q(
+    "s9_schema_evolution",
+    "Schema evolution: two parquet generations (gen=2 adds a cents column) read as one mergeSchema scan; per-generation null/total census over old + evolved columns.",
+    (s, dir) => {
+      val path = s"${graft.ops.Fixtures.Root}/events_evolved_${new java.io.File(dir).getName}"
+      val e = graft.Tables(s, dir).events
+      def gen(n: Int): Unit = {
+        val p = s"$path/gen=$n"
+        if (!new java.io.File(p, "_SUCCESS").exists()) {
+          val half = e.filter(col("event_id") % 2 === (n - 1))
+          val out =
+            if (n == 1) half.select(col("event_id"), col("user_id"), col("value"))
+            else half.select(col("event_id"), col("user_id"), col("value"),
+              expr("cast(round(value * 100) as long)").as("cents"))
+          out.write.mode("overwrite").parquet(p)
+        }
+      }
+      gen(1); gen(2)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_null_cents"),
+          sum(coalesce(col("cents"), lit(0L))).as("sum_cents"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("gen"))
+    },
+    Some("""WITH e AS (
+              SELECT event_id, value,
+                CAST(round(value * 100) AS BIGINT) AS cents,
+                CAST(1 + event_id % 2 AS INT) AS gen
+              FROM events
+            )
+            SELECT gen, count(*) AS n,
+              CAST(sum(CASE WHEN gen = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_cents,
+              CAST(sum(CASE WHEN gen = 2 THEN cents ELSE 0 END) AS BIGINT) AS sum_cents,
+              round(sum(value), 2) AS sum_value
+            FROM e GROUP BY 1 ORDER BY 1""")
+  )
+
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
-    zorder, compactionPlan, bucketedJoin, restFetch, requestUrls)
+    zorder, compactionPlan, bucketedJoin, restFetch, requestUrls, schemaEvolution)
 }

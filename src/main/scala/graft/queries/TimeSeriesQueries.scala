@@ -180,6 +180,40 @@ object TimeSeriesQueries {
             FROM sess GROUP BY user_id, session_id""")
   )
 
+  /** W3 hopping variant — overlapping (sliding) event-time windows: a
+    * 1-hour window hopping every 15 minutes, so each event lands in
+    * exactly 4 windows. The third windowing kind next to tumbling and
+    * session — the shape behind "rolling last-hour rate refreshed every
+    * 15 min" dashboards. Spark expands the row to its 4 windows BEFORE
+    * the aggregate (Expand + hash agg — still one shuffle, no window
+    * state); the oracle derives the same membership relationally: the
+    * window starts covering ts are floor15(ts) − k·15min for k=0..3.
+    *
+    * Scale shape: the 4× row expansion happens map-side inside Expand
+    * and immediately partial-aggregates into (win, type) cells — the
+    * shuffled volume is the CELL count (time-range/15min × types), not
+    * 4× the corpus. Sum is exact integer cents. */
+  val w3Hopping = Q(
+    "w3_hopping",
+    "Hopping event-time windows (1h width, 15min hop) per event_type: each event in exactly 4 windows; count + exact integer-cents sum.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(col("ts"), col("event_type"),
+          expr("cast(round(value * 100) as long)").as("cents"))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+    },
+    Some("""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                - k * INTERVAL '15 minutes' AS win_start,
+              event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events, (SELECT unnest([0,1,2,3]) AS k)
+            GROUP BY 1, 2""")
+  )
+
   /** W2 depth — value-RANGE window frame: the rolling-hour sum is bounded
     * by the ORDER BY value (epoch seconds), not a row count — rows outside
     * the hour fall out of the frame regardless of event density. The frame
@@ -720,7 +754,7 @@ object TimeSeriesQueries {
             GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session,
+  def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session, w3Hopping,
     gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes, w9Seasonal,
     w10Attribution, w11Comovement)
 }

@@ -75,6 +75,39 @@ object EventStreamPipeline {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"))
 
+  /** W3 hopping variant — overlapping 1-hour windows hopping every 15
+    * minutes on the stream. Each event updates 4 window states; the
+    * watermark finalizes a window once event time passes its end + 1h,
+    * so state is bounded at ~4 open windows per (type) regardless of
+    * stream length. Identical logic to the batch `w3_hopping` query. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("event_type"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_cents"))
+
+  /** Streaming entry for hopping windows. */
+  def runHopping(spark: SparkSession, srcDir: String, sinkDir: String,
+                 checkpointDir: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(srcDir)
+    hoppingCounts(stream)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** Streaming entry for session windows. */
   def runSessionized(spark: SparkSession, srcDir: String, sinkDir: String,
                      checkpointDir: String): StreamingQuery = {

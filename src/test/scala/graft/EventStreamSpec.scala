@@ -92,6 +92,24 @@ class EventStreamSpec extends SparkSpecBase {
     assert(joined.filter(col("n_events") =!= col("b_n") || col("sum_value") =!= col("b_sum")).count() == 0)
   }
 
+  test("W3 hopping: streamed overlapping windows match batch on finalized windows") {
+    val sink = tmp("hop_sink")
+    val q = EventStreamPipeline.runHopping(spark, srcDir, sink, tmp("hop_ck"))
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    val streamed = spark.read.parquet(sink)
+    val batch = EventStreamPipeline.hoppingCounts(
+      Tables(spark, "/root/testdata/sf0.001").events)
+    val joined = streamed.join(
+      batch.withColumnRenamed("n", "b_n").withColumnRenamed("sum_cents", "b_sum"),
+      Seq("win_start", "event_type"), "left")
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("b_n").isNull).count() == 0) // nothing fabricated
+    assert(joined.filter(col("n") =!= col("b_n") || col("sum_cents") =!= col("b_sum")).count() == 0)
+    // each event contributes to 4 windows; the finalized bulk must show it
+    assert(streamed.count() >= batch.count() / 2)
+  }
+
   test("T5/W3: watermarked windowed stream equals the batch windowed aggregation") {
     val sink = tmp("win_sink")
     val q = EventStreamPipeline.runWindowed(spark, srcDir, sink, tmp("win_ck"))
