@@ -73,7 +73,11 @@ object Plans {
     "a10_preference_pairs" -> "DPO pairing: lead() over (source, lang) rank — adjacent pairs, linear not quadratic",
     "m6_cdc_native"     -> "CDC via native O(n) rolling-hash expression; per-doc lag-window chunk assembly",
     "j5_cascade"        -> "tiered ANN: Hamming-64 -> ADC-16 -> exact-3; every tier's intermediate bounded by |Q|*k",
-    "a13_embedding_drift" -> "per-label centroid shift: bounded (label, dim) census, nothing corpus-sized after the scan"
+    "a13_embedding_drift" -> "per-label centroid shift: bounded (label, dim) census, nothing corpus-sized after the scan",
+    "w3_hopping"        -> "hopping windows: Expand to 4 windows map-side, partial agg before the one shuffle",
+    "u7_matview_refresh" -> "matview refresh: two partial aggs + <=|types|-row monoid merge, base never rescanned",
+    "u8_time_travel"    -> "time travel: two version-snapshot scans, user-keyed equi-join diff, census output",
+    "s9_schema_evolution" -> "mergeSchema scan over two generations: columnar read intact, partition-discovered gen key"
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,9 +34,31 @@ object Fixtures {
   val RasterIndexCsv = s"$TextDir/rasters_index.csv"
   val ModisJsonl = s"$TextDir/modis_subset.jsonl"
   val WeatherJsonl = s"$TextDir/weather_current.jsonl"
+  val IngestJsonl = s"$TextDir/ingest_mixed.jsonl"
 
   /** Bump when any generated content changes (stale-dir guard). */
-  private val Version = "v7"
+  private val Version = "v8"
+
+  /** Mixed-quality JSONL feed for the quarantine-ingest query: 200
+    * deterministic lines, every 17th-ish (i % 17 == 3) replaced by one
+    * of three SYNTACTICALLY invalid forms (truncated object, bare text,
+    * dangling comma) — never blank, so both engines see every line, and
+    * never valid-JSON-wrong-shape, so Spark's `_corrupt_record` capture
+    * and DuckDB's `json_valid` agree exactly on which lines quarantine. */
+  private[graft] def ingestJsonlContent: String = {
+    val lines = (0 until 200).map { i =>
+      if (i % 17 == 3) (i % 3) match {
+        case 0 => s"""{"id":$i,"v":"""
+        case 1 => s"not json line $i"
+        case _ => s"""{"id":$i,"""
+      }
+      else {
+        val cents = (i * 37) % 10000
+        s"""{"id":$i,"v":${cents / 100}.${f"${cents % 100}%02d"},"tag":"t${i % 5}"}"""
+      }
+    }
+    lines.mkString("", "\n", "\n")
+  }
 
   /** One golden coordinate (README.md:262-266) + its fixture parameters:
     * center-pixel product codes and the elevation field's base/amplitude
@@ -199,6 +221,7 @@ object Fixtures {
     writeText(RasterIndexCsv, rasterIndexCsvContent)
     writeText(ModisJsonl, modisJsonlContent)
     writeText(WeatherJsonl, weatherJsonlContent)
+    writeText(IngestJsonl, ingestJsonlContent)
     // The raster estate ships in the layouts real tiles actually use
     // (landfire_container.py:89-96 relies on rasterio for exactly this):
     // veg = LZW multi-strip, elev = deflate 16x16-tiled, fuel = legacy

@@ -305,7 +305,82 @@ object SelectionQueries {
             WHERE doc_id < 20 ORDER BY doc_id""")
   )
 
+  /** A10 ⊕ — length-bucketed batch packing: transformer training pads
+    * every sequence in a batch to the batch max, so batching in arrival
+    * order burns FLOPs on pad tokens while sorting by length before
+    * batching collapses the per-batch spread (the bucketing every
+    * serious pretraining loader does). This query prices both
+    * strategies on the same corpus: fixed batches of 32 within each of
+    * 8 deterministic shards, padded = Σ batch_count·batch_max, waste =
+    * (padded − useful)/padded in exact basis points. The emitted pair
+    * of rows IS the decision evidence: same docs, same batch count,
+    * strictly less padding under bucketing.
+    *
+    * Scale shape: the only windows are row_numbers PARTITIONED BY the
+    * shard key (on a cluster: the loader shard), never corpus-global;
+    * everything after is two bounded aggregates. */
+  val lengthBuckets = Q(
+    "a10_length_buckets",
+    "Length-bucketed batching: padding-waste basis points for arrival-order vs length-sorted batches of 32 within 8 shards — same corpus, same batch count, less pad.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("shard", col("doc_id") % 8)
+      def priced(strategy: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+        docs.withColumn("rn", row_number().over(w))
+          .withColumn("batch", expr("(rn - 1) div 32"))
+          .groupBy(col("shard"), col("batch"))
+          .agg(count(lit(1)).as("bn"), max(col("n_toks")).as("bmax"),
+            sum(col("n_toks")).as("bsum"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("bn") * col("bmax")).as("padded_tokens"),
+            sum(col("bsum")).as("useful_tokens"))
+          .withColumn("strategy", lit(strategy))
+      val arrival = priced("arrival",
+        Window.partitionBy(col("shard")).orderBy(col("doc_id")))
+      val bucketed = priced("length_bucketed",
+        Window.partitionBy(col("shard")).orderBy(col("n_toks"), col("doc_id")))
+      arrival.unionByName(bucketed)
+        .withColumn("waste_bp",
+          expr("(padded_tokens - useful_tokens) * 10000 div padded_tokens"))
+        .select(col("strategy"), col("n_batches"), col("padded_tokens"),
+          col("useful_tokens"), col("waste_bp"))
+        .orderBy(col("strategy"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                doc_id % 8 AS shard
+              FROM documents
+            ), ranked AS (
+              SELECT shard, n_toks,
+                (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1) // 32 AS b_arr,
+                (row_number() OVER (PARTITION BY shard ORDER BY n_toks, doc_id) - 1) // 32 AS b_len
+              FROM d
+            ), arr AS (
+              SELECT shard, b_arr AS batch, count(*) AS bn, max(n_toks) AS bmax,
+                sum(n_toks) AS bsum
+              FROM ranked GROUP BY 1, 2
+            ), lenb AS (
+              SELECT shard, b_len AS batch, count(*) AS bn, max(n_toks) AS bmax,
+                sum(n_toks) AS bsum
+              FROM ranked GROUP BY 1, 2
+            ), priced AS (
+              SELECT 'arrival' AS strategy, count(*) AS n_batches,
+                CAST(sum(bn * bmax) AS BIGINT) AS padded_tokens,
+                CAST(sum(bsum) AS BIGINT) AS useful_tokens
+              FROM arr
+              UNION ALL
+              SELECT 'length_bucketed', count(*),
+                CAST(sum(bn * bmax) AS BIGINT), CAST(sum(bsum) AS BIGINT)
+              FROM lenb
+            )
+            SELECT strategy, n_batches, padded_tokens, useful_tokens,
+              (padded_tokens - useful_tokens) * 10000 // padded_tokens AS waste_bp
+            FROM priced ORDER BY strategy""")
+  )
+
   def all: Seq[Q] =
     Seq(importanceWeights, budgetSelect, curriculumOrder, preferencePairs,
-      targetEncode)
+      targetEncode, lengthBuckets)
 }

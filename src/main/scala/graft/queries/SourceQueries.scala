@@ -527,6 +527,54 @@ object SourceQueries {
             FROM d""")
   )
 
+  /** S3 ⊕ — malformed-record quarantine ingest: at 100 TB of scraped
+    * JSONL some fraction of lines is always broken, and DROPping them
+    * silently (or failing the job) are both wrong — production ingest
+    * parses in PERMISSIVE mode and routes the raw bytes of unparseable
+    * records to a quarantine bucket for reprocessing. The staged feed
+    * plants three syntactically-invalid line forms among 188 good ones;
+    * Spark captures them via `columnNameOfCorruptRecord`, the oracle
+    * discriminates the SAME lines with `json_valid`, and the census
+    * carries a checksum per bucket (cents sum for parsed rows, raw line
+    * length sum for quarantined ones) so both the parse and the capture
+    * are value-verified, not just counted.
+    *
+    * Scale shape: one file scan, per-row parse, one ≤|tags|+1-group
+    * aggregate — embarrassingly parallel; the quarantine branch adds no
+    * shuffle, it's just another group. */
+  val jsonQuarantine = Q(
+    "s3_json_quarantine",
+    "Quarantine ingest: PERMISSIVE JSONL scan with _corrupt capture; per-tag census over parsed rows + a _quarantine bucket checksummed by raw line length.",
+    (s, _) => {
+      graft.ops.Fixtures.stage()
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType),
+        StructField("tag", StringType), StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(graft.ops.Fixtures.IngestJsonl)
+        .groupBy(when(col("_corrupt").isNotNull, lit("_quarantine"))
+          .otherwise(col("tag")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt").isNotNull, length(col("_corrupt")))
+            .otherwise(expr("cast(round(v * 100) as long)"))).as("checksum"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH l AS (
+              SELECT line FROM read_csv('${graft.ops.Fixtures.IngestJsonl}',
+                columns={'line': 'VARCHAR'}, delim='|', header=false, quote='')
+            )
+            SELECT CASE WHEN json_valid(line)
+                        THEN json_extract_string(line, '$$.tag')
+                        ELSE '_quarantine' END AS bucket,
+              count(*) AS n,
+              CAST(sum(CASE WHEN json_valid(line)
+                THEN CAST(round(CAST(json_extract_string(line, '$$.v') AS DOUBLE) * 100) AS BIGINT)
+                ELSE length(line) END) AS BIGINT) AS checksum
+            FROM l GROUP BY 1 ORDER BY 1""")
+  )
+
   /** S9 ⊕ — schema evolution across parquet generations: at 100 TB a
     * table's files were written over years by different pipeline
     * versions, so "the schema" is a merge. Generation 1 (even
@@ -582,5 +630,6 @@ object SourceQueries {
   )
 
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
-    zorder, compactionPlan, bucketedJoin, restFetch, requestUrls, schemaEvolution)
+    zorder, compactionPlan, bucketedJoin, restFetch, requestUrls, schemaEvolution,
+    jsonQuarantine)
 }
