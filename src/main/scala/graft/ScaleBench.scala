@@ -46,7 +46,12 @@ object ScaleBench {
     "a10_domain_cap", "a10_preference_pairs", "a10_k_anonymity",
     // token-domain drift (unbounded census + TakeOrdered head) and the
     // rank-filter query the TopK rewrite now lowers (heap vs sort curve)
-    "a13_trending_terms", "a7_latest_last")
+    "a13_trending_terms", "a7_latest_last",
+    // round-8 third wave: hopping-window Expand fan-out, matview-refresh
+    // partials merge, time-travel snapshot diff, length-bucket batch
+    // pricing (per-shard windows), Hamming-tier MRR eval
+    "w3_hopping", "u7_matview_refresh", "u8_time_travel",
+    "a10_length_buckets", "j5_mrr_eval")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

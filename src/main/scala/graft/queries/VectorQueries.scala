@@ -485,5 +485,106 @@ object VectorQueries {
             WHERE rank <= 3""")
   )
 
-  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine, hammingTopK, cascade)
+  /** J5 ⊕ — rank-position retrieval eval (MRR@10): j5_ivf_recall asks
+    * "did the ANN tier find the truth?"; this asks "how HIGH did it
+    * rank it?" — the metric that actually moves when a tier is tuned,
+    * because recall@k is blind to ordering inside the top k. Ground
+    * truth is the exact integer-L2 nearest neighbor per probe; the
+    * system under eval is the 1-bit Hamming tier's top-10; the
+    * reciprocal rank is exact integer micro-units (1e6 div rank, 0 on
+    * miss) so the mean over probes is oracle-stable — no double math
+    * anywhere. Emits per-probe rows (truth id, found rank with -1
+    * sentinel, rr) so individual failures are auditable, not just the
+    * aggregate.
+    *
+    * Scale shape: both sides are the established bounded plans (probe
+    * batch broadcast, window ranks per probe); the eval join touches
+    * ≤ |Q|·10 candidate rows. */
+  val mrrEval = Q(
+    "j5_mrr_eval",
+    "MRR@10 eval of the Hamming ANN tier vs exact integer-L2 truth: per-probe found-rank (-1 on miss) + reciprocal rank in exact micro-units.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+      val probes = broadcast(q.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("q_id"), col("qe").as("q_vec")))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+      val truth = q.join(probes, col("vec_id") =!= col("q_id"))
+        .withColumn("d2", aggregate(
+          zip_with(col("qe"), col("q_vec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), col("vec_id").as("truth_id"))
+      val packed = t.embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("vec_id"))
+        .agg(
+          expr("sum(CASE WHEN pos < 32 AND e >= 0 THEN shiftleft(1L, int(pos)) ELSE 0L END)").as("lo"),
+          expr("sum(CASE WHEN pos >= 32 AND e >= 0 THEN shiftleft(1L, int(pos) - 32) ELSE 0L END)").as("hi"))
+      val hamQ = broadcast(packed.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("h_qid"), col("lo").as("p_lo"), col("hi").as("p_hi")))
+      val wHam = Window.partitionBy(col("h_qid")).orderBy(col("hd").asc, col("vec_id").asc)
+      val ham10 = packed.crossJoin(hamQ)
+        .filter(col("vec_id") =!= col("h_qid"))
+        .withColumn("hd",
+          (bit_count(col("lo").bitwiseXOR(col("p_lo"))) +
+            bit_count(col("hi").bitwiseXOR(col("p_hi")))).cast("long"))
+        .withColumn("ham_rank", row_number().over(wHam))
+        .filter(col("ham_rank") <= 10)
+        .select(col("h_qid"), col("vec_id").as("h_vid"), col("ham_rank"))
+      truth.join(ham10,
+          col("q_id") === col("h_qid") && col("truth_id") === col("h_vid"), "left")
+        .select(col("q_id"), col("truth_id"),
+          coalesce(col("ham_rank").cast("long"), lit(-1L)).as("found_rank"))
+        .withColumn("rr_micro",
+          when(col("found_rank") > 0, expr("1000000 div found_rank")).otherwise(lit(0L)))
+        .orderBy(col("q_id"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+              FROM embeddings
+            ), probes AS (
+              SELECT vec_id AS q_id, qe AS q_vec FROM q WHERE vec_id BETWEEN 450 AND 459
+            ), truth AS (
+              SELECT q_id, vec_id AS truth_id FROM (
+                SELECT p.q_id, c.vec_id, row_number() OVER (PARTITION BY p.q_id ORDER BY
+                  list_reduce(list_transform(generate_series(1, 64),
+                    i -> (c.qe[i] - p.q_vec[i]) * (c.qe[i] - p.q_vec[i])), (x, y) -> x + y) ASC,
+                  c.vec_id ASC) AS rk
+                FROM q c, probes p WHERE c.vec_id <> p.q_id)
+              WHERE rk = 1
+            ), packed AS (
+              SELECT vec_id,
+                CAST(sum(CASE WHEN i <= 32 AND embedding[i] >= 0
+                  THEN (1::BIGINT << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+                CAST(sum(CASE WHEN i > 32 AND embedding[i] >= 0
+                  THEN (1::BIGINT << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+              FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+              GROUP BY vec_id
+            ), hamq AS (
+              SELECT vec_id AS q_id, lo AS p_lo, hi AS p_hi FROM packed
+              WHERE vec_id BETWEEN 450 AND 459
+            ), ham AS (
+              SELECT q_id, vec_id, ham_rank FROM (
+                SELECT hq.q_id, p.vec_id, row_number() OVER (
+                  PARTITION BY hq.q_id ORDER BY
+                    bit_count(xor(p.lo, hq.p_lo)) + bit_count(xor(p.hi, hq.p_hi)) ASC,
+                    p.vec_id ASC) AS ham_rank
+                FROM packed p, hamq hq WHERE p.vec_id <> hq.q_id)
+              WHERE ham_rank <= 10
+            )
+            SELECT t.q_id, t.truth_id,
+              CAST(coalesce(h.ham_rank, -1) AS BIGINT) AS found_rank,
+              CAST(CASE WHEN h.ham_rank IS NOT NULL
+                THEN 1000000 // h.ham_rank ELSE 0 END AS BIGINT) AS rr_micro
+            FROM truth t LEFT JOIN ham h ON h.q_id = t.q_id AND h.vec_id = t.truth_id
+            ORDER BY t.q_id""")
+  )
+
+  def all: Seq[Q] = Seq(kmeansIter, sq8, pqAdc, pqRefine, hammingTopK, cascade,
+    mrrEval)
 }

@@ -290,4 +290,44 @@ class PlanShapeSpec extends SparkSpecBase {
       "trending terms must plan as TakeOrdered — a full order over the token domain is a scale bug")
     assert(p.contains("partial_"), "token census lost its map-side combine")
   }
+
+  test("w3_hopping: the 4-window fan-out is an Expand with map-side partial aggregation") {
+    val p = plan("w3_hopping")
+    assert(p.contains("Expand"),
+      "hopping windows must plan the multi-window membership as Expand, not a join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "window cells must partial-aggregate before the shuffle — otherwise 4x corpus shuffles")
+  }
+
+  test("u7_matview_refresh: partials merge via hash aggregates; the only nested loop is the 1-row cutoff") {
+    val p = plan("u7_matview_refresh")
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nl <= 1, s"expected only the broadcast cutoff scalar, found $nl nested-loop joins")
+    assert(!p.contains("SortMergeJoin"),
+      "the view/delta merge must be the tagged-union re-aggregate, never a row join")
+    assert(p.contains("partial_sum"), "refresh partials lost their map-side combine")
+  }
+
+  test("u8_time_travel: the version diff is a keyed equi-join over two snapshot scans") {
+    val p = plan("u8_time_travel")
+    assert("Scan parquet".r.findAllIn(p).length >= 2,
+      "time travel must READ both version snapshots back from disk")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the v0/v1 diff must stay a user_id equi-join")
+  }
+
+  test("s9_schema_evolution: the merged scan stays columnar with the evolved column in ReadSchema") {
+    val p = plan("s9_schema_evolution")
+    assert(p.contains("cents"), "evolved column missing from the merged read schema")
+    assert(exchanges(p) <= 2, s"generation census should need one shuffle (+AQE read), got:\n${p.take(1500)}")
+  }
+
+  test("a10_length_buckets: every batching window is shard-partitioned, never corpus-global") {
+    val df = QueryRegistry.queries("a10_length_buckets")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-shard row_number windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned batching window would serialize the corpus through one task")
+  }
 }
