@@ -77,7 +77,11 @@ object Plans {
     "w3_hopping"        -> "hopping windows: Expand to 4 windows map-side, partial agg before the one shuffle",
     "u7_matview_refresh" -> "matview refresh: two partial aggs + <=|types|-row monoid merge, base never rescanned",
     "u8_time_travel"    -> "time travel: two version-snapshot scans, user-keyed equi-join diff, census output",
-    "s9_schema_evolution" -> "mergeSchema scan over two generations: columnar read intact, partition-discovered gen key"
+    "s9_schema_evolution" -> "mergeSchema scan over two generations: columnar read intact, partition-discovered gen key",
+    "s3_json_quarantine" -> "PERMISSIVE parse + corrupt capture: one scan, one bounded census, no shuffle blowup",
+    "a10_length_buckets" -> "batch pricing: shard-partitioned rank windows, two bounded aggregates",
+    "j5_mrr_eval"       -> "MRR eval: broadcast probes, per-probe window ranks, <=|Q|*10 eval join",
+    "a13_auc_score"     -> "AUC: per-value census, cumulative window over the bounded domain only"
   )
 
   def main(args: Array[String]): Unit = {

@@ -220,5 +220,52 @@ object AggQueries {
             FROM u""")
   )
 
-  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets, skewCensus)
+  /** A11 ⊕ — approximate query processing with error accounting: the
+    * interactive-dashboard move at 100 TB is to answer from a hashed
+    * sample and scale up — but an estimate without its measured error is
+    * a guess. The sample is a deterministic 1/8 hash slice (first md5
+    * hex char of the event id in 0..1 — the same engine-independent
+    * md5 membership the split/sample family uses, so the "sample" is
+    * reproducible on both engines and across runs, unlike TABLESAMPLE),
+    * the estimator is exact integer 8× scale-up, and the emitted row
+    * carries truth, estimate, and the exact basis-point error — the
+    * number that decides whether the sample rate is good enough to
+    * serve. At corpus scale the sample membership is a pushable
+    * row-local predicate: the full scan is paid once to build the truth
+    * here, but a production AQP serving path reads ONLY the sample
+    * partition/slice. */
+  val sampleEstimate = Q(
+    "a11_sample_estimate",
+    "AQP: deterministic md5 1/8-sample, exact integer 8x scale-up estimate of the corpus cents total, measured basis-point error vs truth.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(col("event_id"),
+        expr("cast(round(value * 100) as long)").as("cents"),
+        substring(md5(concat(lit("smp:"), col("event_id").cast("string"))), 1, 1)
+          .isin("0", "1").cast("long").as("in_sample"))
+      e.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("truth_cents"),
+          sum(col("in_sample")).as("n_sample"),
+          (sum(when(col("in_sample") === 1L, col("cents")).otherwise(0L)) * 8L)
+            .as("est_cents"))
+        .withColumn("err_bp",
+          expr("abs(est_cents - truth_cents) * 10000 div abs(truth_cents)"))
+    },
+    Some("""WITH e AS (
+              SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN substring(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 1)
+                  IN ('0', '1') THEN 1 ELSE 0 END AS in_sample
+              FROM events
+            ), agg AS (
+              SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS truth_cents,
+                CAST(sum(in_sample) AS BIGINT) AS n_sample,
+                CAST(sum(CASE WHEN in_sample = 1 THEN cents ELSE 0 END) * 8 AS BIGINT) AS est_cents
+              FROM e
+            )
+            SELECT n_rows, truth_cents, n_sample, est_cents,
+              abs(est_cents - truth_cents) * 10000 // abs(truth_cents) AS err_bp
+            FROM agg""")
+  )
+
+  def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets,
+    skewCensus, sampleEstimate)
 }

@@ -643,7 +643,60 @@ object CurationQueries {
             FROM cls GROUP BY 1 ORDER BY 1""")
   )
 
+  /** A10 ⊕ — data-constrained epoch accounting: a10_source_mixing says
+    * how many tokens of each source the target mixture WANTS; this asks
+    * whether each source can SUPPLY them, and at what repeat rate. For
+    * a 3×-corpus training budget apportioned by the sqrt-damped
+    * mixture, each source's requested/available ratio is its epoch
+    * count (exact integer micro-epochs); sources pushed past 4 epochs
+    * are flagged — the data-constrained-scaling regime (Muennighoff et
+    * al. 2023) where further repeats stop buying loss, i.e. the signal
+    * to go collect more of that source rather than upsample it again.
+    *
+    * Scale shape: one per-source token census, one tiny broadcast
+    * weight-sum, row-local arithmetic — ≤|sources| rows after the
+    * first aggregate. */
+  val epochBudget = Q(
+    "a10_epoch_budget",
+    "Epoch feasibility: sqrt-damped mixture apportions a 3x-corpus token budget; per-source requested/available micro-epochs with an over-4-epoch flag.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val per = t.documents
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("toks"))
+        .withColumn("w", floor(sqrt(col("toks").cast("double") * 1e6)).cast("long"))
+      val tot = per.agg(sum(col("w")).as("wsum"), sum(col("toks")).as("total_toks"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("requested", expr("(3 * total_toks * w) div wsum"))
+        .withColumn("epochs_micro", expr("requested * 1000000 div toks"))
+        .withColumn("over_cap",
+          when(col("epochs_micro") > 4000000L, 1L).otherwise(0L))
+        .select(col("source"), col("toks"), col("requested"),
+          col("epochs_micro"), col("over_cap"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH per AS (
+              SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+              FROM documents GROUP BY 1
+            ), w AS (
+              SELECT *, CAST(floor(sqrt(CAST(toks AS DOUBLE) * 1000000.0)) AS BIGINT) AS w
+              FROM per
+            ), t AS (
+              SELECT CAST(sum(w) AS BIGINT) AS wsum,
+                CAST(sum(toks) AS BIGINT) AS total_toks
+              FROM w
+            )
+            SELECT source, toks,
+              (3 * total_toks * w) // wsum AS requested,
+              ((3 * total_toks * w) // wsum) * 1000000 // toks AS epochs_micro,
+              CAST(CASE WHEN ((3 * total_toks * w) // wsum) * 1000000 // toks > 4000000
+                THEN 1 ELSE 0 END AS BIGINT) AS over_cap
+            FROM w, t ORDER BY source""")
+  )
+
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
-    sourceMixing, contrastiveBatches, domainCap, kAnonymity)
+    sourceMixing, contrastiveBatches, domainCap, kAnonymity, epochBudget)
 }

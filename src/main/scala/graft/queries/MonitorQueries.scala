@@ -245,5 +245,56 @@ object MonitorQueries {
             FROM diffs GROUP BY 1 ORDER BY 1""")
   )
 
-  def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift)
+  /** A13 ⊕ — threshold-free signal-quality eval (AUC): before a
+    * filtering pipeline trusts a score, it asks "does the score RANK
+    * the classes apart?" — AUC, the Mann–Whitney rank statistic, is
+    * that answer with no threshold baked in. Computed WITHOUT a
+    * corpus-global rank window: per score-value census (pc, nc), then
+    * pairs-won = Σ pc·(2·cumneg_below + nc) in doubled units so value
+    * ties contribute exactly ½ each — pure integers end to end, and the
+    * only unpartitioned window runs over the BOUNDED distinct-value
+    * domain, never corpus rows (the a10_budget_select discipline).
+    * Evaluated here: does doc length separate English from non-English
+    * (the kind of sanity probe run before using length in a lang-aware
+    * quality cascade). */
+  val aucScore = Q(
+    "a13_auc_score",
+    "Threshold-free AUC (Mann-Whitney, tie-exact doubled units) of n_chars as an is-English discriminator; value-domain census, exact basis points.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val census = t.documents
+        .select(col("n_chars"), (col("lang") === "en").cast("long").as("is_pos"))
+        .groupBy(col("n_chars"))
+        .agg(sum(col("is_pos")).as("pc"), sum(lit(1L) - col("is_pos")).as("nc"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census.withColumn("cumneg", coalesce(sum(col("nc")).over(w), lit(0L)))
+        .agg(sum(col("pc")).as("n_pos"), sum(col("nc")).as("n_neg"),
+          count(lit(1)).as("n_values"),
+          sum(col("pc") * (lit(2L) * col("cumneg") + col("nc"))).as("u2"))
+        .withColumn("auc_bp", expr("u2 * 10000 div (2 * n_pos * n_neg)"))
+        .select(col("n_pos"), col("n_neg"), col("n_values"), col("u2"),
+          col("auc_bp"))
+    },
+    Some("""WITH c AS (
+              SELECT n_chars,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+                CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nc
+              FROM documents GROUP BY 1
+            ), s AS (
+              SELECT *, coalesce(sum(nc) OVER (ORDER BY n_chars
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+              FROM c
+            )
+            SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+              CAST(sum(nc) AS BIGINT) AS n_neg,
+              count(*) AS n_values,
+              CAST(sum(pc * (2 * cumneg + nc)) AS BIGINT) AS u2,
+              CAST(sum(pc * (2 * cumneg + nc)) * 10000
+                // (2 * sum(pc) * sum(nc)) AS BIGINT) AS auc_bp
+            FROM s""")
+  )
+
+  def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift,
+    aucScore)
 }

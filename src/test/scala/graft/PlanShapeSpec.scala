@@ -322,6 +322,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges(p) <= 2, s"generation census should need one shuffle (+AQE read), got:\n${p.take(1500)}")
   }
 
+  test("a13_auc_score: the rank accumulation windows only the bounded value domain") {
+    val df = QueryRegistry.queries("a13_auc_score")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty, "expected the cumulative-negatives window")
+    for (w <- wins) {
+      val aggsBelow = w.collect { case a: Aggregate => a }
+      assert(aggsBelow.exists(_.groupingExpressions.exists(_.toString.contains("n_chars"))),
+        s"the AUC window must sit above the per-value census, not corpus rows:\n$w")
+    }
+  }
+
   test("a10_length_buckets: every batching window is shard-partitioned, never corpus-global") {
     val df = QueryRegistry.queries("a10_length_buckets")(spark, dir)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
