@@ -192,5 +192,75 @@ object GraphQueries {
             GROUP BY node ORDER BY n_tri DESC, node ASC LIMIT 10""")
   )
 
-  def all: Seq[Q] = Seq(syndicationRank, triangleCount)
+  /** A12 ⊕ — bounded-depth reachability via WITH RECURSIVE (new SQL
+    * surface in Spark 4): "how far does content propagate through the
+    * syndication network from src0, and in how many hops?" — BFS
+    * min-hop distances computed by the recursive CTE both engines now
+    * share, over the same shared-rare-5-gram edge set the PageRank
+    * query builds. The recursion is depth-capped at 4 (each recursive
+    * step is one join against the edge list) and the final GROUP BY
+    * min(hop) collapses path multiplicity into distances.
+    *
+    * Scale shape: each recursion level is one equi-join frontier-
+    * against-edges — the textbook distributed BFS. The depth cap bounds
+    * the level count; on an unbounded-diameter graph you'd switch to
+    * the pointer-jumping ConnectedComponents operator (log-diameter
+    * rounds), which this engine also ships — the recursive CTE is the
+    * SQL-surface face, the CC operator the 100 TB face. */
+  val reachability = Q(
+    "a12_reachability",
+    "Recursive-CTE BFS: min-hop distances from src0 through the shared-5-gram syndication graph, depth-capped at 4; WITH RECURSIVE on both engines.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents.createOrReplaceTempView("documents")
+      s.sql("""
+        WITH RECURSIVE reach(node, hop) AS (
+          SELECT 'src0', 0
+          UNION ALL
+          SELECT e.dst, r.hop + 1
+          FROM reach r
+          JOIN (
+            WITH spans AS (
+              SELECT DISTINCT source, g
+              FROM (SELECT source, split(text, ' ') AS w FROM documents
+                    WHERE size(split(text, ' ')) >= 5) d
+              LATERAL VIEW explode(transform(sequence(1, size(w) - 4),
+                i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                  element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4)))) AS g
+            ), gsrc AS (
+              SELECT g FROM spans GROUP BY g HAVING count(*) BETWEEN 2 AND 8
+            )
+            SELECT DISTINCT a.source AS src, b.source AS dst
+            FROM spans a JOIN gsrc USING (g) JOIN spans b USING (g)
+            WHERE a.source <> b.source
+          ) e ON e.src = r.node
+          WHERE r.hop < 4
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hops
+        FROM reach GROUP BY node ORDER BY node""")
+    },
+    Some("""WITH RECURSIVE toks AS (
+              SELECT source, string_split(text, ' ') AS w FROM documents
+            ), spans AS (
+              SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+              WHERE len(w) >= 5
+            ), gsrc AS (
+              SELECT g FROM spans GROUP BY g HAVING count(*) BETWEEN 2 AND 8
+            ), e AS (
+              SELECT DISTINCT a.source AS src, b.source AS dst
+              FROM spans a JOIN gsrc USING (g) JOIN spans b USING (g)
+              WHERE a.source <> b.source
+            ), reach(node, hop) AS (
+              SELECT 'src0', 0
+              UNION ALL
+              SELECT e.dst, r.hop + 1
+              FROM reach r JOIN e ON e.src = r.node
+              WHERE r.hop < 4
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hops
+            FROM reach GROUP BY node ORDER BY node""")
+  )
+
+  def all: Seq[Q] = Seq(syndicationRank, triangleCount, reachability)
 }

@@ -527,6 +527,51 @@ object SourceQueries {
             FROM d""")
   )
 
+  /** S9 ⊕ — row provenance (lineage): the incident-response query a
+    * 100 TB estate runs when a bad value surfaces — WHICH physical file
+    * did these rows come from? `input_file_name()` stamps every row
+    * with its source file at scan time (zero shuffle, a literal per
+    * task); the census per file (rows, users, exact cents) is the
+    * file-level manifest a quarantine/rewrite job is scoped by. The
+    * oracle reads the SAME staged files with DuckDB's `filename=true`,
+    * so the lineage values themselves are cross-engine-verified, not
+    * just the counts.
+    *
+    * The staged estate is the s9_partition_pruning sink (Hive-
+    * partitioned by event_type), so provenance crosses partition
+    * directories — file identity and partition identity are distinct
+    * lineage levels and both appear in the output. */
+  val rowProvenance = Q(
+    "s9_row_provenance",
+    "Row lineage: input_file_name stamps rows with their physical parquet file; per-file census (partition, rows, users, exact cents) oracled by DuckDB filename=true over the same files.",
+    (s, dir) => {
+      import graft.Tables
+      val path = s"${graft.ops.Fixtures.Root}/events_by_type_${new java.io.File(dir).getName}"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Tables(s, dir).events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+      }
+      s.read.parquet(path)
+        .select(
+          regexp_extract(input_file_name(), "[^/]+$", 0).as("file_name"),
+          regexp_extract(input_file_name(), "event_type=([^/]+)", 1).as("part"),
+          col("user_id"),
+          expr("cast(round(value * 100) as long)").as("cents"))
+        .groupBy(col("file_name"), col("part"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("file_name"))
+    },
+    Some(s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+              regexp_extract(filename, 'event_type=([^/]+)', 1) AS part,
+              count(*) AS n,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM read_parquet('${graft.ops.Fixtures.Root}/events_by_type_sf0.01/*/*.parquet',
+              filename=true)
+            GROUP BY 1, 2 ORDER BY 1""")
+  )
+
   /** S3 ⊕ — malformed-record quarantine ingest: at 100 TB of scraped
     * JSONL some fraction of lines is always broken, and DROPping them
     * silently (or failing the job) are both wrong — production ingest
@@ -631,5 +676,5 @@ object SourceQueries {
 
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
     zorder, compactionPlan, bucketedJoin, restFetch, requestUrls, schemaEvolution,
-    jsonQuarantine)
+    jsonQuarantine, rowProvenance)
 }
