@@ -81,7 +81,9 @@ object Plans {
     "s3_json_quarantine" -> "PERMISSIVE parse + corrupt capture: one scan, one bounded census, no shuffle blowup",
     "a10_length_buckets" -> "batch pricing: shard-partitioned rank windows, two bounded aggregates",
     "j5_mrr_eval"       -> "MRR eval: broadcast probes, per-probe window ranks, <=|Q|*10 eval join",
-    "a13_auc_score"     -> "AUC: per-value census, cumulative window over the bounded domain only"
+    "a13_auc_score"     -> "AUC: per-value census, cumulative window over the bounded domain only",
+    "a12_reachability"  -> "recursive-CTE BFS: cached edge table, one frontier equi-join per level (UnionLoop)",
+    "s9_row_provenance" -> "lineage: input_file_name stamped at scan, zero-shuffle file manifest census"
   )
 
   def main(args: Array[String]): Unit = {

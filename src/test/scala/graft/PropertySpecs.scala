@@ -3,6 +3,7 @@ package graft
 import graft.functions.{WelfordBuf, WelfordStats}
 import graft.ops.TiffCodec
 import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
 
 /** Property-based tests (SURVEY §5.3) — the algebraic laws the engine's
   * custom kernels rely on, checked over generated inputs rather than
@@ -171,5 +172,43 @@ object TokenizerProps extends Properties("Tokenizer") {
     Prop.forAll(genText) { t =>
       val expected = ws.findAllIn(t).map(w => (w.length + 3) / 4).sum
       pieces(t) == expected
+    }
+}
+
+object AucProps extends Properties("AucCensus") {
+  // Pure mirror of a13_auc_score's census formula: per-value (pc, nc)
+  // counts, cumulative negatives below, u2 = Σ pc·(2·cumneg + nc) —
+  // model-checked against the naive O(n²) Mann-Whitney pair count
+  // (2·wins + ties), including heavy-tie configurations the narrow
+  // value domain deliberately generates.
+  private val genData = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(0, 12), Gen.oneOf(true, false)))
+
+  property("census u2 equals naive pairwise 2*wins + ties") =
+    Prop.forAll(genData) { xs =>
+      val pos = xs.collect { case (v, true) => v }
+      val neg = xs.collect { case (v, false) => v }
+      (pos.nonEmpty && neg.nonEmpty) ==> {
+        val naive2U = pos.iterator.map { p =>
+          2L * neg.count(p > _) + neg.count(p == _)
+        }.sum
+        val values = xs.map(_._1).distinct.sorted
+        val pc = values.map(v => pos.count(_ == v).toLong)
+        val nc = values.map(v => neg.count(_ == v).toLong)
+        val cum = nc.scanLeft(0L)(_ + _) // cum(i) = negatives strictly below values(i)
+        val u2 = values.indices.map(i => pc(i) * (2 * cum(i) + nc(i))).sum
+        u2 == naive2U
+      }
+    }
+
+  property("auc is symmetric: swapping classes mirrors u2 around 2*n_pos*n_neg") =
+    Prop.forAll(genData) { xs =>
+      val pos = xs.collect { case (v, true) => v }
+      val neg = xs.collect { case (v, false) => v }
+      (pos.nonEmpty && neg.nonEmpty) ==> {
+        def u2(a: List[Int], b: List[Int]): Long =
+          a.iterator.map(p => 2L * b.count(p > _) + b.count(p == _)).sum
+        u2(pos, neg) + u2(neg, pos) == 2L * pos.size * neg.size
+      }
     }
 }
