@@ -83,7 +83,13 @@ object Plans {
     "j5_mrr_eval"       -> "MRR eval: broadcast probes, per-probe window ranks, <=|Q|*10 eval join",
     "a13_auc_score"     -> "AUC: per-value census, cumulative window over the bounded domain only",
     "a12_reachability"  -> "recursive-CTE BFS: cached edge table, one frontier equi-join per level (UnionLoop)",
-    "s9_row_provenance" -> "lineage: input_file_name stamped at scan, zero-shuffle file manifest census"
+    "s9_row_provenance" -> "lineage: input_file_name stamped at scan, zero-shuffle file manifest census",
+    "a12_association_rules" -> "Apriori conf/lift: one basket shuffle, row-local pairs, TakeOrdered top-20",
+    "a11_equidepth_bins" -> "equi-depth binning: one percentile boundary agg + broadcast comparison-sum, no ntile",
+    "a13_calibration_bins" -> "calibration/ECE: decile-bin census, windows over the 10-row bin domain only",
+    "f12_contract_checks" -> "contract gate: FK anti-joins, count-distinct uniqueness, 6 single-agg checks unioned",
+    "j5_matryoshka_probe" -> "MRL probe: one broadcast corpus pass, two rank windows on one q_id shuffle",
+    "a10_overlap_estimate" -> "HLL overlap: per-user flag census vs 3-sketch inclusion-exclusion, 1-row broadcast"
   )
 
   def main(args: Array[String]): Unit = {

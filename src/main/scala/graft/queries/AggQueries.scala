@@ -266,6 +266,60 @@ object AggQueries {
             FROM agg""")
   )
 
+  /** A11 extension — equi-depth (quantile) binning, the feature-binning
+    * pass a training pipeline runs before bucketized embeddings or
+    * monotonic-binned GBDT features. Two-pass shape, which is exactly
+    * how it's done at 100 TB: pass 1 computes the 9 interior decile
+    * boundaries as ONE exact-percentile aggregate (swap in the KLL/
+    * t-digest sketch at high cardinality); pass 2 broadcasts the 9
+    * boundaries and assigns each row its bin with a codegen'd
+    * comparison sum — no global sort, no ntile single-partition window,
+    * corpus touched exactly twice. Boundaries are rounded to whole
+    * cents so bin assignment is integer-vs-integer and immune to the
+    * engines' last-ulp interpolation differences. */
+  val equidepthBins = Q(
+    "a11_equidepth_bins",
+    "Equi-depth decile binning of order value: one exact-percentile boundary pass + broadcast comparison-sum assignment; per-bin count and cent bounds.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = t.orders
+        .select(expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+      val bexprs = (1 to 9).map(i =>
+        expr(s"cast(round(percentile(cents, 0.$i)) as long)").as(s"b$i"))
+      val bnds = cents.agg(bexprs.head, bexprs.tail: _*)
+      cents.crossJoin(broadcast(bnds))
+        .withColumn("bin",
+          (1 to 9).map(i => (col("cents") > col(s"b$i")).cast("long"))
+            .reduce(_ + _))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+            ), b AS (
+              SELECT CAST(round(quantile_cont(cents, 0.1)) AS BIGINT) AS b1,
+                     CAST(round(quantile_cont(cents, 0.2)) AS BIGINT) AS b2,
+                     CAST(round(quantile_cont(cents, 0.3)) AS BIGINT) AS b3,
+                     CAST(round(quantile_cont(cents, 0.4)) AS BIGINT) AS b4,
+                     CAST(round(quantile_cont(cents, 0.5)) AS BIGINT) AS b5,
+                     CAST(round(quantile_cont(cents, 0.6)) AS BIGINT) AS b6,
+                     CAST(round(quantile_cont(cents, 0.7)) AS BIGINT) AS b7,
+                     CAST(round(quantile_cont(cents, 0.8)) AS BIGINT) AS b8,
+                     CAST(round(quantile_cont(cents, 0.9)) AS BIGINT) AS b9
+              FROM c
+            )
+            SELECT CAST((cents > b1) AS BIGINT) + CAST((cents > b2) AS BIGINT)
+                 + CAST((cents > b3) AS BIGINT) + CAST((cents > b4) AS BIGINT)
+                 + CAST((cents > b5) AS BIGINT) + CAST((cents > b6) AS BIGINT)
+                 + CAST((cents > b7) AS BIGINT) + CAST((cents > b8) AS BIGINT)
+                 + CAST((cents > b9) AS BIGINT) AS bin,
+              count(*) AS n,
+              CAST(min(cents) AS BIGINT) AS lo_cents,
+              CAST(max(cents) AS BIGINT) AS hi_cents
+            FROM c, b GROUP BY 1""")
+  )
+
   def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets,
-    skewCensus, sampleEstimate)
+    skewCensus, sampleEstimate, equidepthBins)
 }

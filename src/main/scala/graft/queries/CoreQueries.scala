@@ -429,6 +429,78 @@ object CoreQueries {
             SELECT co_count, count(*) AS n_pairs FROM pairs GROUP BY co_count""")
   )
 
+  /** A12 extension — association-rule mining over the j8 baskets (the
+    * Apriori confidence/lift stage; reference has no rule mining — this
+    * is the curation-side "what co-occurs with what" census a corpus
+    * analyst runs). Directed rules ante→cons from the capped 2..6-item
+    * baskets: conf = co/sup(ante), lift = co·N/(sup(ante)·sup(cons)),
+    * both in exact integer micro-units so the two engines hash
+    * identically. Scale shape: ONE collect_set shuffle builds baskets
+    * (cached — it feeds supports, pairs, and the basket count), pair
+    * expansion is row-local C(k,2) under the cap, supports join on the
+    * part key (AQE broadcasts the smaller side), and the top-20 is a
+    * TakeOrdered with a total-order tie-break (lift, conf, ante, cons)
+    * so both engines pick the identical rule set. Support pruning
+    * (co ≥ 2) is what bounds the rule candidate set at 100 TB — the
+    * classic Apriori argument. */
+  val associationRules = Q(
+    "a12_association_rules",
+    "Association rules over capped baskets: directed confidence/lift in integer micro-units, support-pruned, deterministic top-20 TakeOrdered.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val baskets = items.groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .filter(size(col("ps")).between(2, 6))
+        .cache()
+      val kept = baskets.select(col("o"), explode(col("ps")).as("p"))
+      val sup = kept.groupBy(col("p")).agg(count(lit(1)).as("c"))
+      val nb = baskets.agg(count(lit(1)).as("n"))
+      val undirected = baskets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+          .as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("co"))
+      val directed = undirected.select(col("p1").as("ante"), col("p2").as("cons"), col("co"))
+        .unionAll(undirected.select(col("p2").as("ante"), col("p1").as("cons"), col("co")))
+        .filter(col("co") >= 2)
+      directed
+        .join(sup.select(col("p").as("ante"), col("c").as("ca")), "ante")
+        .join(sup.select(col("p").as("cons"), col("c").as("cc")), "cons")
+        .crossJoin(broadcast(nb))
+        .select(col("ante"), col("cons"), col("co"),
+          expr("co * 1000000 div ca").as("conf_micro"),
+          expr("co * n * 1000000 div (ca * cc)").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("conf_micro").desc, col("ante"), col("cons"))
+        .limit(20)
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), keep AS (
+              SELECT o FROM items GROUP BY o HAVING count(*) BETWEEN 2 AND 6
+            ), k AS (
+              SELECT items.* FROM items JOIN keep USING (o)
+            ), nb AS (
+              SELECT count(DISTINCT o) AS n FROM k
+            ), sup AS (
+              SELECT p, count(*) AS c FROM k GROUP BY p
+            ), pairs AS (
+              SELECT a.p AS ante, b.p AS cons, count(*) AS co
+              FROM k a JOIN k b ON a.o = b.o AND a.p <> b.p
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT ante, cons, CAST(co AS BIGINT) AS co,
+              CAST(co * 1000000 // sa.c AS BIGINT) AS conf_micro,
+              CAST(co * nb.n * 1000000 // (sa.c * sc.c) AS BIGINT) AS lift_micro
+            FROM pairs
+            JOIN sup sa ON pairs.ante = sa.p
+            JOIN sup sc ON pairs.cons = sc.p, nb
+            ORDER BY lift_micro DESC, conf_micro DESC, ante, cons LIMIT 20""")
+  )
+
   /** U4 — MERGE/upsert (the CDC-apply primitive): a change batch lands
     * on a snapshot keyed by doc_id — matched keys take the batch row
     * (update), unmatched batch keys insert, everything else carries
@@ -817,5 +889,5 @@ object CoreQueries {
             GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers, matviewRefresh, timeTravel)
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, associationRules, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers, matviewRefresh, timeTravel)
 }

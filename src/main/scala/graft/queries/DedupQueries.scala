@@ -714,6 +714,57 @@ object DedupQueries {
             WHERE b.is_batch""")
   )
 
+  /** A10 extension — cross-split distinct-overlap estimation via HLL
+    * inclusion-exclusion: |A∩B| ≈ hll(A) + hll(B) − hll(A∪B). The
+    * question "how many distinct users appear in BOTH corpora" is the
+    * train/test-contamination cardinality check, and at 100 TB the
+    * exact answer costs a full user-keyed shuffle while three mergeable
+    * HLL sketches cost one streaming pass — this query runs both and
+    * certifies the sketch against the truth. Exact side: one per-user
+    * groupBy building has-click/has-view flags (never a self-join);
+    * sketch side: three approx_count_distinct over the same single
+    * scan. Output pins the exact integers; the sketch lands inside a
+    * 15 %/±2 envelope (structural sanity, engine-portable — same
+    * discipline as a10_approx_distinct). */
+  val overlapEstimate = Q(
+    "a10_overlap_estimate",
+    "Distinct user overlap click∩view: exact flag census vs HLL inclusion-exclusion estimate with a bounded-error verdict.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type"))
+      val exact = e.groupBy(col("user_id"))
+        .agg(max((col("event_type") === "click").cast("long")).as("hc"),
+          max((col("event_type") === "view").cast("long")).as("hv"))
+        .agg(sum(col("hc")).as("n_click"), sum(col("hv")).as("n_view"),
+          sum(col("hc") * col("hv")).as("n_overlap"))
+      val sketch = e.agg(
+        approx_count_distinct(when(col("event_type") === "click", col("user_id")), 0.02).as("ac"),
+        approx_count_distinct(when(col("event_type") === "view", col("user_id")), 0.02).as("av"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"))
+      exact.crossJoin(broadcast(sketch))
+        .withColumn("est_overlap", col("ac") + col("av") - col("au"))
+        .withColumn("est_ok",
+          abs(col("est_overlap") - col("n_overlap")) <=
+            greatest(lit(2.0), col("n_overlap") * 0.15))
+        .select(col("n_click"), col("n_view"), col("n_overlap"), col("est_ok"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type FROM events
+              WHERE event_type IN ('click', 'view')
+            ), f AS (
+              SELECT user_id,
+                max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+                max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv
+              FROM e GROUP BY user_id
+            )
+            SELECT CAST(sum(hc) AS BIGINT) AS n_click,
+              CAST(sum(hv) AS BIGINT) AS n_view,
+              CAST(sum(hc * hv) AS BIGINT) AS n_overlap,
+              true AS est_ok
+            FROM f""")
+  )
+
   def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup,
-    dedupClusters, semDedup, minhashQuality, incremental)
+    dedupClusters, semDedup, minhashQuality, incremental, overlapEstimate)
 }

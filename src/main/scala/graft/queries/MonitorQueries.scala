@@ -295,6 +295,61 @@ object MonitorQueries {
             FROM s""")
   )
 
+  /** A13 extension — calibration reliability bins + expected calibration
+    * error (the companion to [[aucScore]]: AUC measures ranking, ECE
+    * measures whether predicted probabilities MEAN what they say —
+    * Naeini et al. 2015's binned estimator). The "model" is the same
+    * deterministic length-based is-English score the AUC probe ranks by,
+    * mapped to [0,1] micro-units: score = least(n_chars, 2000)/2000.
+    * Per decile bin: count, predicted-positive mass, observed positives,
+    * per-bin gap and the N-weighted ECE — all exact integers (micro-unit
+    * scores, basis-point gaps), so both engines hash identically.
+    * Scale shape: one map-side-combined groupBy on the 10-value bin key;
+    * the only windows run over the BOUNDED 10-row bin domain (the
+    * a13_auc_score discipline) — corpus rows are touched exactly once. */
+  val calibrationBins = Q(
+    "a13_calibration_bins",
+    "Calibration reliability diagram: decile bins of a deterministic [0,1] score, per-bin predicted-vs-observed gap and exact integer ECE in basis points.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(
+          expr("least(n_chars, 2000) * 500").as("score_micro"),
+          (col("lang") === "en").cast("long").as("is_pos"))
+        .withColumn("bin", least(expr("score_micro div 100000"), lit(9L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("score_micro")).as("pred_micro"),
+          sum(col("is_pos")).as("obs_pos"))
+        .withColumn("gap_bp",
+          expr("abs(pred_micro - obs_pos * 1000000) * 10000 div (n * 1000000)"))
+        .withColumn("tot_gap",
+          sum(abs(col("pred_micro") - col("obs_pos") * 1000000))
+            .over(Window.partitionBy()))
+        .withColumn("tot_n", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("ece_bp", expr("tot_gap * 10000 div (tot_n * 1000000)"))
+        .select(col("bin"), col("n"), col("pred_micro"), col("obs_pos"),
+          col("gap_bp"), col("ece_bp"))
+    },
+    Some("""WITH b AS (
+              SELECT least(least(n_chars, 2000) * 500 // 100000, 9) AS bin,
+                least(n_chars, 2000) * 500 AS score_micro,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+              FROM documents
+            ), g AS (
+              SELECT bin, count(*) AS n,
+                CAST(sum(score_micro) AS BIGINT) AS pred_micro,
+                CAST(sum(is_pos) AS BIGINT) AS obs_pos
+              FROM b GROUP BY bin
+            )
+            SELECT bin, n, pred_micro, obs_pos,
+              CAST(abs(pred_micro - obs_pos * 1000000) * 10000
+                // (n * 1000000) AS BIGINT) AS gap_bp,
+              CAST(sum(abs(pred_micro - obs_pos * 1000000)) OVER () * 10000
+                // (sum(n) OVER () * 1000000) AS BIGINT) AS ece_bp
+            FROM g""")
+  )
+
   def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift,
-    aucScore)
+    aucScore, calibrationBins)
 }

@@ -538,6 +538,71 @@ object SimilarityQueries {
             FROM scored GROUP BY 1""")
   )
 
+  /** J5 extension — matryoshka-truncation quality probe (Kusupati et al.
+    * 2022: MRL embeddings are trained so a PREFIX of the vector is itself
+    * a usable embedding). Recall@3 of 16-of-64-dim prefix-cosine ranking
+    * against the full-dim exact ranking, per probe query — the
+    * measurement that decides whether a deployment can ship the 4×
+    * cheaper truncated index. Plan shape: ONE broadcast-probe corpus
+    * scan computes both cosines, then two row_number windows over the
+    * SAME per-query partitioning (one shuffle, two sorts); the hit
+    * census is a per-query conditional sum — no second corpus pass, no
+    * self-join. At 100 TB the prefix ranking becomes the stored index
+    * (16-dim = 4× less RAM/IO) and this query is its offline QA gate. */
+  val matryoshkaProbe = Q(
+    "j5_matryoshka_probe",
+    "Matryoshka recall probe: recall@3 of 16-dim-prefix cosine vs full 64-dim exact ranking; one corpus pass, two windows on one shuffle.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val base = t.embeddings
+        .withColumn("head", slice(col("embedding"), 1, 16))
+        .withColumn("nrm", norm(col("embedding")))
+        .withColumn("hnrm", norm(col("head")))
+      val qs = broadcast(base.filter(col("vec_id").between(450, 459))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("head").as("q_head"), col("nrm").as("q_nrm"), col("hnrm").as("q_hnrm")))
+      val wFull = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+      val wHead = Window.partitionBy(col("q_id")).orderBy(col("hcos").desc, col("vec_id").asc)
+      qs.join(base, col("q_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .withColumn("hcos", dot(col("q_head"), col("head")) / (col("q_hnrm") * col("hnrm")))
+        .withColumn("rank", row_number().over(wFull))
+        .withColumn("hrank", row_number().over(wHead))
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("rank") <= 3 && col("hrank") <= 3, 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 3.0, 6))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding, embedding[1:16] AS head,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS nrm,
+                sqrt(list_reduce(list_transform(generate_series(1, 16),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)) AS hnrm
+              FROM embeddings
+            ), pairs AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                  k -> CAST(q.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS cos,
+                list_reduce(list_transform(generate_series(1, 16),
+                  k -> CAST(q.embedding[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.hnrm * e.hnrm) AS hcos
+              FROM n q JOIN n e ON q.vec_id BETWEEN 450 AND 459 AND q.vec_id <> e.vec_id
+            ), ranked AS (
+              SELECT q_id, vec_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank,
+                row_number() OVER (PARTITION BY q_id ORDER BY hcos DESC, vec_id ASC) AS hrank
+              FROM pairs
+            )
+            SELECT q_id,
+              CAST(sum(CASE WHEN rank <= 3 AND hrank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+              round(CAST(sum(CASE WHEN rank <= 3 AND hrank <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0, 6) AS recall
+            FROM ranked GROUP BY q_id""")
+  )
+
   def all: Seq[Q] = Seq(x29, topk, topkNative, lsh, ivf, ivfRecall, hardNegatives,
-    mmrRerank, labelSeparation)
+    mmrRerank, labelSeparation, matryoshkaProbe)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.2 — the reference's request-validation surface (F1–F7, F11)
@@ -292,5 +293,103 @@ object ValidateQueries {
                  AS t(id, source, data_type, quality_score, lat, lon)""")
   )
 
-  def all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f11)
+  /** F12 extension — the dbt-style data-contract gate over the star
+    * schema: referential integrity, key uniqueness, accepted values,
+    * numeric ranges, and non-null/non-empty — one census row per check.
+    * The fixtures are clean, so an "incoming batch" is derived with
+    * DETERMINISTIC planted violations (negated FK every 97th/103rd key,
+    * status 'X' every 89th order, +0.15 discount on every 101st order's
+    * first line, every 500th event duplicated) so all violation branches
+    * provably fire at every sf and both engines count them exactly.
+    *
+    * Scale shape: each check is one scan + one aggregate; the FK checks
+    * are anti-joins on the natural key (the orders side broadcasts when
+    * small, shuffles on the key otherwise — the same co-partitioning a
+    * 100 TB ingest gate would use), and uniqueness is count-minus-
+    * distinct, never a self-join. A failed gate at this layer is what
+    * keeps a bad batch OUT of the lake before any downstream operator
+    * sees it. */
+  val f12 = Q(
+    "f12_contract_checks",
+    "Data-contract gate: FK anti-joins, count-minus-distinct uniqueness, accepted values, range and not-null checks over a batch with planted violations.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ordersB = t.orders.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, -col("o_custkey"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 89 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      val lineitemB = t.lineitem.select(
+        when(col("l_orderkey") % 103 === 0, -col("l_orderkey"))
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        when(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1,
+          col("l_discount") + 0.15).otherwise(col("l_discount")).as("l_discount"))
+      val eventsB = t.events.select(col("event_id"))
+        .unionAll(t.events.select(col("event_id")).filter(col("event_id") % 500 === 0))
+
+      val fkLine = lineitemB
+        .join(t.orders.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_lineitem_orderkey").as("check"), col("n_violations"))
+      val fkCust = ordersB
+        .join(t.customer.select(col("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_orders_custkey").as("check"), col("n_violations"))
+      val uniq = eventsB
+        .agg((count(lit(1)) - count_distinct(col("event_id"))).as("n_violations"))
+        .select(lit("unique_event_id").as("check"), col("n_violations"))
+      val accepted = ordersB
+        .agg(sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("accepted_status").as("check"), col("n_violations"))
+      val range = lineitemB
+        .agg(sum(when(!col("l_discount").between(0.0, 0.1), 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("range_discount").as("check"), col("n_violations"))
+      val notNull = t.documents
+        .agg(sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("not_null_text").as("check"), col("n_violations"))
+
+      fkLine.unionAll(fkCust).unionAll(uniq).unionAll(accepted)
+        .unionAll(range).unionAll(notNull)
+        .withColumn("pass", col("n_violations") === 0L)
+    },
+    Some("""WITH orders_b AS (
+              SELECT o_orderkey,
+                CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+              FROM orders
+            ), lineitem_b AS (
+              SELECT CASE WHEN l_orderkey % 103 = 0 THEN -l_orderkey ELSE l_orderkey END AS l_orderkey,
+                CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1
+                     THEN l_discount + 0.15 ELSE l_discount END AS l_discount
+              FROM lineitem
+            ), events_b AS (
+              SELECT event_id FROM events
+              UNION ALL SELECT event_id FROM events WHERE event_id % 500 = 0
+            ), checks AS (
+              SELECT 'fk_lineitem_orderkey' AS check, CAST(count(*) AS BIGINT) AS n_violations
+              FROM lineitem_b l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 'fk_orders_custkey', CAST(count(*) AS BIGINT)
+              FROM orders_b ob ANTI JOIN customer c ON ob.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT 'unique_event_id', CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+              FROM events_b
+              UNION ALL
+              SELECT 'accepted_status',
+                CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders_b
+              UNION ALL
+              SELECT 'range_discount',
+                CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+              FROM lineitem_b
+              UNION ALL
+              SELECT 'not_null_text',
+                CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM documents
+            )
+            SELECT "check", n_violations, n_violations = 0 AS pass FROM checks""")
+  )
+
+  def all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f11, f12)
 }

@@ -344,4 +344,64 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(wins.forall(_.partitionSpec.nonEmpty),
       "an unpartitioned batching window would serialize the corpus through one task")
   }
+
+  test("a12_association_rules: top-20 is a bounded TakeOrdered, never a global sort") {
+    val p = plan("a12_association_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the rule top-20 must plan as TakeOrdered (bounded heap), not sort-all")
+    assert(!p.contains("CartesianProduct"),
+      "pair expansion must stay row-local over the capped baskets")
+  }
+
+  test("a11_equidepth_bins: no ntile window — boundary agg + broadcast comparison sum") {
+    val df = QueryRegistry.queries("a11_equidepth_bins")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty,
+      "equi-depth binning must be the two-pass boundary broadcast, never a global ntile window")
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the 1-row boundary broadcast may nested-loop")
+  }
+
+  test("a13_calibration_bins: the ECE windows run over the bounded bin domain only") {
+    val df = QueryRegistry.queries("a13_calibration_bins")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty, "expected the ECE total windows")
+    for (w <- wins) {
+      val aggsBelow = w.collect { case a: Aggregate => a }
+      assert(aggsBelow.exists(_.groupingExpressions.exists(_.toString.contains("bin"))),
+        s"the ECE window must sit above the 10-row bin census, not corpus rows:\n$w")
+    }
+  }
+
+  test("f12_contract_checks: FK checks are anti-joins; uniqueness is count-distinct, not a self-join") {
+    val p = plan("f12_contract_checks")
+    assert(p.contains("LeftAnti"), "referential-integrity checks must plan as anti-joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin(joinType=Inner"),
+      "the gate must never self-join a fact table")
+  }
+
+  test("j5_matryoshka_probe: one corpus pass — both rank windows share the q_id partitioning") {
+    val df = QueryRegistry.queries("j5_matryoshka_probe")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected the full-dim and prefix-dim rank windows, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "rank windows must partition by q_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1,
+      "exactly one broadcast probe-vs-corpus join; a second would mean a second corpus scan")
+  }
+
+  test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
+    val p = plan("a10_overlap_estimate")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the 1-row sketch frame may nested-loop against the exact census")
+    assert(p.contains("approx_count_distinct") || p.contains("HyperLogLog"),
+      "the sketch leg must plan the HLL aggregate")
+  }
 }
