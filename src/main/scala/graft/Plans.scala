@@ -89,7 +89,14 @@ object Plans {
     "a13_calibration_bins" -> "calibration/ECE: decile-bin census, windows over the 10-row bin domain only",
     "f12_contract_checks" -> "contract gate: FK anti-joins, count-distinct uniqueness, 6 single-agg checks unioned",
     "j5_matryoshka_probe" -> "MRL probe: one broadcast corpus pass, two rank windows on one q_id shuffle",
-    "a10_overlap_estimate" -> "HLL overlap: per-user flag census vs 3-sketch inclusion-exclusion, 1-row broadcast"
+    "a10_overlap_estimate" -> "HLL overlap: per-user flag census vs 3-sketch inclusion-exclusion, 1-row broadcast",
+    "j7_interval_union"  -> "gaps-and-islands: user-partitioned running-max windows, zero joins, bounded histogram",
+    "a11_join_size_sketch" -> "AMS F2: key census shuffle, x5 row-local explode, 320-cell + 5-row bounded aggs",
+    "x28_vocab_growth"  -> "Heaps curve: word-keyed min agg, cumulative window over the 20-chunk census only",
+    "x28_url_normalize" -> "URL canonicalization: codegen regexp chain, shuffle-free until the distinct census",
+    "a10_entity_resolution" -> "ER: blocking equi-join pairs, levenshtein gate on candidates only, CC closure",
+    "j6_leakage_audit"  -> "PIT audit: one user-keyed label x feature equi-join, per-type bounded census",
+    "a10_feature_hashing" -> "hashing trick: word-keyed distinct, md5 bucket census, join-free"
   )
 
   def main(args: Array[String]): Unit = {

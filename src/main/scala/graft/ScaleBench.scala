@@ -51,7 +51,13 @@ object ScaleBench {
     // partials merge, time-travel snapshot diff, length-bucket batch
     // pricing (per-shard windows), Hamming-tier MRR eval
     "w3_hopping", "u7_matview_refresh", "u8_time_travel",
-    "a10_length_buckets", "j5_mrr_eval")
+    "a10_length_buckets", "j5_mrr_eval",
+    // round-8 fourth/fifth waves: basket rule mining, BFS recursion,
+    // gaps-and-islands coverage, ER blocking+closure, PIT leakage join,
+    // AMS sketch census, matryoshka double-rank pass, Heaps census
+    "a12_association_rules", "a12_reachability", "j7_interval_union",
+    "a10_entity_resolution", "j6_leakage_audit", "a11_join_size_sketch",
+    "j5_matryoshka_probe", "x28_vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -320,6 +320,76 @@ object AggQueries {
             FROM c, b GROUP BY 1""")
   )
 
+  /** A11 extension — join-size estimation via the AMS/AGMS F2 sketch
+    * (Alon, Matias & Szegedy 1996; the tug-of-war sketch): the
+    * self-join size on l_partkey is F2 = Σ cnt(k)², the number a
+    * cost-based optimizer needs BEFORE planning the join, and at 100 TB
+    * the sketch answers it in one streaming pass of tiny mergeable
+    * state where the exact census costs a key shuffle. Five sign-hash
+    * rows × 64 buckets, bucket and sign drawn from DISJOINT md5 hex
+    * digits (a linear-congruential pair was tried first and
+    * systematically cancelled: with bucket and sign both linear in k,
+    * same-bucket keys get anti-correlated signs and the estimate
+    * collapsed to ~0.2× truth — the textbook pairwise-independence
+    * failure, kept here as a warning); the exact truth rides the same
+    * census and the output pins each row's estimate, the 5-row mean,
+    * and the realized basis-point error.
+    * Plan: one key census shuffle, a row-local ×5 explode, two bounded
+    * aggregates (320 sketch cells, then 5 rows) — nothing downstream of
+    * the census is corpus-sized. */
+  val joinSizeSketch = Q(
+    "a11_join_size_sketch",
+    "AMS F2 tug-of-war sketch vs exact self-join size on l_partkey: 5 sign rows x 64 buckets, exact integer estimate/mean/error output.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val census = t.lineitem.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val truth = census.agg(sum(col("cnt") * col("cnt")).as("truth_f2"))
+      val est = census
+        .select(col("l_partkey").as("k"), col("cnt"),
+          explode(sequence(lit(0), lit(4))).as("r"))
+        .withColumn("h", md5(concat(lit("ams:"), col("r").cast("string"),
+          lit(":"), col("k").cast("string"))))
+        .withColumn("bucket", expr("cast(conv(substring(h, 1, 2), 16, 10) as int) % 64"))
+        .withColumn("sign", expr("(cast(conv(substring(h, 3, 1), 16, 10) as int) % 2) * 2 - 1"))
+        .groupBy(col("r"), col("bucket"))
+        .agg(sum(col("sign") * col("cnt")).as("sb"))
+        .groupBy(col("r"))
+        .agg(sum(col("sb") * col("sb")).as("est_f2"))
+      est.crossJoin(broadcast(truth))
+        .withColumn("est_sum",
+          sum(col("est_f2")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("mean_est_f2", expr("est_sum div 5"))
+        .withColumn("err_bp", expr("abs(mean_est_f2 - truth_f2) * 10000 div truth_f2"))
+        .select(col("r").cast("long").as("r"), col("est_f2"), col("truth_f2"),
+          col("mean_est_f2"), col("err_bp"))
+    },
+    Some("""WITH census AS (
+              SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+            ), truth AS (
+              SELECT CAST(sum(cnt * cnt) AS BIGINT) AS truth_f2 FROM census
+            ), hx AS (
+              SELECT t.r, cnt,
+                md5('ams:' || CAST(t.r AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+              FROM census, generate_series(0, 4) AS t(r)
+            ), cells AS (
+              SELECT r,
+                ((strpos('0123456789abcdef', h[1]) - 1) * 16
+                 + (strpos('0123456789abcdef', h[2]) - 1)) % 64 AS bucket,
+                ((strpos('0123456789abcdef', h[3]) - 1) % 2) * 2 - 1 AS sign,
+                cnt
+              FROM hx
+            ), sk AS (
+              SELECT r, bucket, sum(sign * cnt) AS sb FROM cells GROUP BY 1, 2
+            ), est AS (
+              SELECT r, CAST(sum(sb * sb) AS BIGINT) AS est_f2 FROM sk GROUP BY 1
+            )
+            SELECT r, est_f2, truth_f2,
+              CAST(sum(est_f2) OVER () // 5 AS BIGINT) AS mean_est_f2,
+              CAST(abs(sum(est_f2) OVER () // 5 - truth_f2) * 10000
+                // truth_f2 AS BIGINT) AS err_bp
+            FROM est, truth""")
+  )
+
   def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets,
-    skewCensus, sampleEstimate, equidepthBins)
+    skewCensus, sampleEstimate, equidepthBins, joinSizeSketch)
 }

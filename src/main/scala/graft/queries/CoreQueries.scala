@@ -429,6 +429,126 @@ object CoreQueries {
             SELECT co_count, count(*) AS n_pairs FROM pairs GROUP BY co_count""")
   )
 
+  /** J6 extension — point-in-time-correctness audit, the leakage
+    * detector that justifies the as-of join ([[asofJoin]]): for every
+    * label (purchase event), how many same-user feature rows would a
+    * NAIVE user-keyed feature join include that sit at-or-after the
+    * label timestamp — i.e. future information a model trained on that
+    * join would silently exploit. A feature store built with j6's
+    * backward as-of join has zero such rows by construction; this
+    * census MEASURES the leak the naive join ships, per feature type,
+    * in exact basis points. Plan: one user-keyed equi-join (labels ×
+    * features, both from one scan), per-user pair counts bounded by
+    * per-user activity — the join a feature-backfill audit runs at
+    * 100 TB, partitioned on user_id. */
+  val leakageAudit = Q(
+    "j6_leakage_audit",
+    "Point-in-time audit: per feature type, share of naive-join feature rows at-or-after the label ts (the leakage an as-of join eliminates), exact basis points.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val e = t.events.select(col("user_id"), col("event_id"),
+        col("event_type"), expr("unix_micros(ts)").as("us"))
+      val labels = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("label_id"), col("us").as("lts"))
+      val feats = e.select(col("user_id"), col("event_id").as("feat_id"),
+        col("event_type").as("feat_type"), col("us").as("fts"))
+      labels.join(feats, "user_id")
+        .filter(col("feat_id") =!= col("label_id"))
+        .groupBy(col("feat_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("fts") >= col("lts")).cast("long")).as("n_leaked"))
+        .withColumn("leak_bp", expr("n_leaked * 10000 div n_pairs"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+            ), labels AS (
+              SELECT user_id, event_id AS label_id, us AS lts
+              FROM e WHERE event_type = 'purchase'
+            ), feats AS (
+              SELECT user_id, event_id AS feat_id, event_type AS feat_type, us AS fts
+              FROM e
+            )
+            SELECT feat_type, count(*) AS n_pairs,
+              CAST(sum(CASE WHEN fts >= lts THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+              CAST(sum(CASE WHEN fts >= lts THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS leak_bp
+            FROM labels JOIN feats USING (user_id)
+            WHERE feat_id <> label_id
+            GROUP BY feat_type""")
+  )
+
+  /** J7 extension — interval UNION (merged coverage), the other half of
+    * the interval algebra beside [[overlapJoin]]: per user, 30-minute
+    * activity intervals are merged into maximal islands (gaps-and-
+    * islands via a trailing running-max window) and total covered time
+    * is censused. This is billing/SLA "active time" and dataset
+    * "coverage window" computation. Every window is PARTITIONED by
+    * user_id with a full (start, event_id) tie-break order, so the plan
+    * is one user-keyed shuffle regardless of corpus size — the
+    * classic island detection that needs neither a self-join nor a
+    * global sort. Output is the bounded islands-per-user histogram with
+    * exact integer second sums. */
+  val intervalUnion = Q(
+    "j7_interval_union",
+    "Interval union via gaps-and-islands: per-user running-max window merges 30-min intervals; islands-per-user histogram with exact coverage seconds.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val iv = t.events
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(1800000000L))
+      val ord = Seq(col("s_us"), col("event_id"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.withColumn("prev_end", max(col("e_us")).over(wPrev))
+        .withColumn("new_island",
+          (col("prev_end").isNull || col("s_us") > col("prev_end")).cast("long"))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s_us")).as("is_start"), max(col("e_us")).as("is_end"),
+          count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("is_end") - col("is_start")).as("cov_us"),
+          sum(col("n_ev")).as("n_events"))
+        .groupBy(col("n_islands"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(cov_us) div 1000000").as("cov_sec_sum"),
+          sum(col("n_events")).as("n_events"))
+    },
+    Some("""WITH iv AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                epoch_us(ts) + 1800000000 AS e_us
+              FROM events
+            ), m AS (
+              SELECT *, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM iv
+            ), f AS (
+              SELECT *, CASE WHEN prev_end IS NULL OR s_us > prev_end
+                THEN 1 ELSE 0 END AS new_island
+              FROM m
+            ), g AS (
+              SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM f
+            ), isl AS (
+              SELECT user_id, island, min(s_us) AS is_start, max(e_us) AS is_end,
+                count(*) AS n_ev
+              FROM g GROUP BY 1, 2
+            ), u AS (
+              SELECT user_id, count(*) AS n_islands,
+                sum(is_end - is_start) AS cov_us, sum(n_ev) AS n_events
+              FROM isl GROUP BY 1
+            )
+            SELECT n_islands, count(*) AS n_users,
+              CAST(sum(cov_us) // 1000000 AS BIGINT) AS cov_sec_sum,
+              CAST(sum(n_events) AS BIGINT) AS n_events
+            FROM u GROUP BY 1""")
+  )
+
   /** A12 extension — association-rule mining over the j8 baskets (the
     * Apriori confidence/lift stage; reference has no rule mining — this
     * is the curation-side "what co-occurs with what" census a corpus
@@ -889,5 +1009,5 @@ object CoreQueries {
             GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, associationRules, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers, matviewRefresh, timeTravel)
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, associationRules, leakageAudit, intervalUnion, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers, matviewRefresh, timeTravel)
 }

@@ -696,7 +696,60 @@ object CurationQueries {
             FROM w, t ORDER BY source""")
   )
 
+  /** A10 extension — the hashing trick (Weinberger et al. 2009):
+    * vocabulary → fixed 4096-bucket feature space via md5, with the
+    * collision census that tells a featurizer whether the table is big
+    * enough. Per bucket: how many distinct word types landed there;
+    * output is the types-per-bucket histogram plus the implied
+    * empty-bucket row — the observed profile a Poisson(λ=V/4096) check
+    * reads directly. One word-keyed distinct + two bounded aggregates;
+    * the feature table never exists materially (that is the trick —
+    * at 100 TB the featurizer maps tokens to indices statelessly, and
+    * this census is the only global pass it ever needs). */
+  val featureHashing = Q(
+    "a10_feature_hashing",
+    "Hashing-trick collision census: distinct vocab -> md5 16-bit % 4096 buckets; types-per-bucket histogram incl. the empty-bucket count.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val types = t.documents
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+      val occupied = types
+        .withColumn("bucket",
+          expr("cast(conv(substring(md5(concat('fh:', w)), 1, 4), 16, 10) as int) % 4096"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_types"))
+        .groupBy(col("n_types")).agg(count(lit(1)).as("n_buckets"))
+        .cache() // bounded histogram, read twice (rows + empty-bucket row)
+      val empty = occupied
+        .agg((lit(4096L) - sum(col("n_buckets"))).as("n_buckets"))
+        .select(lit(0L).as("n_types"), col("n_buckets"))
+      occupied.select(col("n_types").cast("long").as("n_types"), col("n_buckets"))
+        .unionAll(empty)
+    },
+    Some("""WITH w AS (
+              SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w FROM documents
+            ), t AS (
+              SELECT w FROM w WHERE length(w) > 0
+            ), b AS (
+              SELECT ((strpos('0123456789abcdef', h[1]) - 1) * 4096
+                    + (strpos('0123456789abcdef', h[2]) - 1) * 256
+                    + (strpos('0123456789abcdef', h[3]) - 1) * 16
+                    + (strpos('0123456789abcdef', h[4]) - 1)) % 4096 AS bucket
+              FROM (SELECT md5('fh:' || w) AS h FROM t)
+            ), occ AS (
+              SELECT bucket, count(*) AS n_types FROM b GROUP BY 1
+            ), hist AS (
+              SELECT CAST(n_types AS BIGINT) AS n_types, count(*) AS n_buckets
+              FROM occ GROUP BY 1
+            )
+            SELECT n_types, n_buckets FROM hist
+            UNION ALL
+            SELECT 0, 4096 - CAST(sum(n_buckets) AS BIGINT) FROM hist""")
+  )
+
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
-    sourceMixing, contrastiveBatches, domainCap, kAnonymity, epochBudget)
+    sourceMixing, contrastiveBatches, domainCap, kAnonymity, epochBudget,
+    featureHashing)
 }

@@ -765,6 +765,67 @@ object DedupQueries {
             FROM f""")
   )
 
+  /** A10 extension — entity resolution, the record-linkage cousin of
+    * near-dup dedup: blocking key → candidate pairs → pairwise
+    * similarity gate → transitive closure. Records are derived
+    * deterministically from customer keys (12-hex-char md5 "names");
+    * every 2nd base gets a variant mutated at chars 9–10, every 4th a
+    * second variant mutated at 11–12 — the two variants sit at edit
+    * distance 4 from EACH OTHER (no direct edge at the ≤2 gate), so
+    * only transitive closure through the base merges the 3-record
+    * cluster: the census fails if ConnectedComponents shortcuts
+    * transitivity. Blocking on the first 6 (unmutated) name chars keeps
+    * the pair stage a hash equi-join bounded per block — never
+    * all-pairs — and the levenshtein gate runs only on candidates (the
+    * x28_fuzzy_match discipline). The oracle is fully INDEPENDENT: it
+    * derives the expected cluster census from the planting arithmetic
+    * alone, so blocking, gating, and closure are all validated against
+    * ground truth rather than a re-implementation. */
+  val entityResolution = Q(
+    "a10_entity_resolution",
+    "Entity resolution: md5-name records with planted variant chains, 6-char blocking join, levenshtein<=2 gate, connected-components closure; cluster-size census vs derivation-truth oracle.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.customer.select(col("c_custkey").cast("long").as("k"))
+        .withColumn("nm", substring(md5(concat(lit("ent:"), col("k").cast("string"))), 1, 12))
+      val r0 = base.select((col("k") * 10).as("rec_id"), col("nm").as("name"))
+      val r1 = base.filter(col("k") % 2 === 0)
+        .select((col("k") * 10 + 1).as("rec_id"),
+          concat(substring(col("nm"), 1, 8), lit("zz"), substring(col("nm"), 11, 2)).as("name"))
+      val r2 = base.filter(col("k") % 4 === 0)
+        .select((col("k") * 10 + 2).as("rec_id"),
+          concat(substring(col("nm"), 1, 10), lit("qq")).as("name"))
+      val recs = r0.unionAll(r1).unionAll(r2)
+        .withColumn("blk", substring(col("name"), 1, 6))
+        .cache()
+      val edges = recs.select(col("blk"), col("rec_id").as("src"), col("name").as("na"))
+        .join(recs.select(col("blk"), col("rec_id").as("dst"), col("name").as("nb")), "blk")
+        .filter(col("src") < col("dst") && levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("src"), col("dst"))
+      val labels = graft.ops.ConnectedComponents.resolve(edges)
+      recs.select(col("rec_id").as("node"))
+        .join(labels, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("min_member")).as("rep_sum"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+            ), cl AS (
+              SELECT k,
+                1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END
+                  + CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS n_members,
+                k * 10 AS min_member
+              FROM c
+            )
+            SELECT n_members, count(*) AS n_clusters,
+              CAST(sum(min_member) AS BIGINT) AS rep_sum
+            FROM cl GROUP BY 1""")
+  )
+
   def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup,
-    dedupClusters, semDedup, minhashQuality, incremental, overlapEstimate)
+    dedupClusters, semDedup, minhashQuality, incremental, overlapEstimate,
+    entityResolution)
 }

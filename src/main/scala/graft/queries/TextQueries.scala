@@ -880,7 +880,132 @@ object TextQueries {
             FROM scored CROSS JOIN tot GROUP BY 1""")
   )
 
+  /** X28 extension — Heaps-law vocabulary-growth curve: how fast does
+    * the type inventory grow as the corpus grows (the saturation signal
+    * that tells a data curator whether MORE of this source still buys
+    * new vocabulary, and a tokenizer trainer how vocab size should
+    * scale). The corpus is cut into 20 FIXED equal doc-id chunks
+    * (broadcast max-id → bounded chunk domain at every sf), each
+    * word's first-occurrence chunk is one word-keyed min-aggregate, and
+    * the cumulative window runs over ≤20 chunk rows — never corpus
+    * rows. Exact integer token/type counts end to end. */
+  val vocabGrowth = Q(
+    "x28_vocab_growth",
+    "Heaps-law curve: 20 fixed corpus chunks, per-chunk tokens + first-occurrence new types, cumulative vocabulary over the bounded chunk domain.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val mx = t.documents.agg(max(col("doc_id")).as("mx"))
+      val toks = t.documents.crossJoin(broadcast(mx))
+        .select(expr("cast(doc_id * 20 div (mx + 1) as long)").as("chunk"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val perChunk = toks.groupBy(col("chunk")).agg(count(lit(1)).as("n_tokens"))
+      val firstSeen = toks.groupBy(col("w")).agg(min(col("chunk")).as("chunk"))
+        .groupBy(col("chunk")).agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy(col("chunk")).rowsBetween(Window.unboundedPreceding, 0)
+      perChunk.join(firstSeen, Seq("chunk"), "left")
+        .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .select(col("chunk"), col("n_tokens"), col("new_types"), col("cum_types"))
+    },
+    Some("""WITH mx AS (
+              SELECT max(doc_id) AS mxid FROM documents
+            ), toks AS (
+              SELECT CAST(doc_id * 20 // (mxid + 1) AS BIGINT) AS chunk,
+                unnest(string_split(lower(text), ' ')) AS w
+              FROM documents, mx
+            ), tk AS (
+              SELECT chunk, w FROM toks WHERE length(w) > 0
+            ), pc AS (
+              SELECT chunk, count(*) AS n_tokens FROM tk GROUP BY 1
+            ), fs AS (
+              SELECT chunk, count(*) AS new_types FROM
+                (SELECT w, min(chunk) AS chunk FROM tk GROUP BY w) GROUP BY 1
+            )
+            SELECT pc.chunk, pc.n_tokens,
+              CAST(coalesce(fs.new_types, 0) AS BIGINT) AS new_types,
+              CAST(sum(coalesce(fs.new_types, 0)) OVER (ORDER BY pc.chunk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+            FROM pc LEFT JOIN fs ON pc.chunk = fs.chunk""")
+  )
+
+  /** X28 extension — URL canonicalization, the web-corpus dedup
+    * pre-pass: scheme/host lowercasing, default-port stripping,
+    * fragment removal, tracking-parameter (utm_*, ref) removal, and
+    * dangling-separator cleanup, then a per-source census proving the
+    * collapse (two planted raw variants per doc — one with :443 +
+    * mixed-case host + utm junk + fragment — normalize to ONE canonical
+    * form). Pure per-row regexp chains: codegen'd, shuffle-free until
+    * the final distinct census; the two engines implement the chain
+    * independently ($1 vs \1 backreference dialects) and must land on
+    * byte-identical canonical URLs to hash-match. At 100 TB this runs
+    * in the ingest map stage before any URL-keyed dedup shuffle. */
+  val urlNormalize = Q(
+    "x28_url_normalize",
+    "URL canonicalization: lowercase host, strip :443/fragment/utm params, cleanup; per-source census proves 2 raw variants collapse to 1 canonical.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rawA = t.documents.select(col("source"),
+        concat(lit("https://"), col("source"), lit(".Example.COM:443/Docs/"),
+          col("doc_id"), lit("?utm_source=feed&id="), col("doc_id"),
+          lit("&utm_campaign=x#sec1")).as("url"))
+      val rawB = t.documents.select(col("source"),
+        concat(lit("https://"), col("source"), lit(".example.com/Docs/"),
+          col("doc_id"), lit("?id="), col("doc_id")).as("url"))
+      val norm = rawA.unionAll(rawB)
+        .withColumn("u1", regexp_replace(col("url"), "#[^#]*$", ""))
+        .withColumn("u2", regexp_replace(col("u1"), "(utm_[a-z]+|ref)=[^&]*&?", ""))
+        .withColumn("u3", regexp_replace(col("u2"), "[?&]+$", ""))
+        .withColumn("u4", regexp_replace(col("u3"), "\\?&", "?"))
+        .withColumn("u5", regexp_replace(col("u4"), "^(https://[^/]+):443/", "$1/"))
+        .withColumn("norm_url",
+          concat(lower(regexp_extract(col("u5"), "^([a-z]+://[^/]+)", 1)),
+            regexp_replace(col("u5"), "^[a-z]+://[^/]+", "")))
+      norm.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_raw"),
+          count_distinct(col("url")).as("n_raw_distinct"),
+          count_distinct(col("norm_url")).as("n_norm_distinct"),
+          min(col("norm_url")).as("sample_norm"))
+    },
+    Some("""WITH rawu AS (
+              SELECT source,
+                'https://' || source || '.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR)
+                  || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                  || '&utm_campaign=x#sec1' AS url
+              FROM documents
+              UNION ALL
+              SELECT source,
+                'https://' || source || '.example.com/Docs/' || CAST(doc_id AS VARCHAR)
+                  || '?id=' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ), n AS (
+              SELECT source, url,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(url, '#[^#]*$', ''),
+                        '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                      '[?&]+$', ''),
+                    '\?&', '?'),
+                  '^(https://[^/]+):443/', '\1/') AS u5
+              FROM rawu
+            ), c AS (
+              SELECT source, url,
+                lower(regexp_extract(u5, '^([a-z]+://[^/]+)', 1))
+                  || regexp_replace(u5, '^[a-z]+://[^/]+', '') AS norm_url
+              FROM n
+            )
+            SELECT source, count(*) AS n_raw,
+              CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+              CAST(count(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
+              min(norm_url) AS sample_norm
+            FROM c GROUP BY source""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
-      bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch, bigramLm)
+      bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch, bigramLm, vocabGrowth,
+      urlNormalize)
 }

@@ -396,6 +396,72 @@ class PlanShapeSpec extends SparkSpecBase {
       "exactly one broadcast probe-vs-corpus join; a second would mean a second corpus scan")
   }
 
+  test("j7_interval_union: every island window is user-partitioned — no global sort, no self-join") {
+    val df = QueryRegistry.queries("j7_interval_union")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the running-max and island-sum windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned island window would serialize the corpus through one task")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "gaps-and-islands must not plan any join")
+  }
+
+  test("a11_join_size_sketch: the x5 sketch explode sits ABOVE the key census, never on corpus rows") {
+    val df = QueryRegistry.queries("a11_join_size_sketch")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected the sequence(0,4) explode")
+    for (g <- gens)
+      assert(g.collect { case a: Aggregate => a }.nonEmpty,
+        "the explode must expand the per-key census (bounded), not raw lineitem rows")
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the 1-row truth frame may nested-loop")
+  }
+
+  test("x28_vocab_growth: the cumulative window runs over the bounded chunk census") {
+    val df = QueryRegistry.queries("x28_vocab_growth")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty, "expected the cumulative-types window")
+    for (w <- wins)
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        "the Heaps curve window must sit above the 20-row chunk census, not token rows")
+  }
+
+  test("x28_url_normalize: pure map-stage regexp chain — no join, no window before the census") {
+    val df = QueryRegistry.queries("x28_url_normalize")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "URL canonicalization must not plan a join")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "URL canonicalization must not plan a window")
+  }
+
+  test("a10_entity_resolution: candidate pairs come from the blocking equi-join, never all-pairs") {
+    val df = QueryRegistry.queries("a10_entity_resolution")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "ER must block before pairing — an all-pairs compare is the scale bug ER exists to avoid")
+    assert(p.contains("blk"), "the pair join must key on the blocking column")
+    spark.catalog.clearCache() // recs/CC caches are query-local
+  }
+
+  test("j6_leakage_audit: one user-keyed equi-join, label/feature legs from one scan family") {
+    val p = plan("j6_leakage_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the naive-join audit must itself stay a user_id equi-join")
+  }
+
+  test("a10_feature_hashing: stateless hash featurization — no join in the census") {
+    val p = plan("a10_feature_hashing")
+    assert(!p.contains("Join"), "the hashing trick must not materialize a feature table join")
+    spark.catalog.clearCache()
+  }
+
   test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
     val p = plan("a10_overlap_estimate")
     assert(!p.contains("CartesianProduct"))
