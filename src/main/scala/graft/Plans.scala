@@ -96,7 +96,9 @@ object Plans {
     "x28_url_normalize" -> "URL canonicalization: codegen regexp chain, shuffle-free until the distinct census",
     "a10_entity_resolution" -> "ER: blocking equi-join pairs, levenshtein gate on candidates only, CC closure",
     "j6_leakage_audit"  -> "PIT audit: one user-keyed label x feature equi-join, per-type bounded census",
-    "a10_feature_hashing" -> "hashing trick: word-keyed distinct, md5 bucket census, join-free"
+    "a10_feature_hashing" -> "hashing trick: word-keyed distinct, md5 bucket census, join-free",
+    "u9_conflict_detect" -> "OCC: two doc_id-keyed left joins classify a/b/conflict, bounded census",
+    "x28_tfidf_sim"     -> "sparse cosine: df-capped 3-gram posting join, integer cos^2, TakeOrdered-20"
   )
 
   def main(args: Array[String]): Unit = {

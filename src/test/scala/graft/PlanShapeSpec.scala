@@ -462,6 +462,20 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("u9_conflict_detect: conflict classification is two keyed left joins, nothing quadratic") {
+    val p = plan("u9_conflict_detect")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "OCC conflict detection must stay doc_id equi-joins")
+  }
+
+  test("x28_tfidf_sim: posting-list equi-join with a TakeOrdered top-20, never all-pairs or sort-all") {
+    val p = plan("x28_tfidf_sim")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must plan as a bounded heap")
+    assert(!p.contains("CartesianProduct"),
+      "doc pairs must come from the shared-term posting join only")
+    spark.catalog.clearCache()
+  }
+
   test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
     val p = plan("a10_overlap_estimate")
     assert(!p.contains("CartesianProduct"))
