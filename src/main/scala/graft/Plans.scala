@@ -98,7 +98,9 @@ object Plans {
     "j6_leakage_audit"  -> "PIT audit: one user-keyed label x feature equi-join, per-type bounded census",
     "a10_feature_hashing" -> "hashing trick: word-keyed distinct, md5 bucket census, join-free",
     "u9_conflict_detect" -> "OCC: two doc_id-keyed left joins classify a/b/conflict, bounded census",
-    "x28_tfidf_sim"     -> "sparse cosine: df-capped 3-gram posting join, integer cos^2, TakeOrdered-20"
+    "x28_tfidf_sim"     -> "sparse cosine: df-capped 3-gram posting join, integer cos^2, TakeOrdered-20",
+    "a13_slo_burn_rate" -> "SLO burn: 30-min bucket census, trailing range windows over buckets only",
+    "a10_group_split"   -> "group vs row split: one scan, two hash columns, bounded leak censuses"
   )
 
   def main(args: Array[String]): Unit = {

@@ -748,8 +748,80 @@ object CurationQueries {
             SELECT 0, 4096 - CAST(sum(n_buckets) AS BIGINT) FROM hist""")
   )
 
+  /** A10 extension — group-aware splitting, the fix for the subtlest
+    * train/test leak: a ROW-hash split (a10_split_assign) scatters one
+    * source's near-identical documents across train AND test, so the
+    * model is evaluated on what it memorized. Grouped splitting hashes
+    * the GROUP key (source) so every group lands wholly in one split.
+    * This census runs BOTH policies side by side and measures the leak
+    * directly: under row-hash, how many sources span more than one
+    * split (every one is a leakage channel); under group-hash, the same
+    * count is provably zero. One scan, two hash columns, two bounded
+    * censuses — the group-split is no more expensive than the leaky
+    * one, which is the point. */
+  val groupSplit = Q(
+    "a10_group_split",
+    "Group-aware vs row-hash splitting: per-policy split sizes + count of sources spanning >1 split (the leakage channel), group policy provably 0.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hashed = t.documents.select(col("doc_id"), col("source"),
+        when(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+          .cast("int") < 58982, "train").otherwise("holdout").as("row_split"),
+        when(conv(substring(md5(concat(lit("gsplit:"), col("source"))), 1, 4), 16, 10)
+          .cast("int") < 58982, "train").otherwise("holdout").as("group_split"))
+      val rowLeak = hashed.groupBy(col("source"))
+        .agg(count_distinct(col("row_split")).as("nsp"))
+        .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaky_sources"))
+        .select(lit("row_hash").as("policy"), col("n_leaky_sources"))
+      val grpLeak = hashed.groupBy(col("source"))
+        .agg(count_distinct(col("group_split")).as("nsp"))
+        .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaky_sources"))
+        .select(lit("group_hash").as("policy"), col("n_leaky_sources"))
+      val rowSizes = hashed.groupBy(col("row_split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("row_hash").as("policy"), col("row_split").as("split"), col("n_docs"))
+      val grpSizes = hashed.groupBy(col("group_split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("group_hash").as("policy"), col("group_split").as("split"), col("n_docs"))
+      rowSizes.unionAll(grpSizes)
+        .join(rowLeak.unionAll(grpLeak), "policy")
+    },
+    Some("""WITH h AS (
+              SELECT doc_id, source,
+                CASE WHEN ((strpos('0123456789abcdef', r[1]) - 1) * 4096
+                         + (strpos('0123456789abcdef', r[2]) - 1) * 256
+                         + (strpos('0123456789abcdef', r[3]) - 1) * 16
+                         + (strpos('0123456789abcdef', r[4]) - 1)) < 58982
+                     THEN 'train' ELSE 'holdout' END AS row_split,
+                CASE WHEN ((strpos('0123456789abcdef', g[1]) - 1) * 4096
+                         + (strpos('0123456789abcdef', g[2]) - 1) * 256
+                         + (strpos('0123456789abcdef', g[3]) - 1) * 16
+                         + (strpos('0123456789abcdef', g[4]) - 1)) < 58982
+                     THEN 'train' ELSE 'holdout' END AS group_split
+              FROM (SELECT doc_id, source,
+                      md5('split:' || CAST(doc_id AS VARCHAR)) AS r,
+                      md5('gsplit:' || source) AS g
+                    FROM documents)
+            ), leak AS (
+              SELECT 'row_hash' AS policy,
+                CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_sources
+              FROM (SELECT source, count(DISTINCT row_split) AS nsp FROM h GROUP BY 1)
+              UNION ALL
+              SELECT 'group_hash',
+                CAST(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              FROM (SELECT source, count(DISTINCT group_split) AS nsp FROM h GROUP BY 1)
+            ), sizes AS (
+              SELECT 'row_hash' AS policy, row_split AS split, count(*) AS n_docs
+              FROM h GROUP BY 2
+              UNION ALL
+              SELECT 'group_hash', group_split, count(*) FROM h GROUP BY 2
+            )
+            SELECT sizes.policy, split, n_docs, n_leaky_sources
+            FROM sizes JOIN leak ON sizes.policy = leak.policy""")
+  )
+
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
     sourceMixing, contrastiveBatches, domainCap, kAnonymity, epochBudget,
-    featureHashing)
+    featureHashing, groupSplit)
 }

@@ -350,6 +350,57 @@ object MonitorQueries {
             FROM g""")
   )
 
+  /** A13 extension — SLO error-budget burn rate with the multiwindow
+    * alert rule (the SRE-workbook pager policy): error share per
+    * 30-minute bucket, trailing 6 h (12-bucket) and 30 min (1-bucket)
+    * burn rates against a 1 % error SLO, alert only when BOTH windows
+    * burn ≥ 6× — the long window proves budget is really being spent,
+    * the short window proves it is STILL being spent (no paging on a
+    * recovered blip). All rates are exact integer basis points
+    * (burn ≥ 6× SLO ⇔ rate ≥ 600 bp), and the only unpartitioned
+    * window runs over the BOUNDED time-bucket domain (buckets grow with
+    * wall-clock span, not data volume — at 100 TB/day this table is
+    * still 48 rows/day). One scan, one bucket census, two range
+    * windows. */
+  val sloBurnRate = Q(
+    "a13_slo_burn_rate",
+    "SLO burn rate: 30-min error-share buckets, trailing 6h + 30min burn vs a 1% target in exact bp, both-windows >=6x alert rule.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val buckets = t.events
+        .select(expr("unix_micros(ts) div 1800000000").as("bucket"),
+          (col("event_type") === "error").cast("long").as("is_err"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("is_err")).as("errs"))
+      val wLong = Window.orderBy(col("bucket")).rangeBetween(-11, 0)
+      buckets
+        .withColumn("n_long", sum(col("n")).over(wLong))
+        .withColumn("err_long", sum(col("errs")).over(wLong))
+        .withColumn("burn_long_bp", expr("err_long * 10000 div n_long"))
+        .withColumn("burn_short_bp", expr("errs * 10000 div n"))
+        .withColumn("alert", col("burn_long_bp") >= 600 && col("burn_short_bp") >= 600)
+        .select(col("bucket"), col("n"), col("errs"), col("n_long"), col("err_long"),
+          col("burn_long_bp"), col("burn_short_bp"), col("alert"))
+    },
+    Some("""WITH b AS (
+              SELECT epoch_us(ts) // 1800000000 AS bucket,
+                count(*) AS n,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+              FROM events GROUP BY 1
+            ), w AS (
+              SELECT *,
+                CAST(sum(n) OVER (ORDER BY bucket RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_long,
+                CAST(sum(errs) OVER (ORDER BY bucket RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS err_long
+              FROM b
+            )
+            SELECT bucket, n, errs, n_long, err_long,
+              CAST(err_long * 10000 // n_long AS BIGINT) AS burn_long_bp,
+              CAST(errs * 10000 // n AS BIGINT) AS burn_short_bp,
+              (err_long * 10000 // n_long >= 600 AND errs * 10000 // n >= 600) AS alert
+            FROM w""")
+  )
+
   def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift,
-    aucScore, calibrationBins)
+    aucScore, calibrationBins, sloBurnRate)
 }

@@ -476,6 +476,25 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("a13_slo_burn_rate: burn windows run over the bounded time-bucket census") {
+    val df = QueryRegistry.queries("a13_slo_burn_rate")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.nonEmpty, "expected the trailing-window burn sums")
+    for (w <- wins)
+      assert(w.collect { case a: Aggregate => a }.nonEmpty,
+        "burn windows must sit above the 30-min bucket census, not event rows")
+  }
+
+  test("a10_group_split: both split policies ride one scan; censuses are keyed aggregates") {
+    val p = plan("a10_group_split")
+    assert(!p.contains("CartesianProduct"))
+    assert("Scan parquet".r.findAllIn(p).length <= 4,
+      s"split comparison should reuse the documents scan, not fan out:\n${p.take(800)}")
+  }
+
   test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
     val p = plan("a10_overlap_estimate")
     assert(!p.contains("CartesianProduct"))
