@@ -100,7 +100,8 @@ object Plans {
     "u9_conflict_detect" -> "OCC: two doc_id-keyed left joins classify a/b/conflict, bounded census",
     "x28_tfidf_sim"     -> "sparse cosine: df-capped 3-gram posting join, integer cos^2, TakeOrdered-20",
     "a13_slo_burn_rate" -> "SLO burn: 30-min bucket census, trailing range windows over buckets only",
-    "a10_group_split"   -> "group vs row split: one scan, two hash columns, bounded leak censuses"
+    "a10_group_split"   -> "group vs row split: one scan, two hash columns, bounded leak censuses",
+    "s9_orc_roundtrip"  -> "ORC interchange: zstd sink, vectorized scan with pushed filter, exact census"
   )
 
   def main(args: Array[String]): Unit = {

@@ -577,15 +577,17 @@ object CoreQueries {
       val kept = baskets.select(col("o"), explode(col("ps")).as("p"))
       val sup = kept.groupBy(col("p")).agg(count(lit(1)).as("c"))
       val nb = baskets.agg(count(lit(1)).as("n"))
-      val undirected = baskets
+      // both rule directions are emitted ROW-LOCALLY at expansion time —
+      // a union of two selects over the pair aggregate would re-run the
+      // whole basket expansion + shuffle twice for the same census
+      val directed = baskets
         .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+          "flatten(transform(ps, (x, i) -> flatten(" +
+            "transform(slice(ps, i + 2, size(ps)), y -> " +
+            "array(struct(x AS ante, y AS cons), struct(y AS ante, x AS cons))))))"))
           .as("pr"))
-        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("co"))
-      val directed = undirected.select(col("p1").as("ante"), col("p2").as("cons"), col("co"))
-        .unionAll(undirected.select(col("p2").as("ante"), col("p1").as("cons"), col("co")))
+        .select(col("pr.ante").as("ante"), col("pr.cons").as("cons"))
+        .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2)
       directed
         .join(sup.select(col("p").as("ante"), col("c").as("ca")), "ante")

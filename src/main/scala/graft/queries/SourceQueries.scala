@@ -674,7 +674,47 @@ object SourceQueries {
             FROM e GROUP BY 1 ORDER BY 1""")
   )
 
+  /** S9 extension — ORC interchange round-trip: the engine is not
+    * parquet-bound. Lineitem pricing columns are written as
+    * zstd-compressed ORC (with predicate pushdown left ON), read back
+    * through Spark's native vectorized ORC reader with a pushable
+    * filter, and censused. The oracle computes the same census from the
+    * original parquet fixture, so any type coercion, precision loss, or
+    * filter-semantics drift through the ORC writer/reader breaks the
+    * hash — a true lossless-interchange proof, same pattern as the
+    * parquet sink queries. At 100 TB ORC matters as the interchange
+    * format with Hive/Trino estates; the scan keeps columnar pruning
+    * and pushdown either way (pinned in PlanShapeSpec). */
+  val orcRoundtrip = Q(
+    "s9_orc_roundtrip",
+    "ORC round-trip: lineitem pricing -> zstd ORC sink -> vectorized ORC scan with pushed filter -> census; oracle reads the parquet original.",
+    (s, dir) => {
+      val path = s"${graft.ops.Fixtures.Root}/lineitem_orc_${new java.io.File(dir).getName}"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        graft.Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag"))
+          .write.mode("overwrite").option("compression", "zstd").orc(path)
+      }
+      s.read.orc(path)
+        .filter(col("l_quantity") >= 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(round(sum(l_quantity)) as long)").as("qty_sum"),
+          // per-row exact cents BEFORE the sum: a rounded double SUM is
+          // accumulation-order-sensitive at integer-cent precision
+          expr("sum(cast(round(l_extendedprice * 100) as long))").as("price_cents"),
+          sum(col("l_orderkey")).as("key_sum"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+              CAST(round(sum(l_quantity)) AS BIGINT) AS qty_sum,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+            FROM lineitem WHERE l_quantity >= 25
+            GROUP BY 1""")
+  )
+
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
     zorder, compactionPlan, bucketedJoin, restFetch, requestUrls, schemaEvolution,
-    jsonQuarantine, rowProvenance)
+    jsonQuarantine, rowProvenance, orcRoundtrip)
 }

@@ -495,6 +495,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"split comparison should reuse the documents scan, not fan out:\n${p.take(800)}")
   }
 
+  test("s9_orc_roundtrip: the ORC scan keeps columnar pruning and the pushed quantity filter") {
+    val p = plan("s9_orc_roundtrip")
+    assert(p.contains("Scan orc"), "round-trip must read back through the native ORC source")
+    assert(p.contains("PushedFilters: [") && p.contains("l_quantity"),
+      s"quantity predicate not pushed into the ORC scan:\n${p.take(1200)}")
+  }
+
   test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
     val p = plan("a10_overlap_estimate")
     assert(!p.contains("CartesianProduct"))

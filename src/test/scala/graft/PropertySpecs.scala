@@ -212,3 +212,78 @@ object AucProps extends Properties("AucCensus") {
       }
     }
 }
+
+object AmsSketchProps extends Properties("AmsSketch") {
+  // Pure mirror of a11_join_size_sketch's estimator: est = Σ_b S_b²
+  // with S_b = Σ_{k∈b} s_k·cnt_k. Model-checked invariants that hold
+  // for EVERY bucket/sign assignment (not just in expectation):
+  private val genCounts = Gen.nonEmptyListOf(Gen.choose(1L, 50L)).map(_.take(40))
+
+  private def estimate(cnts: List[Long], bucket: Int => Int, sign: Int => Long): Long =
+    cnts.indices.groupBy(bucket).values.map { ks =>
+      val s = ks.map(i => sign(i) * cnts(i)).sum
+      s * s
+    }.sum
+
+  property("collision-free rows estimate F2 exactly, for any signs") =
+    Prop.forAll(genCounts, Gen.listOfN(40, Gen.oneOf(-1L, 1L))) { (cnts, signs) =>
+      val f2 = cnts.map(c => c * c).sum
+      estimate(cnts, i => i, i => signs(i % signs.size)) == f2
+    }
+
+  property("global sign flip never changes the estimate") =
+    Prop.forAll(genCounts, Gen.listOfN(40, Gen.oneOf(-1L, 1L)),
+      Gen.listOfN(40, Gen.choose(0, 7))) { (cnts, signs, buckets) =>
+      def b(i: Int) = buckets(i % buckets.size)
+      def s(i: Int) = signs(i % signs.size)
+      estimate(cnts, b, s) == estimate(cnts, b, i => -s(i))
+    }
+
+  property("estimate never drops below the self-bucket floor when each bucket is pure-sign") =
+    Prop.forAll(genCounts) { cnts =>
+      // all keys one bucket, all signs +1: est = (Σcnt)² >= Σcnt² = F2
+      val f2 = cnts.map(c => c * c).sum
+      estimate(cnts, _ => 0, _ => 1L) >= f2
+    }
+}
+
+object IntervalUnionProps extends Properties("IntervalUnion") {
+  // Pure mirror of j7_interval_union's gaps-and-islands window logic,
+  // model-checked against brute-force point-set interval union.
+  private val Len = 30L
+  private val genStarts = Gen.nonEmptyListOf(Gen.choose(0L, 300L)).map(_.take(30))
+
+  private def islandsCoverage(starts: List[Long]): (Int, Long) = {
+    val iv = starts.sorted.map(s => (s, s + Len))
+    // the window recurrence: new island iff start > running max end
+    var maxEnd = Long.MinValue
+    var islands = List.empty[(Long, Long)] // (start, end) per island
+    for ((s, e) <- iv) {
+      if (islands.isEmpty || s > maxEnd) islands = (s, e) :: islands
+      else {
+        val (is, ie) = islands.head
+        islands = (is, math.max(ie, e)) :: islands.tail
+      }
+      maxEnd = math.max(maxEnd, e)
+    }
+    (islands.size, islands.map { case (s, e) => e - s }.sum)
+  }
+
+  property("island coverage equals brute-force interval union measure") =
+    Prop.forAll(genStarts) { starts =>
+      val (_, cov) = islandsCoverage(starts)
+      // brute force: count half-open unit cells covered by any interval
+      val cells = starts.flatMap(s => s until (s + Len)).toSet
+      cov == cells.size.toLong
+    }
+
+  property("island count equals the number of maximal gap-free runs") =
+    Prop.forAll(genStarts) { starts =>
+      val (n, _) = islandsCoverage(starts)
+      val sorted = starts.sorted
+      // a new run starts when the gap to the previous covered end exceeds 0
+      var runs = 0; var end = Long.MinValue
+      for (s <- sorted) { if (s > end) runs += 1; end = math.max(end, s + Len) }
+      n == runs
+    }
+}
