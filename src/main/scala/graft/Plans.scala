@@ -101,7 +101,8 @@ object Plans {
     "x28_tfidf_sim"     -> "sparse cosine: df-capped 3-gram posting join, integer cos^2, TakeOrdered-20",
     "a13_slo_burn_rate" -> "SLO burn: 30-min bucket census, trailing range windows over buckets only",
     "a10_group_split"   -> "group vs row split: one scan, two hash columns, bounded leak censuses",
-    "s9_orc_roundtrip"  -> "ORC interchange: zstd sink, vectorized scan with pushed filter, exact census"
+    "s9_orc_roundtrip"  -> "ORC interchange: zstd sink, vectorized scan with pushed filter, exact census",
+    "a11_quantile_sketch" -> "sketch certification: 9-row broadcast rank probe vs the cents census, no sort"
   )
 
   def main(args: Array[String]): Unit = {

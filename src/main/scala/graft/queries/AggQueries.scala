@@ -395,6 +395,49 @@ object AggQueries {
             FROM est, truth""")
   )
 
+  /** A11 extension — quantile-sketch certification, completing the
+    * sketch-trust family (HLL → a10_approx_distinct, count-min →
+    * x28_heavy_hitters, Bloom → a10_decontaminate_bloom, MinHash →
+    * a10_minhash_quality, AMS → a11_join_size_sketch): at 100 TB the
+    * mergeable `approx_percentile` sketch replaces the exact per-group
+    * sort buffer, and this census proves the sketch's RANK error sits
+    * inside its contract before anyone dashboards it. For each decile
+    * of order value, the sketch's answer is re-ranked against the EXACT
+    * distribution (one census join) and the realized rank error in
+    * basis points is checked against the 1 % accuracy parameter. The
+    * verdict (not the sketch value, which is engine-specific) is the
+    * oracle-pinned output — the a10_approx_distinct discipline. */
+  val quantileSketch = Q(
+    "a11_quantile_sketch",
+    "approx_percentile certification: sketch decile answers re-ranked against the exact distribution; realized rank error in bp vs the accuracy contract.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cents = t.orders
+        .select(expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+        .cache()
+      val n = cents.agg(count(lit(1)).as("n"))
+      val approx = cents.agg(expr(
+        "approx_percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")
+        .as("qs"))
+        .select(posexplode(col("qs")).as(Seq("i", "q_approx")))
+        .select((col("i") + 1).cast("long").as("decile"), col("q_approx"))
+      // exact rank of each sketch answer = how many rows sit at or below it
+      val ranked = approx.join(cents, col("cents") <= col("q_approx"), "left")
+        .groupBy(col("decile"), col("q_approx"))
+        .agg(count(col("cents")).as("rank_le"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("target_rank_bp", col("decile") * 1000L)
+        .withColumn("actual_rank_bp", expr("rank_le * 10000 div n"))
+        .withColumn("rank_err_bp", abs(col("actual_rank_bp") - col("target_rank_bp")))
+        .withColumn("within_contract", col("rank_err_bp") <= 100L)
+        .select(col("decile"), col("target_rank_bp"), col("within_contract"))
+    },
+    Some("""SELECT CAST(d AS BIGINT) AS decile,
+              CAST(d * 1000 AS BIGINT) AS target_rank_bp,
+              true AS within_contract
+            FROM generate_series(1, 9) AS t(d)""")
+  )
+
   def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets,
-    skewCensus, sampleEstimate, equidepthBins, joinSizeSketch)
+    skewCensus, sampleEstimate, equidepthBins, joinSizeSketch, quantileSketch)
 }

@@ -502,6 +502,16 @@ class PlanShapeSpec extends SparkSpecBase {
       s"quantity predicate not pushed into the ORC scan:\n${p.take(1200)}")
   }
 
+  test("a11_quantile_sketch: the rank check broadcasts the 9 sketch answers, never sorts the corpus") {
+    val df = QueryRegistry.queries("a11_quantile_sketch")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort => LSort}
+    assert(df.queryExecution.optimizedPlan.collect { case s: LSort => s }.isEmpty,
+      "sketch certification must not plan a global sort")
+    spark.catalog.clearCache()
+  }
+
   test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
     val p = plan("a10_overlap_estimate")
     assert(!p.contains("CartesianProduct"))
