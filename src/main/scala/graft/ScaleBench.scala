@@ -57,7 +57,10 @@ object ScaleBench {
     // AMS sketch census, matryoshka double-rank pass, Heaps census
     "a12_association_rules", "a12_reachability", "j7_interval_union",
     "a10_entity_resolution", "j6_leakage_audit", "a11_join_size_sketch",
-    "j5_matryoshka_probe", "x28_vocab_growth")
+    "j5_matryoshka_probe", "x28_vocab_growth",
+    // the sparse posting-list similarity join (the round's last
+    // structurally new shape: gram-keyed pair expansion + norm joins)
+    "x28_tfidf_sim")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
