@@ -102,7 +102,8 @@ object Plans {
     "a13_slo_burn_rate" -> "SLO burn: 30-min bucket census, trailing range windows over buckets only",
     "a10_group_split"   -> "group vs row split: one scan, two hash columns, bounded leak censuses",
     "s9_orc_roundtrip"  -> "ORC interchange: zstd sink, vectorized scan with pushed filter, exact census",
-    "a11_quantile_sketch" -> "sketch certification: 9-row broadcast rank probe vs the cents census, no sort"
+    "a11_quantile_sketch" -> "sketch certification: 9-row broadcast rank probe vs the cents census, no sort",
+    "w12_markov_transitions" -> "Markov matrix: user-partitioned lag window, 25-cell census, integer bp rows"
   )
 
   def main(args: Array[String]): Unit = {

@@ -754,7 +754,54 @@ object TimeSeriesQueries {
             GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** W12 extension — first-order Markov transition matrix over user
+    * event sequences (the user-journey model behind next-action
+    * prediction, funnel simulation, and anomalous-session scoring):
+    * for each user's time-ordered stream, consecutive (prev → next)
+    * event-type pairs are extracted with ONE lag window partitioned by
+    * user, censused into the |types|² transition matrix, and
+    * row-normalized to exact basis-point probabilities (integer div —
+    * no cross-engine float risk). The plan is one user-keyed window
+    * shuffle plus a bounded 25-cell aggregate; at 100 TB the window
+    * partitions by user exactly like the funnel/retention family, and
+    * the matrix itself never exceeds |event types|². */
+  val markovTransitions = Q(
+    "w12_markov_transitions",
+    "Markov transition matrix: per-user lag pairs via one partitioned window, 25-cell census, exact basis-point row-normalized probabilities.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t.events
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .withColumn("p_bp", expr("n * 10000 div row_total"))
+        .select(col("prev_type"), col("next_type"), col("n"), col("p_bp"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+            ), p AS (
+              SELECT event_type AS next_type,
+                lag(event_type, 1) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id) AS prev_type
+              FROM e
+            ), c AS (
+              SELECT prev_type, next_type, count(*) AS n
+              FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT prev_type, next_type, n,
+              CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_bp
+            FROM c""")
+  )
+
   def all: Seq[Q] = Seq(a7Last, a7First, w1, w2, w2Range, w2Dist, w3, w3Session, w3Hopping,
     gapFill, funnel, w5Ewma, w6Outliers, w7Retention, w8Changes, w9Seasonal,
-    w10Attribution, w11Comovement)
+    w10Attribution, w11Comovement, markovTransitions)
 }

@@ -512,6 +512,18 @@ class PlanShapeSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("w12_markov_transitions: the lag window is user-partitioned; normalization windows the bounded matrix") {
+    val df = QueryRegistry.queries("w12_markov_transitions")(spark, dir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 2, s"expected the lag + row-total windows, got ${wins.size}")
+    assert(wins.forall(_.partitionSpec.nonEmpty), "both windows must be partitioned")
+    // the row-total window must sit above the 25-cell census, not event rows
+    val rowTotal = wins.find(_.partitionSpec.exists(_.toString.contains("prev_type"))).get
+    assert(rowTotal.collect { case a: Aggregate => a }.nonEmpty,
+      "normalization must window the transition-cell census")
+  }
+
   test("a10_overlap_estimate: exact side is one per-user aggregate; sketch side joins as a 1-row broadcast") {
     val p = plan("a10_overlap_estimate")
     assert(!p.contains("CartesianProduct"))
