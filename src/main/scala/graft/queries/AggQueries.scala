@@ -414,7 +414,7 @@ object AggQueries {
       val t = Tables(s, dir)
       val cents = t.orders
         .select(expr("cast(round(o_totalprice * 100) as long)").as("cents"))
-        .cache()
+        .localCheckpoint() // self-releasing, unlike a leaked .cache()
       val n = cents.agg(count(lit(1)).as("n"))
       val approx = cents.agg(expr(
         "approx_percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)")

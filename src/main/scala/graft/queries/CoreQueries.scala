@@ -573,7 +573,7 @@ object CoreQueries {
       val baskets = items.groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ps"))
         .filter(size(col("ps")).between(2, 6))
-        .cache()
+        .localCheckpoint() // self-releasing, unlike a leaked .cache()
       val kept = baskets.select(col("o"), explode(col("ps")).as("p"))
       val sup = kept.groupBy(col("p")).agg(count(lit(1)).as("c"))
       val nb = baskets.agg(count(lit(1)).as("n"))
@@ -962,9 +962,8 @@ object CoreQueries {
           .filter(col("rn") === 1)
           .select(col("user_id"), col("event_type").as("state"))
       }
-      def snap(v: Int): String = {
-        val path = s"$root/v$v"
-        if (!new java.io.File(path, "_SUCCESS").exists()) {
+      def snap(v: Int): String =
+        graft.ops.StagedEstate.ensure(s"$root/v$v", dir) {
           val src =
             if (v == 1) e
             else {
@@ -972,10 +971,8 @@ object CoreQueries {
               e.crossJoin(broadcast(cut)).filter(col("us") < col("c"))
                 .select(e.columns.map(col): _*)
             }
-          latest(src).write.mode("overwrite").parquet(path)
+          latest(src).write.mode("overwrite").parquet(s"$root/v$v")
         }
-        path
-      }
       val v0 = s.read.parquet(snap(0)).withColumnRenamed("state", "old_state")
       val v1 = s.read.parquet(snap(1)).withColumnRenamed("state", "new_state")
       v1.join(v0, Seq("user_id"), "left")

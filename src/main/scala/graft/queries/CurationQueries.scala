@@ -720,7 +720,9 @@ object CurationQueries {
           expr("cast(conv(substring(md5(concat('fh:', w)), 1, 4), 16, 10) as int) % 4096"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_types"))
         .groupBy(col("n_types")).agg(count(lit(1)).as("n_buckets"))
-        .cache() // bounded histogram, read twice (rows + empty-bucket row)
+        // bounded histogram, read twice (rows + empty-bucket row);
+        // self-releasing, unlike a leaked .cache()
+        .localCheckpoint()
       val empty = occupied
         .agg((lit(4096L) - sum(col("n_buckets"))).as("n_buckets"))
         .select(lit(0L).as("n_types"), col("n_buckets"))

@@ -797,7 +797,7 @@ object DedupQueries {
           concat(substring(col("nm"), 1, 10), lit("qq")).as("name"))
       val recs = r0.unionAll(r1).unionAll(r2)
         .withColumn("blk", substring(col("name"), 1, 6))
-        .cache()
+        .localCheckpoint() // self-releasing, unlike a leaked .cache()
       val edges = recs.select(col("blk"), col("rec_id").as("src"), col("name").as("na"))
         .join(recs.select(col("blk"), col("rec_id").as("dst"), col("name").as("nb")), "blk")
         .filter(col("src") < col("dst") && levenshtein(col("na"), col("nb")) <= 2)

@@ -229,22 +229,31 @@ object GraphQueries {
         .filter(col("ns").between(2, 8))
         .select(col("g"))
       val kept = spans.join(sharedGrams, "g")
+      // localCheckpoint (not .cache): the recursion re-reads the edges at
+      // every level, but the blocks self-release via the ContextCleaner
+      // when the result is GC'd — no CacheManager entry to leak across a
+      // 222-query sweep. Query-scoped view name: a fixed name collides
+      // under concurrent query evaluation in one session (ADVICE r8).
+      val view = s"synd_edges_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       kept.select(col("g"), col("source").as("src"))
         .join(kept.select(col("g"), col("source").as("dst")), "g")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
-        .cache()
-        .createOrReplaceTempView("synd_edges")
-      s.sql("""
+        .localCheckpoint()
+        .createOrReplaceTempView(view)
+      val out = s.sql(s"""
         WITH RECURSIVE reach(node, hop) AS (
           SELECT 'src0', 0
           UNION ALL
           SELECT e.dst, r.hop + 1
-          FROM reach r JOIN synd_edges e ON e.src = r.node
+          FROM reach r JOIN $view e ON e.src = r.node
           WHERE r.hop < 4
         )
         SELECT node, CAST(min(hop) AS BIGINT) AS hops
         FROM reach GROUP BY node ORDER BY node""")
+      // the view is resolved into out's analyzed plan; safe to drop now
+      s.catalog.dropTempView(view)
+      out
     },
     Some("""WITH RECURSIVE toks AS (
               SELECT source, string_split(text, ' ') AS w FROM documents

@@ -1042,7 +1042,7 @@ object TextQueries {
       val wt = tf.join(df, "w")
         .select(col("w"), col("doc_id"),
           (least(col("tf"), lit(4L)) * expr("24 div df")).as("wt"))
-        .cache()
+        .localCheckpoint() // self-releasing, unlike a leaked .cache()
       val norms = wt.groupBy(col("doc_id")).agg(sum(col("wt") * col("wt")).as("nsq"))
       val dots = wt.select(col("w"), col("doc_id").as("d1"), col("wt").as("w1"))
         .join(wt.select(col("w"), col("doc_id").as("d2"), col("wt").as("w2")), "w")

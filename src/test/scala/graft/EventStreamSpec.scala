@@ -106,8 +106,11 @@ class EventStreamSpec extends SparkSpecBase {
     assert(streamed.count() > 0)
     assert(joined.filter(col("b_n").isNull).count() == 0) // nothing fabricated
     assert(joined.filter(col("n") =!= col("b_n") || col("sum_cents") =!= col("b_sum")).count() == 0)
-    // each event contributes to 4 windows; the finalized bulk must show it
-    assert(streamed.count() >= batch.count() / 2)
+    // No finalized-fraction threshold: HOW MANY windows the watermark
+    // closes depends on micro-batch file grouping (maxFilesPerTrigger)
+    // and the fixture's time span — a threshold on it flakes rather
+    // than signals (ADVICE r8). Emission correctness is fully pinned by
+    // count > 0 + the exact-match join above.
   }
 
   test("T5/W3: watermarked windowed stream equals the batch windowed aggregation") {

@@ -185,6 +185,48 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
       "/echo/weather?lat=34.052200&lon=-118.243700&appid=demo_key&units=metric")
   }
 
+  test("minIntervalMs paces request starts per host, shared across partitions") {
+    // 5 urls in 5 partitions: pacing state is per (scan, host), so even
+    // fully parallel tasks serialize onto 60ms slots — elapsed must cover
+    // 4 inter-request gaps no matter how Spark schedules the tasks.
+    val t0 = System.nanoTime()
+    val rows = read((1 to 5).map(i => s"$base/item/$i"),
+      Map("minIntervalMs" -> "60", "urlsPerPartition" -> "1"))
+      .select("status").collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(rows.forall(_.getInt(0) == 200))
+    assert(elapsedMs >= 4 * 60, s"5 fetches at 60ms spacing finished in ${elapsedMs}ms")
+  }
+
+  test("window quota: requests beyond the budget become status=-2 rows, not failures") {
+    val rows = read((1 to 6).map(i => s"$base/item/$i"),
+      Map("maxRequestsPerWindow" -> "4", "quotaWindowMs" -> "86400000",
+        "urlsPerPartition" -> "100"))
+      .selectExpr("url", "status", "attempts", "error")
+      .collect().sortBy(_.getString(0).stripPrefix(s"$base/item/").toInt)
+    assert(rows.length == 6)
+    // single partition => sequential fetch order => first 4 succeed
+    assert(rows.take(4).forall(_.getInt(1) == 200))
+    assert(rows.drop(4).forall(_.getInt(1) == -2))
+    assert(rows.drop(4).forall(_.getInt(2) == 0)) // never attempted
+    assert(rows.drop(4).forall(_.getString(3).contains("rate budget exhausted")))
+  }
+
+  test("maxRequestsPerDay expands to a 24h window budget") {
+    val rows = read((1 to 3).map(i => s"$base/item/$i"),
+      Map("maxRequestsPerDay" -> "2", "urlsPerPartition" -> "100"))
+      .select("status").collect().map(_.getInt(0))
+    assert(rows.count(_ == 200) == 2 && rows.count(_ == -2) == 1)
+  }
+
+  test("quota budget is per scan: a new read() starts with a fresh budget") {
+    def statuses() = read((1 to 3).map(i => s"$base/item/$i"),
+      Map("maxRequestsPerWindow" -> "3", "urlsPerPartition" -> "100"))
+      .select("status").collect().map(_.getInt(0)).toSeq
+    assert(statuses() == Seq(200, 200, 200))
+    assert(statuses() == Seq(200, 200, 200)) // not 3 leftover -2 rows
+  }
+
   test("url list splits into partitions; pruning reaches the source") {
     val df = read((1 to 10).map(i => s"$base/item/$i"), Map("urlsPerPartition" -> "3"))
     assert(df.rdd.getNumPartitions == 4) // ceil(10/3)
