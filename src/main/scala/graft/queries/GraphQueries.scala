@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** A12 ⊕ (beyond SURVEY §2, LLM-pipeline north star) — link-graph
@@ -211,34 +212,18 @@ object GraphQueries {
     "a12_reachability",
     "Recursive-CTE BFS: min-hop distances from src0 through the shared-5-gram syndication graph, depth-capped at 4; WITH RECURSIVE on both engines.",
     (s, dir) => {
-      val t = Tables(s, dir)
-      // Build + CACHE the edge list ONCE before recursing: a recursive
+      // Materialize the edge list ONCE before recursing: a recursive
       // member re-evaluates its plan at every level, so leaving the
       // gram census inside the recursion would pay the corpus scan 4×
       // (measured 7.1 s → ~1 s at sf0.1 with the edges materialized).
       // At 100 TB the edge table would be a stored artifact anyway.
-      val spans = t.documents
-        .select(col("source"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 5)
-        .select(col("source"),
-          explode(transform(sequence(lit(1), size(col("w")) - 4),
-            i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*))).as("g"))
-        .distinct()
-      val sharedGrams = spans.groupBy(col("g"))
-        .agg(count(lit(1)).as("ns"))
-        .filter(col("ns").between(2, 8))
-        .select(col("g"))
-      val kept = spans.join(sharedGrams, "g")
-      // localCheckpoint (not .cache): the recursion re-reads the edges at
-      // every level, but the blocks self-release via the ContextCleaner
-      // when the result is GC'd — no CacheManager entry to leak across a
-      // 222-query sweep. Query-scoped view name: a fixed name collides
-      // under concurrent query evaluation in one session (ADVICE r8).
+      // localCheckpoint (not .cache): the blocks self-release via the
+      // ContextCleaner when the result is GC'd — no CacheManager entry
+      // to leak across a 223-query sweep. Query-scoped view name: a
+      // fixed name collides under concurrent query evaluation in one
+      // session (ADVICE r8).
       val view = s"synd_edges_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      kept.select(col("g"), col("source").as("src"))
-        .join(kept.select(col("g"), col("source").as("dst")), "g")
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
+      syndicationEdges(Tables(s, dir))
         .localCheckpoint()
         .createOrReplaceTempView(view)
       val out = s.sql(s"""
@@ -278,5 +263,68 @@ object GraphQueries {
             FROM reach GROUP BY node ORDER BY node""")
   )
 
-  def all: Seq[Q] = Seq(syndicationRank, triangleCount, reachability)
+  /** The shared-rare-5-gram syndication edge list (distinct directed
+    * pairs) both reachability queries traverse: spans → 2–8-source gram
+    * census (the same boilerplate/skew cap as the LSH band joins) →
+    * gram-keyed pair expansion. */
+  private def syndicationEdges(t: Tables): DataFrame = {
+    val spans = t.documents
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*))).as("g"))
+      .distinct()
+    val sharedGrams = spans.groupBy(col("g"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns").between(2, 8))
+      .select(col("g"))
+    val kept = spans.join(sharedGrams, "g")
+    kept.select(col("g"), col("source").as("src"))
+      .join(kept.select(col("g"), col("source").as("dst")), "g")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** A12 ⊕ — the 100 TB face of reachability: the level-synchronous BFS
+    * OPERATOR ([[graft.ops.Bfs]]) over the same syndication graph, same
+    * source, same depth cap, oracled by the SAME recursive-CTE SQL as
+    * a12_reachability — the two faces must agree on min-hop distances.
+    * Where the CTE's working set is path-count-sized (exponential on
+    * diamond-shaped graphs; see BfsSpec's lattice case), the operator's
+    * frontier is deduplicated per level and anti-joined against the
+    * visited set, so the working set is node-bounded — the form that
+    * survives a dense 100 TB edge estate. */
+  val reachabilityIter = Q(
+    "a12_reachability_iter",
+    "Level-synchronous BFS operator (frontier distinct + anti-join vs visited): min-hop distances from src0 over the syndication graph; node-bounded working set; oracle = the recursive CTE.",
+    (s, dir) => {
+      val edges = syndicationEdges(Tables(s, dir))
+      graft.ops.Bfs.distances(edges, "src0", maxHops = 4)
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+              SELECT source, string_split(text, ' ') AS w FROM documents
+            ), spans AS (
+              SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+              WHERE len(w) >= 5
+            ), gsrc AS (
+              SELECT g FROM spans GROUP BY g HAVING count(*) BETWEEN 2 AND 8
+            ), e AS (
+              SELECT DISTINCT a.source AS src, b.source AS dst
+              FROM spans a JOIN gsrc USING (g) JOIN spans b USING (g)
+              WHERE a.source <> b.source
+            ), reach(node, hop) AS (
+              SELECT 'src0', 0
+              UNION ALL
+              SELECT e.dst, r.hop + 1
+              FROM reach r JOIN e ON e.src = r.node
+              WHERE r.hop < 4
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hops
+            FROM reach GROUP BY node ORDER BY node""")
+  )
+
+  def all: Seq[Q] = Seq(syndicationRank, triangleCount, reachability, reachabilityIter)
 }
