@@ -143,4 +143,47 @@ object CollectPipeline {
     val v = validate(requests)
     aggregate(enrich(v.filter(col("valid")))) // rejected rows carry `errors`
   }
+
+  /** Trace-id propagation (orchestrator.py:73-87): the caller-supplied
+    * infrastructure header when present (the x-request-id /
+    * x-trace-id path), else a generated `req_<hex12>` — here a
+    * DETERMINISTIC md5 surrogate of the request key instead of the
+    * reference's uuid4, the same take-nondeterminism-as-a-parameter
+    * policy as X22, so the envelope is oracle-able. */
+  def traceId(keyCol: String, headerCol: Option[String]): Column = {
+    val generated = concat(lit("req_"), substring(md5(col(keyCol)), 1, 12))
+    headerCol.map(h => coalesce(col(h), generated)).getOrElse(generated)
+  }
+
+  /** The observability envelope (orchestrator.py:33-87): run /collect and
+    * emit ONE STRUCTURED-LOG RECORD PER REQUEST — trace id, level,
+    * message (rejects carry the X27-formatted error list), error count,
+    * and the per-request success metrics. The returned frame also
+    * carries a real Spark `observe()` aggregate
+    * (n_requests / n_valid / n_high_risk_total), so a
+    * QueryExecutionListener receives the run-level census from the SAME
+    * job that computes the rows — the engine-native form of the
+    * reference's log aggregation, with no second pass over the data
+    * (proven in CollectPipelineSpec). */
+  def observedRun(requests: DataFrame, keyCol: String = "request_id",
+                  headerCol: Option[String] = None): DataFrame = {
+    val v = validate(requests.withColumn("trace_id", traceId(keyCol, headerCol)))
+    val agg = aggregate(enrich(v.filter(col("valid"))))
+    v.join(agg, Seq("request_id"), "left")
+      .select(
+        col("request_id"),
+        col("trace_id"),
+        lit("orchestrator").as("service"),
+        when(col("valid"), lit("INFO")).otherwise(lit("ERROR")).as("level"),
+        when(col("valid"), lit("collect completed"))
+          .otherwise(concat(lit("collect rejected: "),
+            concat_ws("; ", col("errors")))).as("message"),
+        size(col("errors")).cast("long").as("n_errors"),
+        coalesce(col("sources_successful"), lit(0L)).as("sources_successful"),
+        coalesce(col("n_high_risk"), lit(0L)).as("n_high_risk"))
+      .observe("graft_collect",
+        count(lit(1)).as("n_requests"),
+        sum(when(col("level") === "INFO", 1L).otherwise(0L)).as("n_valid"),
+        sum(col("n_high_risk")).as("n_high_risk_total"))
+  }
 }

@@ -632,6 +632,118 @@ LEFT JOIN topo2 t ON s.site = t.site""")
     collectFull.oracle
   )
 
+  /** §3.1 observability — the reference's request-tracking envelope
+    * (orchestrator.py:33-87): trace ids propagate from an infrastructure
+    * header when supplied (req_la carries `lb-trace-001`) and are
+    * generated deterministically otherwise (`req_` + md5 hex12 of the
+    * request key — the uuid4 taken as a parameter, X22 policy); every
+    * request emits exactly one structured-log record — INFO + success
+    * metrics for accepted requests, ERROR + the X27-formatted error list
+    * for rejects. The same run carries a Spark `observe()` census
+    * (n_requests/n_valid/n_high_risk_total) to a QueryExecutionListener
+    * with no second job — spec-proven in CollectPipelineSpec. The oracle
+    * replays validation, kernels, classification, and the envelope
+    * format in SQL, so both the trace-id rule and the log format are
+    * hash-pinned. */
+  val observeEnvelope = Q(
+    "e2e_observe_envelope",
+    "Request-id observability envelope: header-or-generated trace ids, one structured-log row per request (level/message/metrics), observe() census on the same job.",
+    (s, _) => {
+      import s.implicits._
+      val requests = Seq(
+        ("req_la", 34.0522, -118.2437, 1000.0, Some("fire_2024-001"), Some("lb-trace-001")),
+        ("req_yellowstone", 44.6, -110.5, 5000.0, None: Option[String], None: Option[String]),
+        ("req_death_valley", 36.5, -117.0, 1000.0, Some("dv_survey_01"), None: Option[String]),
+        ("req_seattle", 47.5086, -122.3551, 2000.0, Some("sea-042"), None: Option[String]),
+        ("req_london", 51.5074, -0.1278, 1000.0, None: Option[String], None: Option[String]),
+        ("req_bad_lat", 91.0, 10.0, 1000.0, None: Option[String], None: Option[String]),
+        ("req_bad_buffer", 36.5, -117.0, 99.0, Some("x"), None: Option[String])
+      ).toDF("request_id", "lat", "lon", "buffer_m", "event_id", "header_trace")
+      CollectPipeline.observedRun(requests, keyCol = "request_id",
+        headerCol = Some("header_trace"))
+    },
+    Some("""WITH req(request_id, lat, lon, buffer_m, event_id, header_trace) AS (VALUES
+              ('req_la', 34.0522, -118.2437, 1000.0, 'fire_2024-001', 'lb-trace-001'),
+              ('req_yellowstone', 44.6, -110.5, 5000.0, NULL, NULL),
+              ('req_death_valley', 36.5, -117.0, 1000.0, 'dv_survey_01', NULL),
+              ('req_seattle', 47.5086, -122.3551, 2000.0, 'sea-042', NULL),
+              ('req_london', 51.5074, -0.1278, 1000.0, NULL, NULL),
+              ('req_bad_lat', 91.0, 10.0, 1000.0, NULL, NULL),
+              ('req_bad_buffer', 36.5, -117.0, 99.0, 'x', NULL)),
+            v AS (
+              SELECT request_id,
+                COALESCE(header_trace, 'req_' || substring(md5(request_id), 1, 12)) AS trace_id,
+                CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon,
+                (lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+                   AND NOT (lat = 0 AND lon = 0)) AS bounds_ok,
+                ((lat BETWEEN 24.5 AND 49.5 AND lon BETWEEN -125 AND -67)
+                  OR (lat BETWEEN 54 AND 71.5 AND (lon BETWEEN -180 AND -130 OR lon BETWEEN 170 AND 180))
+                  OR (lat BETWEEN 18 AND 29 AND lon BETWEEN -178 AND -154)) AS us_ok,
+                (buffer_m BETWEEN 100 AND 50000) AS buffer_ok,
+                (event_id IS NULL OR (length(event_id) BETWEEN 3 AND 100
+                   AND regexp_matches(event_id, '^[a-zA-Z0-9_-]+$'))) AS id_ok
+              FROM req
+            ), ve AS (
+              SELECT *, list_filter([
+                  CASE WHEN NOT bounds_ok THEN 'invalid coordinates' END,
+                  CASE WHEN bounds_ok AND NOT us_ok THEN 'outside supported US regions' END,
+                  CASE WHEN NOT buffer_ok THEN 'buffer out of range' END,
+                  CASE WHEN NOT id_ok THEN 'invalid event id' END],
+                x -> x IS NOT NULL) AS errors
+              FROM v
+            ), k AS (
+              SELECT request_id,
+                ((lat * 7 + lon * 3) % 20 + 20) % 20 + 15.0 AS w_temp_raw,
+                CAST(((floor(lat * 11 + lon * 5) % 80) + 80) % 80 AS INT) + 10 AS w_hum,
+                ((lon * 13) % 18 + 18) % 18 AS w_wind_raw,
+                CAST(((floor(lat * 100 + lon * 50) % 9000) + 9000) % 9000 AS INT) AS ndvi_raw,
+                CAST(((floor(lat * 37 + lon * 17) % 10) + 10) % 10 * 1000 + 2500 AS INT) AS pixel,
+                ((lat * 19 - lon * 7) % 150 + 150) % 150 AS elev_raw
+              FROM ve WHERE len(errors) = 0
+            ), tall AS (
+              SELECT request_id,
+                CASE WHEN (CASE WHEN round(w_temp_raw, 2) > 30 THEN 3 WHEN round(w_temp_raw, 2) > 25 THEN 2 WHEN round(w_temp_raw, 2) > 20 THEN 1 ELSE 0 END
+                         + CASE WHEN w_hum < 20 THEN 3 WHEN w_hum < 40 THEN 2 WHEN w_hum < 60 THEN 1 ELSE 0 END
+                         + CASE WHEN round(w_wind_raw, 2) > 15 THEN 3 WHEN round(w_wind_raw, 2) > 10 THEN 2 WHEN round(w_wind_raw, 2) > 5 THEN 1 ELSE 0 END) >= 7 THEN 'EXTREME'
+                     WHEN (CASE WHEN round(w_temp_raw, 2) > 30 THEN 3 WHEN round(w_temp_raw, 2) > 25 THEN 2 WHEN round(w_temp_raw, 2) > 20 THEN 1 ELSE 0 END
+                         + CASE WHEN w_hum < 20 THEN 3 WHEN w_hum < 40 THEN 2 WHEN w_hum < 60 THEN 1 ELSE 0 END
+                         + CASE WHEN round(w_wind_raw, 2) > 15 THEN 3 WHEN round(w_wind_raw, 2) > 10 THEN 2 WHEN round(w_wind_raw, 2) > 5 THEN 1 ELSE 0 END) >= 5 THEN 'HIGH'
+                     WHEN (CASE WHEN round(w_temp_raw, 2) > 30 THEN 3 WHEN round(w_temp_raw, 2) > 25 THEN 2 WHEN round(w_temp_raw, 2) > 20 THEN 1 ELSE 0 END
+                         + CASE WHEN w_hum < 20 THEN 3 WHEN w_hum < 40 THEN 2 WHEN w_hum < 60 THEN 1 ELSE 0 END
+                         + CASE WHEN round(w_wind_raw, 2) > 15 THEN 3 WHEN round(w_wind_raw, 2) > 10 THEN 2 WHEN round(w_wind_raw, 2) > 5 THEN 1 ELSE 0 END) >= 3 THEN 'MODERATE'
+                     ELSE 'LOW' END AS risk
+              FROM k
+              UNION ALL
+              SELECT request_id,
+                CASE WHEN ndvi_raw * 0.0001 > 0.6 THEN 'LOW' WHEN ndvi_raw * 0.0001 > 0.3 THEN 'MODERATE'
+                     WHEN ndvi_raw * 0.0001 > 0.1 THEN 'HIGH' ELSE 'EXTREME' END
+              FROM k
+              UNION ALL
+              SELECT request_id,
+                CASE WHEN pixel >= 7000 AND pixel < 8000 THEN 'LOW'
+                     WHEN pixel >= 3000 AND pixel < 4000 THEN 'MODERATE_TO_HIGH'
+                     WHEN pixel >= 2000 AND pixel < 3000 THEN 'MODERATE_TO_HIGH'
+                     ELSE 'MODERATE' END
+              FROM k
+              UNION ALL
+              SELECT request_id,
+                CASE WHEN round(elev_raw, 2) > 100 THEN 'HIGH' WHEN round(elev_raw, 2) > 50 THEN 'MODERATE' ELSE 'LOW' END
+              FROM k
+            ), agg AS (
+              SELECT request_id, count(*) AS sources_successful,
+                count(CASE WHEN risk IN ('HIGH', 'EXTREME') THEN 1 END) AS n_high_risk
+              FROM tall GROUP BY request_id
+            )
+            SELECT ve.request_id, ve.trace_id, 'orchestrator' AS service,
+              CASE WHEN len(ve.errors) = 0 THEN 'INFO' ELSE 'ERROR' END AS level,
+              CASE WHEN len(ve.errors) = 0 THEN 'collect completed'
+                   ELSE 'collect rejected: ' || array_to_string(ve.errors, '; ') END AS message,
+              CAST(len(ve.errors) AS BIGINT) AS n_errors,
+              CAST(COALESCE(agg.sources_successful, 0) AS BIGINT) AS sources_successful,
+              CAST(COALESCE(agg.n_high_risk, 0) AS BIGINT) AS n_high_risk
+            FROM ve LEFT JOIN agg USING (request_id)""")
+  )
+
   def all: Seq[Q] = Seq(collect, collectFull, collectRest, llmPipeline, contrastivePairs,
-    resultCache)
+    resultCache, observeEnvelope)
 }

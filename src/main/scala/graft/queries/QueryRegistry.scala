@@ -37,6 +37,7 @@ object QueryRegistry {
       VectorQueries.all ++
       StreamQueries.all ++
       MultimodalQueries.all ++
+      SqlEntryQueries.all ++
       E2EQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
