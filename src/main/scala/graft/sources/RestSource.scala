@@ -252,8 +252,9 @@ case class RestPartition(urls: Array[String]) extends InputPartition
   * downstream, keyed on body content (a10_incremental's shape).
   */
 class RestMicroBatchStream(conf: RestConf, requiredSchema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class PollOffset(n: Long) extends Offset {
     override def json(): String = n.toString
@@ -261,10 +262,20 @@ class RestMicroBatchStream(conf: RestConf, requiredSchema: StructType)
   private var planned = 0L
 
   override def initialOffset(): Offset = PollOffset(0L)
-  override def latestOffset(): Offset = {
-    planned = math.min(conf.maxPolls, planned + 1)
+  // SupportsAdmissionControl so the poll counter RESUMES on a checkpoint
+  // restart: this overload receives the restored start offset, where the
+  // plain latestOffset() would restart planning at 0, return an offset
+  // <= the committed one, and a restarted bounded stream (maxPolls=N)
+  // would read "caught up" and never run its remaining rounds.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PollOffset].n
+    planned = math.min(conf.maxPolls, math.max(planned, s) + 1)
     PollOffset(planned)
   }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry")
   override def deserializeOffset(json: String): Offset = PollOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -32,6 +32,18 @@ object StreamingContractGate {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The row-local contract checks as (check, ok) pairs — the single
+    * source of truth shared by this gate's counters and by composed
+    * pipelines (ServingPipeline) that quarantine on the same contract. */
+  def checkPairs: org.apache.spark.sql.Column = array(
+    struct(lit("accepted_event_type").as("check"),
+      col("event_type").isin("click", "view", "purchase", "signup", "error")
+        .cast("long").as("ok")),
+    struct(lit("value_non_negative").as("check"),
+      (col("value") >= 0).cast("long").as("ok")),
+    struct(lit("not_null_props").as("check"),
+      col("props").isNotNull.cast("long").as("ok")))
+
   class Processor extends StatefulProcessor[String, CheckRow, GateRow] {
     @transient private var st: ValueState[Counts] = _
 
@@ -61,14 +73,7 @@ object StreamingContractGate {
       .schema(eventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
-      .select(explode(array(
-        struct(lit("accepted_event_type").as("check"),
-          col("event_type").isin("click", "view", "purchase", "signup", "error")
-            .cast("long").as("ok")),
-        struct(lit("value_non_negative").as("check"),
-          (col("value") >= 0).cast("long").as("ok")),
-        struct(lit("not_null_props").as("check"),
-          col("props").isNotNull.cast("long").as("ok")))).as("c"))
+      .select(explode(checkPairs).as("c"))
       .select(col("c.check").as("check"), col("c.ok").as("ok"))
       .as[CheckRow]
     stream

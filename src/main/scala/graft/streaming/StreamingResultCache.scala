@@ -90,4 +90,40 @@ object StreamingResultCache {
       }
       .start()
   }
+
+  /** The MEMOIZING face: the value arrives ON the row (computed by an
+    * upstream stage — e.g. the routed-collect responses in
+    * ServingPipeline) instead of via a compute callback. First sighting
+    * stores and serves `cold`; a re-delivery within TTL serves the
+    * STORED value as `hit` (the orchestrator's dedupe of repeated event
+    * triggers); past TTL the new value replaces it as `expired`. State
+    * and outcomes are otherwise identical to [[Processor]]. */
+  case class Upstream(key: Long, ts: java.sql.Timestamp, v: Long)
+
+  class MemoProcessor(ttlSeconds: Long)
+    extends StatefulProcessor[Long, Upstream, Served] {
+    @transient private var st: ValueState[Entry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[Entry](
+        "entry", Encoders.product[Entry], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Upstream],
+                                 timers: TimerValues): Iterator[Served] = {
+      val rs = rows.toArray
+      if (rs.isEmpty) return Iterator.empty
+      val first = rs.minBy(r => us(r.ts)) // coalesce within the batch
+      val rts = us(first.ts)
+      val cached = if (st.exists()) Some(st.get()) else None
+      cached match {
+        case Some(e) if rts - e.cached_at_us <= ttlSeconds * 1000000L =>
+          Iterator.single(Served(key, "hit", e.v, e.cached_at_us))
+        case other =>
+          st.update(Entry(first.v, rts))
+          val outcome = if (other.isDefined) "expired" else "cold"
+          Iterator.single(Served(key, outcome, first.v, rts))
+      }
+    }
+  }
 }
