@@ -10,6 +10,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Self-labeling run conditions (VERDICT r8 next #9): this box's
+    // timings drift ±10-60% under concurrent load, so the record carries
+    // the 1-minute loadavg at start AND end — a noisy record announces
+    // itself instead of silently becoming the committed baseline.
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
     val spark = GraftSession.local("graft-bench")
 
     // optional comma-separated name filter for local per-query iteration
@@ -57,7 +64,7 @@ object Bench {
     val qJson = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"n_err":${errors.size},"sf":${jstr(sfDir)},"loadavg_start":$loadStart,"loadavg_end":$loadavg}"""
     println(line)
     // The driver captures stdout with a tail cut that can truncate the
     // per-query map mid-dict; persist the full line so every query stays

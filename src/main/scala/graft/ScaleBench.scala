@@ -66,6 +66,9 @@ object ScaleBench {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val big = if (args.length > 1) args(1) else "/root/repo/target/scale/sf1"
     val outFile = if (args.length > 2) args(2) else "/root/repo/target/scale/scale_bench.json"
+    // optional 4th arg: comma-separated audit subset (e.g. the heaviest
+    // queries for an extra decade of the curve at sf3)
+    val only: Option[Set[String]] = if (args.length > 3) Some(args(3).split(',').toSet) else None
     val spark = GraftSession.local("graft-scalebench")
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
@@ -85,7 +88,9 @@ object ScaleBench {
       (dt, n, shuffleBytesSince(mark))
     }
 
-    val rows = Audit.filter(SparkEntry.queries.contains).map { name =>
+    val auditSet = only.getOrElse(Audit.toSet)
+    val rows = (Audit ++ only.toSeq.flatten.filterNot(Audit.contains))
+      .filter(auditSet.contains).filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       once(fn, small); once(fn, big) // warm-up both sides, untimed
       val timed = (1 to 3).map(_ => (once(fn, small), once(fn, big)))

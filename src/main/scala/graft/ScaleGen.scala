@@ -76,13 +76,24 @@ object ScaleGen {
       .withColumn("user_id", col("user_id") + col("rep") * uOff)
       .drop("rep"), "events", 16)
 
-    // per-replica bijective letter substitution (rotate the alphabet by
-    // rep positions): a when-chain because translate() takes literal maps
+    // per-replica bijective letter substitution: a when-chain because
+    // translate() takes literal maps. For rep < 26 this is the plain
+    // alphabet rotation (sf1 regeneration unchanged); beyond 26 replicas
+    // a rotation would repeat (rep 26 ≡ rep 0 → whole-corpus exact
+    // duplicates, a data-character change), so the map generalizes to an
+    // affine cipher x → a·x + b (mod 26) with a coprime to 26 —
+    // 12 × 26 = 312 distinct bijections, enough for any factor used here.
     val dOff = keyOff(t.documents, "doc_id")
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def permFor(r: Int): String = {
+      val a = coprimes((r / 26) % coprimes.length)
+      val b = r % 26
+      Alpha.map(ch => Alpha((a * (ch - 'a') + b) % 26)).mkString
+    }
+    require(factor <= 26 * coprimes.length, s"factor $factor exceeds the distinct substitution count")
     val rotated = (1 until factor).foldLeft(
       when(col("rep") === 0, col("text"))) { (acc, r) =>
-      acc.when(col("rep") === r,
-        translate(col("text"), Alpha, Alpha.drop(r) + Alpha.take(r)))
+      acc.when(col("rep") === r, translate(col("text"), Alpha, permFor(r)))
     }
     write(t.documents.select(col("*"), rep)
       .withColumn("doc_id", col("doc_id") + col("rep") * dOff)

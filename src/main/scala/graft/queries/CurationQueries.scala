@@ -643,6 +643,66 @@ object CurationQueries {
             FROM cls GROUP BY 1 ORDER BY 1""")
   )
 
+  /** A10 ⊕ — differentially-private release (Dwork et al. 2006), the
+    * third leg of the privacy gate beside x28_pii_scrub and
+    * a10_k_anonymity: when per-user event counts leave the pipeline
+    * (telemetry dashboards, public data cards), the released histogram
+    * is CONTRIBUTION-BOUNDED then Laplace-noised. Contribution bounding
+    * caps each user at C=10 rows per cell (row_number per (user, type)),
+    * which fixes the per-cell sensitivity at C; the release adds
+    * Laplace(C/ε) noise, ε=1. The reference's sampler nondeterminism is
+    * taken as a parameter (X22 policy): the uniform draw is the first
+    * 12 md5 hex chars of the cell key mapped to [-0.5, 0.5), pushed
+    * through the exact inverse-CDF −b·sign(u)·ln(1−2|u|) — both engines
+    * compute the identical doubles, so even the noise is hash-pinned.
+    * n_raw/n_capped/n_clipped_users stay in the frame as the audit
+    * columns a release review reads (what got clipped, how hard).
+    *
+    * Scale shape: the bounding pass is one (user, type)-keyed window —
+    * key-partitioned, no global sort; the histogram is a map-side-
+    * combinable census; the noise is row-local on ≤|types| rows. */
+  val dpRelease = Q(
+    "a10_dp_release",
+    "Differentially-private histogram release: per-(user,cell) contribution cap C=10, Laplace(C/1) noise via deterministic md5 inverse-CDF; audit columns for raw/capped/clipped.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val ranked = t.events.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))))
+      ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          count(when(col("rn") <= 10, 1)).as("n_capped"),
+          count_distinct(when(col("rn") === 11, col("user_id"))).as("n_clipped_users"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp42:"), col("event_type"))), 1, 12), 16, 10)
+            .cast("long").cast("double") / 281474976710656.0 - 0.5)
+        .select(col("event_type"), col("n_raw"), col("n_capped"), col("n_clipped_users"),
+          round(col("n_capped") +
+            lit(-10.0) * signum(col("u")) * log(lit(1.0) - lit(2.0) * abs(col("u"))), 4)
+            .as("dp_release"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (
+              SELECT event_type, user_id,
+                row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+              FROM events
+            ), per AS (
+              SELECT event_type, count(*) AS n_raw,
+                count(CASE WHEN rn <= 10 THEN 1 END) AS n_capped,
+                count(DISTINCT CASE WHEN rn = 11 THEN user_id END) AS n_clipped_users
+              FROM r GROUP BY 1
+            ), seeded AS (
+              SELECT *, CAST(CAST(concat('0x', substring(md5('dp42:' || event_type), 1, 12)) AS BIGINT) AS DOUBLE)
+                          / 281474976710656.0 - 0.5 AS u
+              FROM per
+            )
+            SELECT event_type, n_raw, n_capped,
+              CAST(n_clipped_users AS BIGINT) AS n_clipped_users,
+              round(n_capped + (-10.0) * sign(u) * ln(1.0 - 2.0 * abs(u)), 4) AS dp_release
+            FROM seeded ORDER BY event_type""")
+  )
+
   /** A10 ⊕ — data-constrained epoch accounting: a10_source_mixing says
     * how many tokens of each source the target mixture WANTS; this asks
     * whether each source can SUPPLY them, and at what repeat rate. For
@@ -824,6 +884,6 @@ object CurationQueries {
 
   def all: Seq[Q] = Seq(splitAssign, decontaminate, decontaminatePruned,
     decontaminateBloom, packSequences, sampleStratified, sampleWeighted,
-    sourceMixing, contrastiveBatches, domainCap, kAnonymity, epochBudget,
-    featureHashing, groupSplit)
+    sourceMixing, contrastiveBatches, domainCap, kAnonymity, dpRelease,
+    epochBudget, featureHashing, groupSplit)
 }

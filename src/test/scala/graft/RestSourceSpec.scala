@@ -219,6 +219,27 @@ class RestSourceSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(rows.count(_ == 200) == 2 && rows.count(_ == -2) == 1)
   }
 
+  test("polling stream survives quota exhaustion: later polls degrade to -2 rows, stream completes") {
+    // the VERDICT r8 scenario: a ProcessingTime poll against a daily
+    // quota (OWM 1,000/day) exhausts it mid-stream — polls past the
+    // budget must land as status=-2 rows and the query must finish, not
+    // die. One scan = one budget, shared across all 5 poll rounds.
+    val q = spark.readStream.format("graft.sources.RestSource")
+      .option("urls", s"$base/item/77")
+      .option("maxPolls", "5")
+      .option("maxRequestsPerWindow", "3")
+      .option("quotaWindowMs", "86400000")
+      .load()
+      .select("status", "attempts")
+      .writeStream.outputMode("append").format("memory").queryName("rest_quota_stream")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val statuses = spark.table("rest_quota_stream").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(statuses.count(_ == ((200, 1))) == 3, s"expected 3 within-budget polls: $statuses")
+    assert(statuses.count(_ == ((-2, 0))) == 2, s"expected 2 budget-denied polls: $statuses")
+  }
+
   test("quota budget is per scan: a new read() starts with a fresh budget") {
     def statuses() = read((1 to 3).map(i => s"$base/item/$i"),
       Map("maxRequestsPerWindow" -> "3", "urlsPerPartition" -> "100"))
