@@ -380,7 +380,156 @@ object SelectionQueries {
             FROM priced ORDER BY strategy""")
   )
 
+  /** A10 ⊕ — Bradley-Terry strength fit (Bradley & Terry 1952; Hunter
+    * 2004 MM algorithm): the reward-modeling companion of
+    * a10_preference_pairs — given pairwise win counts between sources,
+    * fit each source's latent quality strength. This is the analysis an
+    * RLHF data pipeline runs over preference data to find annotator/
+    * source skew before training a reward model on it.
+    *
+    * Pairwise wins come from the same TTR quality signal as the DPO
+    * pairs, computed WITHOUT doc×doc expansion: a (source, quality)
+    * census, a per-source strictly-below cumulative over the bounded
+    * quality domain (basis points), and wins_ij = Σ_v c_i(v)·cum_j(<v) —
+    * the census-based Mann-Whitney trick a13_auc_score uses, so the
+    * comparison count is |census|·|sources|, never |docs|². Ties count
+    * for neither side.
+    *
+    * The MM fixed point runs as 3 UNROLLED integer iterations in 1e6
+    * fixed point: st_i ← (W_i·1e12) div Σ_j (n_ij·1e12 div (st_i+st_j)).
+    * Integer sums commute exactly, so the result is partition-order-
+    * independent (the float form would not hash-match across engines).
+    * Total comparisons are pre-normalized to ≤1e6 (BT is invariant to a
+    * common factor), which bounds every intermediate below 2^63 at ANY
+    * scale factor. The tournament is restricted to sources with ≥1
+    * scaled win, so every strength update is well-defined.
+    *
+    * Scale shape: census + bounded-domain grid + one equi-join on the
+    * quality value; the MM iterations run on the ≤|sources|² pair table
+    * with the strength vector broadcast — the driver only holds the
+    * loop counter. */
+  val btStrength = Q(
+    "a10_bt_strength",
+    "Bradley-Terry source strengths: census-based Mann-Whitney pairwise wins (never doc x doc), total-normalized, 3 unrolled integer MM iterations in 1e6 fixed point.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val census = t.documents
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"),
+          expr("(size(array_distinct(toks)) * 10000L) div size(toks)").as("q"))
+        .groupBy(col("source"), col("q")).agg(count(lit(1)).as("c"))
+      val grid = census.select(col("q")).distinct()
+        .crossJoin(census.select(col("source")).distinct())
+        .join(census, Seq("source", "q"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_below",
+          coalesce(sum(col("c")).over(
+            Window.partitionBy(col("source")).orderBy(col("q"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source").as("j"), col("q"), col("cum_below"))
+      val wins = census.select(col("source").as("i"), col("q"), col("c"))
+        .join(grid, "q")
+        .filter(col("i") =!= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("c") * col("cum_below")).as("w_ij"))
+      val tot = wins.agg(sum(col("w_ij")).as("tot"))
+      val scaled = wins.crossJoin(broadcast(tot))
+        .withColumn("w", expr("w_ij div greatest(1L, tot div 1000000L)"))
+        .filter(col("w") > 0)
+        .select(col("i"), col("j"), col("w"))
+        .localCheckpoint()
+      val dom = scaled.select(col("i")).distinct()
+      val rev = scaled.select(col("i").as("rj"), col("j").as("ri"), col("w").as("w_ji"))
+      val pairs = scaled
+        .join(rev, col("i") === col("ri") && col("j") === col("rj"), "left")
+        .select(col("i"), col("j"), col("w").as("w_ij"),
+          (col("w") + coalesce(col("w_ji"), lit(0L))).as("n_ij"))
+        .join(dom.select(col("i").as("j")), Seq("j"), "left_semi")
+        .localCheckpoint()
+      val wt = pairs.groupBy(col("i")).agg(sum(col("w_ij")).as("w_total"))
+      var strength = wt.select(col("i").as("source"), lit(1000000L).as("st"))
+      for (_ <- 1 to 3) {
+        val si = strength.select(col("source").as("i"), col("st").as("st_i"))
+        val sj = strength.select(col("source").as("j"), col("st").as("st_j"))
+        strength = pairs.join(broadcast(si), "i").join(broadcast(sj), "j")
+          .withColumn("term", expr("(n_ij * 1000000000000L) div (st_i + st_j)"))
+          .groupBy(col("i")).agg(sum(col("term")).as("denom"))
+          .join(broadcast(wt), "i")
+          .select(col("i").as("source"),
+            expr("(w_total * 1000000000000L) div denom").as("st"))
+      }
+      strength
+        .join(wt.select(col("i").as("source"), col("w_total").as("wins_scaled")), "source")
+        .select(col("source"), col("st").as("strength_micro"), col("wins_scaled"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+              SELECT source,
+                CAST((len(list_distinct(string_split(text, ' '))) * 10000)
+                     // len(string_split(text, ' ')) AS BIGINT) AS q
+              FROM documents
+            ), cen AS (
+              SELECT source, q, count(*) AS c FROM d GROUP BY 1, 2
+            ), grid AS (
+              SELECT s.source AS j, v.q,
+                COALESCE(SUM(cen.c) OVER (PARTITION BY s.source ORDER BY v.q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+              FROM (SELECT DISTINCT q FROM cen) v
+              CROSS JOIN (SELECT DISTINCT source FROM cen) s
+              LEFT JOIN cen ON cen.source = s.source AND cen.q = v.q
+            ), wins AS (
+              SELECT cen.source AS i, g.j, CAST(SUM(cen.c * g.cum_below) AS BIGINT) AS w_ij
+              FROM cen JOIN grid g ON cen.q = g.q AND cen.source <> g.j
+              GROUP BY 1, 2
+            ), scaled AS (
+              SELECT i, j,
+                w_ij // GREATEST(1, (SELECT CAST(SUM(w_ij) AS BIGINT) FROM wins) // 1000000) AS w
+              FROM wins
+            ), sc AS (
+              SELECT * FROM scaled WHERE w > 0
+            ), pairs AS (
+              SELECT a.i, a.j, a.w AS w_ij, a.w + COALESCE(b.w, 0) AS n_ij
+              FROM sc a LEFT JOIN sc b ON b.i = a.j AND b.j = a.i
+              WHERE a.j IN (SELECT DISTINCT i FROM sc)
+            ), wt AS (
+              SELECT i, CAST(SUM(w_ij) AS BIGINT) AS w_total FROM pairs GROUP BY 1
+            ), s0 AS (
+              SELECT i AS source, CAST(1000000 AS BIGINT) AS st FROM wt
+            ), it1 AS (
+              SELECT wt.i AS source,
+                (wt.w_total * 1000000000000) //
+                  CAST(SUM((p.n_ij * 1000000000000) // (si.st + sj.st)) AS BIGINT) AS st
+              FROM pairs p
+              JOIN s0 si ON si.source = p.i
+              JOIN s0 sj ON sj.source = p.j
+              JOIN wt ON wt.i = p.i
+              GROUP BY wt.i, wt.w_total
+            ), it2 AS (
+              SELECT wt.i AS source,
+                (wt.w_total * 1000000000000) //
+                  CAST(SUM((p.n_ij * 1000000000000) // (si.st + sj.st)) AS BIGINT) AS st
+              FROM pairs p
+              JOIN it1 si ON si.source = p.i
+              JOIN it1 sj ON sj.source = p.j
+              JOIN wt ON wt.i = p.i
+              GROUP BY wt.i, wt.w_total
+            ), it3 AS (
+              SELECT wt.i AS source,
+                (wt.w_total * 1000000000000) //
+                  CAST(SUM((p.n_ij * 1000000000000) // (si.st + sj.st)) AS BIGINT) AS st
+              FROM pairs p
+              JOIN it2 si ON si.source = p.i
+              JOIN it2 sj ON sj.source = p.j
+              JOIN wt ON wt.i = p.i
+              GROUP BY wt.i, wt.w_total
+            )
+            SELECT it3.source, CAST(it3.st AS BIGINT) AS strength_micro,
+              wt.w_total AS wins_scaled
+            FROM it3 JOIN wt ON wt.i = it3.source
+            ORDER BY it3.source""")
+  )
+
   def all: Seq[Q] =
     Seq(importanceWeights, budgetSelect, curriculumOrder, preferencePairs,
-      targetEncode, lengthBuckets)
+      targetEncode, lengthBuckets, btStrength)
 }
