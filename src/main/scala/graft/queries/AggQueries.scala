@@ -438,6 +438,86 @@ object AggQueries {
             FROM generate_series(1, 9) AS t(d)""")
   )
 
+  /** A11 ⊕ — Count–Min sketch (Cormode & Muthukrishnan), the streaming
+    * point-frequency sketch the engine's sketch shelf was missing (HLL
+    * counts distincts, AMS sizes joins, Bloom tests membership — CMS
+    * answers "how often did THIS key appear" in O(d·w) memory). Built
+    * here as pure SQL-shaped arithmetic: d=4 pairwise-independent hash
+    * rows ((u·Aⱼ+Bⱼ) mod P mod w, P=1000003 prime, w=64 buckets — small enough that the fixture top-10 visibly collides, so the guarantee is certified on both sides: overcount ≥ 0 AND ≤ the εN bound), one
+    * group-by census per (row, bucket), then the estimate for each of
+    * the exact top-10 users is min over the 4 counters. The oracle pins
+    * the CMS one-sided guarantee: est ≥ exact ALWAYS (overcount ≥ 0),
+    * and est ≤ exact + εN with ε = e/w ≈ 0.0425 (the within_eps column pins it in integer arithmetic: εN = (42473·N) div 10⁶).
+    *
+    * Scale shape: the sketch census is ≤ d·w = 256 groups no matter
+    * the row count (map-side partial agg collapses the 4× explode
+    * before the shuffle); the exact side is one census + TakeOrdered
+    * top-10; the probe join is 40 rows against a broadcast ≤256-row
+    * sketch. (u mod P) ≤ 10⁶ keeps (u mod P)·Aⱼ ≤ 10¹² — no overflow at
+    * any user-id width. */
+  val countMin = Q(
+    "a11_countmin_sketch",
+    "Count-Min sketch certification: d=4 x w=64 integer counter census over user_id, top-10 exact vs min-of-rows estimate; 0 <= overcount <= eps*N pinned.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val A = Seq(999983L, 999979L, 999961L, 999959L)
+      val B = Seq(17L, 257L, 4099L, 65537L)
+      def bucket(j: Int) =
+        expr(s"(((user_id % 1000003L) * ${A(j)}L + ${B(j)}L) % 1000003L) % 64L")
+      val ev = t.events.select(col("user_id")).localCheckpoint()
+      val hashed = ev.select(col("user_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), bucket(j).as("b"))): _*)).as("h"))
+        .select(col("h.j"), col("h.b"))
+      val sketch = hashed.groupBy(col("j"), col("b")).agg(count(lit(1)).as("cnt"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id").asc).limit(10)
+      val probes = exact.select(col("user_id"), col("exact_n"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j.toLong).as("j"), bucket(j).as("b"))): _*)).as("h"))
+        .select(col("user_id"), col("exact_n"), col("h.j"), col("h.b"))
+      val totalN = ev.agg(count(lit(1)).as("big_n"))
+      probes.join(broadcast(sketch), Seq("j", "b"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .crossJoin(broadcast(totalN))
+        .withColumn("overcount", col("cms_est") - col("exact_n"))
+        .withColumn("one_sided_ok", col("overcount") >= 0L)
+        .withColumn("within_eps", // eps = e/64 ~ 0.042473 -> bound = (42473*N) div 1e6
+          col("overcount") <= expr("(42473L * big_n) div 1000000L"))
+        .drop("big_n")
+        .orderBy(col("exact_n").desc, col("user_id").asc)
+    },
+    Some("""WITH h AS (
+              SELECT j,
+                (((user_id % 1000003) * a + b) % 1000003) % 64 AS bkt
+              FROM events,
+                (VALUES (0, 999983, 17), (1, 999979, 257),
+                        (2, 999961, 4099), (3, 999959, 65537)) AS p(j, a, b)
+            ), sketch AS (
+              SELECT j, bkt, count(*) AS cnt FROM h GROUP BY 1, 2
+            ), exact AS (
+              SELECT user_id, count(*) AS exact_n FROM events
+              GROUP BY 1 ORDER BY exact_n DESC, user_id ASC LIMIT 10
+            ), probe AS (
+              SELECT e.user_id, e.exact_n, p.j,
+                (((e.user_id % 1000003) * p.a + p.b) % 1000003) % 64 AS bkt
+              FROM exact e,
+                (VALUES (0, 999983, 17), (1, 999979, 257),
+                        (2, 999961, 4099), (3, 999959, 65537)) AS p(j, a, b)
+            )
+            SELECT pr.user_id, pr.exact_n,
+              CAST(min(s.cnt) AS BIGINT) AS cms_est,
+              CAST(min(s.cnt) - pr.exact_n AS BIGINT) AS overcount,
+              min(s.cnt) - pr.exact_n >= 0 AS one_sided_ok,
+              min(s.cnt) - pr.exact_n
+                <= (42473 * (SELECT count(*) FROM events)) // 1000000 AS within_eps
+            FROM probe pr JOIN sketch s ON s.j = pr.j AND s.bkt = pr.bkt
+            GROUP BY 1, 2
+            ORDER BY exact_n DESC, user_id ASC""")
+  )
+
   def all: Seq[Q] = Seq(a3, a4a5, a7MaxBy, a10Approx, percentiles, groupingSets,
-    skewCensus, sampleEstimate, equidepthBins, joinSizeSketch, quantileSketch)
+    skewCensus, sampleEstimate, equidepthBins, joinSizeSketch, quantileSketch,
+    countMin)
 }

@@ -825,7 +825,81 @@ object DedupQueries {
             FROM cl GROUP BY 1""")
   )
 
+  /** A10 ⊕ — asymmetric CONTAINMENT near-dup (Broder's "roughly
+    * contained" relation): Jaccard misses the case where a short
+    * document is wholly lifted into a long one (quote farms, scraped
+    * article + boilerplate wrapper) because the union in the
+    * denominator is dominated by the long side. Containment
+    * C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| is direction-aware:
+    * near 1 means A lives inside B regardless of B's size. Computed
+    * over each document's DISCRIMINATIVE word 4-grams (document
+    * frequency 2–16 — the same df-cap that keeps every gram-keyed join
+    * in this file skew-safe): candidates come from the gram equi-join,
+    * never doc×doc, and both numerator and denominator count kept
+    * grams, so the ratio is a self-consistent exact rational reported
+    * in ppm.
+    *
+    * Scale shape: gram census → df-capped join (Σ C(df,2) ≤ 16·|grams|
+    * directed pairs), per-pair count, one broadcast-size join against
+    * the per-doc gram counts, TakeOrdered top-100. No stage is
+    * quadratic in documents. */
+  val containment = Q(
+    "a10_containment",
+    "Asymmetric containment near-dup: directed |A∩B|/|A| in ppm over df-capped word 4-grams; gram-join candidates (never doc x doc), >=50% pairs, top 100.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val grams = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("w")) - 3),
+            i => concat_ws(" ", (0 to 3).map(k => element_at(col("w"), i + k)): _*))))
+            .as("g"))
+      val discriminative = grams.groupBy(col("g"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd").between(2, 16))
+        .select(col("g"))
+      val kept = grams.join(discriminative, "g").localCheckpoint()
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      val shared = kept.select(col("g"), col("doc_id").as("a"))
+        .join(kept.select(col("g"), col("doc_id").as("b")), "g")
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      shared.join(sizes.withColumnRenamed("doc_id", "a"), "a")
+        .withColumn("containment_ppm", expr("(shared * 1000000L) div na"))
+        // evidence floor: a doc with <5 discriminative grams makes any
+        // single shared gram look like 100% containment
+        .filter(col("na") >= 5L && col("containment_ppm") >= 500000L)
+        .select(col("a"), col("b"), col("na"), col("shared"), col("containment_ppm"))
+        .orderBy(col("containment_ppm").desc, col("a").asc, col("b").asc)
+        .limit(100)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), gr AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+              FROM d, LATERAL unnest(generate_series(1, greatest(len(w) - 3, 0))) AS t(i)
+              WHERE len(w) >= 4
+            ), disc AS (
+              SELECT g FROM gr GROUP BY g HAVING count(*) BETWEEN 2 AND 16
+            ), kept AS (
+              SELECT gr.* FROM gr JOIN disc USING (g)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS na FROM kept GROUP BY 1
+            ), sh AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+              FROM kept a JOIN kept b USING (g)
+              WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+            )
+            SELECT sh.a, sh.b, s.na, sh.shared,
+              CAST((sh.shared * 1000000) // s.na AS BIGINT) AS containment_ppm
+            FROM sh JOIN sizes s ON s.doc_id = sh.a
+            WHERE s.na >= 5 AND (sh.shared * 1000000) // s.na >= 500000
+            ORDER BY containment_ppm DESC, a ASC, b ASC LIMIT 100""")
+  )
+
   def all: Seq[Q] = Seq(exact, neardup, simhash, jaccardNgram, embedNearDup,
     dedupClusters, semDedup, minhashQuality, incremental, overlapEstimate,
-    entityResolution)
+    entityResolution, containment)
 }

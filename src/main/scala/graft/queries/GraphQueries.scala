@@ -326,5 +326,107 @@ object GraphQueries {
             FROM reach GROUP BY node ORDER BY node""")
   )
 
-  def all: Seq[Q] = Seq(syndicationRank, triangleCount, reachability, reachabilityIter)
+  /** A12 ⊕ — community detection by synchronous label propagation
+    * (Raghavan et al. 2007), the missing fourth member of the graph
+    * family (PageRank ranks, triangles measure cohesion, BFS/CC give
+    * reachability — LPA names the communities). Over the same part
+    * co-occurrence graph as a12_triangle_count (parts in the same
+    * 2–6-item order), every node starts labeled with its own id; each
+    * of 3 synchronous rounds relabels every node with the most frequent
+    * label among its neighbors, ties broken at the SMALLEST label — a
+    * total order, so the fixed round count is fully deterministic and
+    * the unrolled DuckDB CTE must agree bit-for-bit. Output is the
+    * community-size census (top 20 by size).
+    *
+    * Scale shape: per round, ONE equi-join of edges against the label
+    * table keyed on src (the textbook distributed LPA step), a
+    * (node, label) frequency census bounded by Σdeg, and a per-node
+    * argmax window (partitioned by node — never global). Rounds are
+    * fixed at 3; labels are checkpointed per round so lineage stays
+    * flat. The 2–6 basket cap bounds pair expansion exactly as in the
+    * triangle counter. */
+  val labelPropagation = Q(
+    "a12_label_propagation",
+    "Synchronous label propagation (3 rounds, most-frequent-neighbor label, smallest-label ties) over the part co-occurrence graph; community size census, top 20.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val items = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val keep = items.groupBy(col("o")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 6))
+        .select(col("o"))
+      val kept = items.join(keep, "o")
+      val edges = kept.select(col("o"), col("p").as("src"))
+        .join(kept.select(col("o"), col("p").as("dst")), Seq("o"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+        .localCheckpoint() // reused every round; self-releasing
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var lbl = nodes.select(col("node"), col("node").as("lbl"))
+      val byFreq = Window.partitionBy(col("node"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      for (_ <- 1 to 3) {
+        val picked = edges
+          .join(lbl.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(byFreq))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("lbl"))
+        // the graph is symmetrized, so every node has >= 1 neighbor and
+        // appears in picked; localCheckpoint keeps round lineage flat
+        lbl = picked.localCheckpoint()
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("sz"), min(col("node")).as("min_node"))
+        .orderBy(col("sz").desc, col("community").asc)
+        .limit(20)
+    },
+    Some("""WITH items AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), keep AS (
+              SELECT o FROM items GROUP BY o HAVING count(*) BETWEEN 2 AND 6
+            ), k AS (
+              SELECT items.* FROM items JOIN keep USING (o)
+            ), e AS (
+              SELECT DISTINCT a.p AS src, b.p AS dst
+              FROM k a JOIN k b ON a.o = b.o AND a.p <> b.p
+            ), n AS (
+              SELECT DISTINCT src AS node FROM e
+            ), l0 AS (
+              SELECT node, node AS lbl FROM n
+            ), f1 AS (
+              SELECT e.dst AS node, l.lbl, count(*) AS c
+              FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2
+            ), l1 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+                FROM f1) WHERE rn = 1
+            ), f2 AS (
+              SELECT e.dst AS node, l.lbl, count(*) AS c
+              FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2
+            ), l2 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+                FROM f2) WHERE rn = 1
+            ), f3 AS (
+              SELECT e.dst AS node, l.lbl, count(*) AS c
+              FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2
+            ), l3 AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl,
+                  row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+                FROM f3) WHERE rn = 1
+            )
+            SELECT lbl AS community, count(*) AS sz, min(node) AS min_node
+            FROM l3 GROUP BY 1
+            ORDER BY sz DESC, community ASC LIMIT 20""")
+  )
+
+  def all: Seq[Q] = Seq(syndicationRank, triangleCount, reachability,
+    reachabilityIter, labelPropagation)
 }

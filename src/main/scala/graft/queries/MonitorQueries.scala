@@ -401,6 +401,119 @@ object MonitorQueries {
             FROM w""")
   )
 
+  /** A13 extension — two-sample Kolmogorov–Smirnov drift test, the
+    * distribution-free companion to the binned TVD above: where
+    * [[driftTvd]] fixes a bin width and can miss shifts inside a bin,
+    * KS compares the full empirical CDFs and reports the worst
+    * separation anywhere on the axis. Populations are the even/odd
+    * user_id halves of `events.value` (the A/B stand-in); the statistic
+    * is computed entirely in integer arithmetic: per-cents cumulative
+    * counts, per-side ppm CDFs by integer division, D = max |cdfA −
+    * cdfB| with the argmax tie broken at the smallest cents value.
+    *
+    * Scale shape: one census over the bounded cents domain (values are
+    * range-bounded, so distinct cents is a fixed-size domain no matter
+    * the row count), then ONE unpartitioned cumulative window over that
+    * bounded census — the same bounded-domain window contract as
+    * a13_slo_burn_rate. fa ≤ 2^63/1e6 rows keeps fa·1e6 in range up to
+    * ~9·10¹² rows per side. */
+  val ksStat = Q(
+    "a13_ks_stat",
+    "Two-sample KS statistic between even/odd user halves of events.value: integer ppm CDFs over the cents census, max |cdfA-cdfB| with smallest-cents tie-break.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val census = t.events
+        .select(expr("cast(round(value * 100) as long)").as("cents"),
+          (col("user_id") % 2 === 0).as("is_a"))
+        .groupBy(col("cents"))
+        .agg(count(when(col("is_a"), 1)).as("ca"),
+          count(when(!col("is_a"), 1)).as("cb"))
+      val wCum = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = census.select(col("cents"),
+        sum(col("ca")).over(wCum).as("fa"),
+        sum(col("cb")).over(wCum).as("fb"))
+      val tot = census.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("cents"), col("na"), col("nb"),
+          expr("abs((fa * 1000000L) div na - (fb * 1000000L) div nb)").as("d_ppm"))
+        .orderBy(col("d_ppm").desc, col("cents").asc)
+        .limit(1)
+        .select(col("cents").as("argmax_cents"), col("d_ppm"),
+          col("na"), col("nb"))
+    },
+    Some("""WITH c AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS ca,
+                count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS cb
+              FROM events GROUP BY 1
+            ), cum AS (
+              SELECT cents,
+                sum(ca) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+                sum(cb) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+              FROM c
+            ), tot AS (
+              SELECT sum(ca) AS na, sum(cb) AS nb FROM c
+            )
+            SELECT cents AS argmax_cents,
+              CAST(abs((fa * 1000000) // na - (fb * 1000000) // nb) AS BIGINT) AS d_ppm,
+              CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+            FROM cum, tot
+            ORDER BY d_ppm DESC, argmax_cents ASC LIMIT 1""")
+  )
+
+  /** A13 extension — group-parity audit over the curation gate: for
+    * each source, the rate at which its documents pass the length gate
+    * (n_chars ≥ 500 — the a9/x28 quality-cascade keep proxy), in exact
+    * ppm, plus the gap to the corpus-wide rate and the disparate-impact
+    * ratio against the best-performing source (the EEOC four-fifths
+    * framing: di < 800,000 ppm of the best group flags the gate as
+    * skewed against that source). A training-data pipeline runs this
+    * census after every filter change: a gate that silently drops one
+    * source's documents 5× faster than another's shifts the corpus mix.
+    *
+    * Scale shape: one scan → per-source census (bounded by |sources|) →
+    * single-row global broadcast. Nothing per-document after the first
+    * aggregate. */
+  val groupParity = Q(
+    "a13_group_parity",
+    "Group-parity audit: per-source keep rate under the n_chars>=500 gate in exact ppm, gap to the global rate, and four-fifths disparate-impact ratio vs the best source.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val per = t.documents.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("n_chars") >= 500, 1)).as("n_kept"))
+        .withColumn("rate_ppm", expr("(n_kept * 1000000L) div n"))
+      val glob = per.agg(
+        sum(col("n")).as("tot_n"), sum(col("n_kept")).as("tot_kept"),
+        max(col("rate_ppm")).as("best_ppm"))
+      per.crossJoin(broadcast(glob))
+        .select(col("source"), col("n"), col("n_kept"), col("rate_ppm"),
+          expr("rate_ppm - (tot_kept * 1000000L) div tot_n").as("gap_ppm"),
+          expr("(rate_ppm * 1000000L) div best_ppm").as("di_vs_best_ppm"))
+        .withColumn("four_fifths_flag", col("di_vs_best_ppm") < 800000L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH per AS (
+              SELECT source, count(*) AS n,
+                count(CASE WHEN n_chars >= 500 THEN 1 END) AS n_kept
+              FROM documents GROUP BY 1
+            ), r AS (
+              SELECT source, n, n_kept,
+                CAST((n_kept * 1000000) // n AS BIGINT) AS rate_ppm
+              FROM per
+            ), g AS (
+              SELECT sum(n) AS tot_n, sum(n_kept) AS tot_kept,
+                max(rate_ppm) AS best_ppm FROM r
+            )
+            SELECT source, n, CAST(n_kept AS BIGINT) AS n_kept, rate_ppm,
+              CAST(rate_ppm - (tot_kept * 1000000) // tot_n AS BIGINT) AS gap_ppm,
+              CAST((rate_ppm * 1000000) // best_ppm AS BIGINT) AS di_vs_best_ppm,
+              (rate_ppm * 1000000) // best_ppm < 800000 AS four_fifths_flag
+            FROM r, g ORDER BY source""")
+  )
+
   def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift,
-    aucScore, calibrationBins, sloBurnRate)
+    aucScore, calibrationBins, sloBurnRate, ksStat, groupParity)
 }

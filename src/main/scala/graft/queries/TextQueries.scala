@@ -1084,8 +1084,95 @@ object TextQueries {
             ORDER BY cos2_bp DESC, d1, d2 LIMIT 20""")
   )
 
+  /** X28 ⊕ — RAKE keyphrase extraction (Rose et al. 2010), the unsupervised
+    * keyword miner a corpus-curation team runs to label what a source is
+    * actually about: candidate phrases are the maximal stopword-free token
+    * runs (split at 'the'/'a' — the corpus' stopword set — and capped at 4
+    * tokens), each word is scored degree/frequency (degree = Σ length of
+    * the phrases it appears in — co-occurrence-weighted), and a phrase
+    * scores the sum of its member words. All arithmetic is exact:
+    * word_score is (deg·10⁶) div freq and phrase scores are integer sums
+    * of those, so the ranking is partition-order-independent and the
+    * DuckDB oracle hash-matches.
+    *
+    * Scale shape: tokenization is per-row; the run-id assignment is a
+    * per-document cumulative window (bounded by document length, never
+    * corpus-wide); word stats and phrase stats are two censuses over
+    * bounded vocab/phrase domains; the final ranking is a TakeOrdered
+    * top-15. */
+  val keyphrases = Q(
+    "x28_keyphrases",
+    "RAKE keyphrases: stopword-split candidate runs (<=4 tokens), word deg/freq scores in exact ppm, phrase score = sum of member word scores; top 15.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val toks = t.documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("is_stop", col("tok").isin("the", "a"))
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = toks
+        .withColumn("run", sum(col("is_stop").cast("long")).over(wRun))
+        .filter(!col("is_stop"))
+      val phrases = runs.groupBy(col("doc_id"), col("run"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+        .select(concat_ws(" ", expr("transform(pt, x -> x.tok)")).as("phrase"),
+          size(col("pt")).cast("long").as("len"))
+        .filter(col("len").between(1, 4))
+        .localCheckpoint() // feeds word stats AND phrase census
+      val wordStats = phrases
+        .select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .withColumn("wscore", expr("(deg * 1000000L) div freq"))
+      val phraseCensus = phrases.groupBy(col("phrase"), col("len"))
+        .agg(count(lit(1)).as("n_occ"))
+      phraseCensus
+        .select(col("phrase"), col("len"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(broadcast(wordStats.select(col("w"), col("wscore"))), "w")
+        .groupBy(col("phrase"), col("len"), col("n_occ"))
+        .agg(sum(col("wscore")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("phrase").asc)
+        .limit(15)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tok,
+                w[t.i] IN ('the', 'a') AS is_stop
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) AS d,
+                LATERAL unnest(generate_series(1, len(w))) AS t(i)
+            ), runs AS (
+              SELECT doc_id, pos, tok, is_stop,
+                sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM toks
+            ), nonstop AS (
+              SELECT doc_id, run, pos, tok FROM runs WHERE NOT is_stop
+            ), phrases AS (
+              SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                CAST(count(*) AS BIGINT) AS len
+              FROM nonstop GROUP BY doc_id, run
+              HAVING count(*) BETWEEN 1 AND 4
+            ), words AS (
+              SELECT w, count(*) AS freq, CAST(sum(len) AS BIGINT) AS deg
+              FROM phrases, LATERAL unnest(string_split(phrase, ' ')) AS u(w)
+              GROUP BY 1
+            ), wscores AS (
+              SELECT w, (deg * 1000000) // freq AS wscore FROM words
+            ), pc AS (
+              SELECT phrase, len, count(*) AS n_occ FROM phrases GROUP BY 1, 2
+            )
+            SELECT pc.phrase, pc.len, pc.n_occ,
+              CAST(sum(ws.wscore) AS BIGINT) AS score_e6
+            FROM pc, LATERAL unnest(string_split(pc.phrase, ' ')) AS u(w)
+            JOIN wscores ws ON ws.w = u.w
+            GROUP BY 1, 2, 3
+            ORDER BY score_e6 DESC, phrase ASC LIMIT 15""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
       bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch, bigramLm, vocabGrowth,
-      urlNormalize, tfidfSim)
+      urlNormalize, tfidfSim, keyphrases)
 }
