@@ -338,18 +338,27 @@ object GraphQueries {
     * the unrolled DuckDB CTE must agree bit-for-bit. Output is the
     * community-size census (top 20 by size).
     *
-    * Scale shape: per round, ONE equi-join of edges against the label
-    * table keyed on src (the textbook distributed LPA step), a
-    * (node, label) frequency census bounded by Σdeg, and a per-node
-    * argmax window (partitioned by node — never global). Rounds are
-    * fixed at 3; labels are checkpointed per round so lineage stays
-    * flat. The 2–6 basket cap bounds pair expansion exactly as in the
-    * triangle counter. */
+    * Scale shape — every round is EXCHANGE-FREE: the edge table is
+    * hash-partitioned on dst ONCE and cached (InMemoryRelation keeps
+    * the partitioning visible to the planner, which an ExistingRDD
+    * checkpoint would not), the |nodes|-sized label table is broadcast
+    * into the join, and both aggregates then satisfy the dst clustering
+    * — the (node, label) census groups by (dst, lbl) and the argmax
+    * groups by dst, so neither needs a shuffle. The argmax itself is a
+    * plain hash-aggregable max over the packed long
+    * freq·2³¹ + (2³¹−1−label) — max_by over a struct plans as a
+    * SortAggregate (two Σdeg-sized sorts per round, measured 2–3× the
+    * whole round's cost); the packing keeps it in whole-stage codegen
+    * (valid while labels < 2³¹ and per-(node,label) frequencies < 2³²;
+    * both hold by construction here — labels are part ids). Rounds are
+    * fixed at 3; labels are checkpointed per round so each round's
+    * broadcast reads a materialized 20k-row table instead of
+    * re-executing every prior round. The 2–6 basket cap bounds pair
+    * expansion exactly as in the triangle counter. */
   val labelPropagation = Q(
     "a12_label_propagation",
     "Synchronous label propagation (3 rounds, most-frequent-neighbor label, smallest-label ties) over the part co-occurrence graph; community size census, top 20.",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val t = Tables(s, dir)
       val items = t.lineitem
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -362,19 +371,20 @@ object GraphQueries {
         .join(kept.select(col("o"), col("p").as("dst")), Seq("o"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
-        .localCheckpoint() // reused every round; self-releasing
+        .repartition(col("dst")) // shuffle the invariant side ONCE
+        .cache() // partitioning-visible, unlike an RDD checkpoint
       val nodes = edges.select(col("src").as("node")).distinct()
       var lbl = nodes.select(col("node"), col("node").as("lbl"))
-      val byFreq = Window.partitionBy(col("node"))
-        .orderBy(col("c").desc, col("lbl").asc)
       for (_ <- 1 to 3) {
         val picked = edges
-          .join(lbl.withColumnRenamed("node", "src"), "src")
+          .join(broadcast(lbl.withColumnRenamed("node", "src")), "src")
           .groupBy(col("dst").as("node"), col("lbl"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(byFreq))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("lbl"))
+          // argmax(freq, then smallest label) as one HASH aggregate:
+          // max of the packed long decodes to the (c desc, lbl asc) pick
+          .groupBy(col("node"))
+          .agg(max(expr("c * 2147483648L + (2147483647L - lbl)")).as("packed"))
+          .select(col("node"), expr("2147483647L - packed % 2147483648L").as("lbl"))
         // the graph is symmetrized, so every node has >= 1 neighbor and
         // appears in picked; localCheckpoint keeps round lineage flat
         lbl = picked.localCheckpoint()
