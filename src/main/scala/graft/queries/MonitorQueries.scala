@@ -514,6 +514,80 @@ object MonitorQueries {
             FROM r, g ORDER BY source""")
   )
 
+  /** A13 extension — Theil–Sen robust trend: is the error rate actually
+    * drifting up, or did a few bad buckets fool the least-squares line?
+    * The Theil–Sen estimator is the median of all pairwise slopes —
+    * breakdown point 29%, so outlier buckets (deploy spikes, backfill
+    * gaps) can't drag the trend the way they drag a mean-based fit.
+    * Over the bounded 30-minute error-rate census: y = per-bucket error
+    * ppm (integer div), slope(i,j) = (yⱼ−yᵢ)·10⁶ div (xⱼ−xᵢ) — every
+    * slope an exact integer, so the median is a deterministic rank
+    * selection (lower median, ties broken by the pair's bucket ids).
+    *
+    * Scale shape: the pair expansion is over the TIME-BUCKET census —
+    * C(buckets, 2) pairs grows with wall-clock span, not event volume
+    * (48 buckets/day → ~10⁶ pairs/year, constant for a 100 TB/day
+    * firehose). One event-volume census, then bounded-domain self-join
+    * + rank window. */
+  val theilSen = Q(
+    "a13_theil_sen",
+    "Theil-Sen robust trend of the 30-min error-rate series: median of all pairwise integer slopes (e6/bucket), lower-median rank selection, quartile band.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val buckets = t.events
+        .select(expr("unix_micros(ts) div 1800000000").as("x"),
+          (col("event_type") === "error").cast("long").as("is_err"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("is_err")).as("errs"))
+        .select(col("x"), expr("(errs * 1000000L) div n").as("y"))
+        .localCheckpoint() // both sides of the bounded pair self-join
+      val pairs = buckets.select(col("x").as("xi"), col("y").as("yi"))
+        .join(buckets.select(col("x").as("xj"), col("y").as("yj")),
+          col("xi") < col("xj"))
+        .select(col("xi"), col("xj"),
+          expr("((yj - yi) * 1000000L) div (xj - xi)").as("slope_e6"))
+      val wRank = Window.orderBy(col("slope_e6"), col("xi"), col("xj"))
+      val ranked = pairs
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .localCheckpoint() // ranked once, probed three times
+      val m = ranked.agg(max(col("rn")).as("m"))
+      ranked.crossJoin(broadcast(m))
+        .filter(col("rn") === expr("(m + 1L) div 2L") ||
+          col("rn") === expr("(m + 3L) div 4L") ||
+          col("rn") === expr("(3L * m + 1L) div 4L"))
+        .groupBy(col("m").as("n_pairs"))
+        .agg(
+          max(when(col("rn") === expr("(m + 1L) div 2L"), col("slope_e6"))).as("median_slope_e6"),
+          max(when(col("rn") === expr("(m + 3L) div 4L"), col("slope_e6"))).as("p25_slope_e6"),
+          max(when(col("rn") === expr("(3L * m + 1L) div 4L"), col("slope_e6"))).as("p75_slope_e6"))
+        .select(col("n_pairs"), col("median_slope_e6"),
+          col("p25_slope_e6"), col("p75_slope_e6"))
+    },
+    Some("""WITH b AS (
+              SELECT epoch_us(ts) // 1800000000 AS x,
+                count(*) AS n,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+              FROM events GROUP BY 1
+            ), pts AS (
+              SELECT x, CAST((errs * 1000000) // n AS BIGINT) AS y FROM b
+            ), pairs AS (
+              SELECT a.x AS xi, c.x AS xj,
+                ((c.y - a.y) * 1000000) // (c.x - a.x) AS slope_e6
+              FROM pts a JOIN pts c ON a.x < c.x
+            ), ranked AS (
+              SELECT slope_e6,
+                row_number() OVER (ORDER BY slope_e6, xi, xj) AS rn,
+                count(*) OVER () AS m
+              FROM pairs
+            )
+            SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+              CAST(max(CASE WHEN rn = (m + 1) // 2 THEN slope_e6 END) AS BIGINT) AS median_slope_e6,
+              CAST(max(CASE WHEN rn = (m + 3) // 4 THEN slope_e6 END) AS BIGINT) AS p25_slope_e6,
+              CAST(max(CASE WHEN rn = (3 * m + 1) // 4 THEN slope_e6 END) AS BIGINT) AS p75_slope_e6
+            FROM ranked""")
+  )
+
   def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift,
-    aucScore, calibrationBins, sloBurnRate, ksStat, groupParity)
+    aucScore, calibrationBins, sloBurnRate, ksStat, groupParity, theilSen)
 }

@@ -1171,8 +1171,57 @@ object TextQueries {
             ORDER BY score_e6 DESC, phrase ASC LIMIT 15""")
   )
 
+  /** X28 ⊕ — vocabulary concentration per source: Simpson's λ (=the
+    * Herfindahl–Hirschman index) over the word distribution, the
+    * one-number answer to "is this source actually diverse text or ten
+    * templates stamped out a million times?" — a core curation signal
+    * next to the repetition and quality gates. Computed scale-safe: each
+    * word's share is quantized to per-mille FIRST ((c·1000) div N ≤
+    * 1000), so the summed squares are bounded by 10⁶ ppm regardless of
+    * corpus size — no N² term ever materializes (Σc(c−1) would overflow
+    * a long at ~10¹² tokens). Top-word share in the same units.
+    *
+    * Scale shape: one (source, word) census (map-side combinable), one
+    * per-source rollup bounded by |sources|·|vocab|. Nothing is
+    * per-document after the first aggregate. */
+  val vocabConcentration = Q(
+    "x28_vocab_concentration",
+    "Simpson/HHI vocabulary concentration per source: per-mille word shares squared and summed (ppm), top-word share, distinct words, token count.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val words = t.documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val totals = words.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
+      words.join(totals, "source")
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          expr("(c * 1000L) div n_tokens").as("share_pm"))
+        .groupBy(col("source"), col("n_tokens"), col("n_distinct"))
+        .agg(sum(expr("share_pm * share_pm")).as("hhi_ppm"),
+          max(col("share_pm")).as("top_share_pm"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH words AS (
+              SELECT source, w, count(*) AS c
+              FROM (SELECT source, string_split(text, ' ') AS toks FROM documents) AS d,
+                LATERAL unnest(toks) AS u(w)
+              GROUP BY 1, 2
+            ), totals AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct
+              FROM words GROUP BY 1
+            )
+            SELECT w.source, t.n_tokens, t.n_distinct,
+              CAST(sum(((w.c * 1000) // t.n_tokens) * ((w.c * 1000) // t.n_tokens)) AS BIGINT) AS hhi_ppm,
+              CAST(max((w.c * 1000) // t.n_tokens) AS BIGINT) AS top_share_pm
+            FROM words w JOIN totals t USING (source)
+            GROUP BY 1, 2, 3 ORDER BY w.source""")
+  )
+
   def all: Seq[Q] =
     Seq(stats, quality, langId, fingerprint, tokenCount, filterChain, repetition, piiScrub,
       bpeMerges, bpeApply, oovRate, spanDedup, fuzzyMatch, bigramLm, vocabGrowth,
-      urlNormalize, tfidfSim, keyphrases)
+      urlNormalize, tfidfSim, keyphrases, vocabConcentration)
 }

@@ -148,6 +148,28 @@ class RoundNineOpsSpec extends SparkSpecBase {
     assert(out.filter(col("containment_ppm") > 1000000L || col("na") < 5L).count() == 0)
   }
 
+  test("Theil-Sen: quartiles bracket the median and the pair count is C(buckets,2)") {
+    val row = MonitorQueries.theilSen.fn(spark, dir).collect().head
+    val (m, med, p25, p75) = (row.getAs[Long]("n_pairs"),
+      row.getAs[Long]("median_slope_e6"),
+      row.getAs[Long]("p25_slope_e6"), row.getAs[Long]("p75_slope_e6"))
+    assert(p25 <= med && med <= p75)
+    val buckets = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 1800000000").as("x")).distinct().count()
+    assert(m == buckets * (buckets - 1) / 2)
+  }
+
+  test("vocab concentration: shares and HHI stay in their per-mille/ppm ranges") {
+    val out = TextQueries.vocabConcentration.fn(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("top_share_pm") > 1000 || col("top_share_pm") < 0).count() == 0)
+      assert(out.filter(col("hhi_ppm") > 1000000L || col("hhi_ppm") < 0).count() == 0)
+      // the top word's squared share alone is a lower bound on the HHI
+      assert(out.filter(col("hhi_ppm") < col("top_share_pm") * col("top_share_pm")).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("RAKE keyphrases: no stopwords inside phrases, lengths within the cap") {
     val out = TextQueries.keyphrases.fn(spark, dir).cache()
     try {
