@@ -103,7 +103,16 @@ object Plans {
     "a10_group_split"   -> "group vs row split: one scan, two hash columns, bounded leak censuses",
     "s9_orc_roundtrip"  -> "ORC interchange: zstd sink, vectorized scan with pushed filter, exact census",
     "a11_quantile_sketch" -> "sketch certification: 9-row broadcast rank probe vs the cents census, no sort",
-    "w12_markov_transitions" -> "Markov matrix: user-partitioned lag window, 25-cell census, integer bp rows"
+    "w12_markov_transitions" -> "Markov matrix: user-partitioned lag window, 25-cell census, integer bp rows",
+    // round-9 additions
+    "a12_label_propagation" -> "LPA communities: dst-partitioned cached edges, broadcast labels, exchange-free packed-max rounds",
+    "a11_countmin_sketch" -> "Count-Min: 256-cell counter census, TakeOrdered exact top-10, broadcast sketch probe",
+    "a10_containment"   -> "asymmetric containment: df-capped 4-gram posting join, per-doc size broadcast, TakeOrdered-100",
+    "x28_keyphrases"    -> "RAKE: per-doc run windows, two bounded censuses, broadcast word scores, TakeOrdered-15",
+    "a13_ks_stat"       -> "KS drift: cents census, ONE bounded-domain cumulative window, 1-row TakeOrdered argmax",
+    "a13_theil_sen"     -> "Theil-Sen trend: bucket-census pair join (wall-clock-bounded), rank-median selection",
+    "x28_vocab_concentration" -> "HHI: (source, word) census, per-mille quantized shares, |sources|-row rollup",
+    "a13_group_parity"  -> "parity audit: |sources|-bounded census + 1-row global broadcast"
   )
 
   def main(args: Array[String]): Unit = {

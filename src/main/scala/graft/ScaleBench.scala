@@ -60,7 +60,13 @@ object ScaleBench {
     "j5_matryoshka_probe", "x28_vocab_growth",
     // the sparse posting-list similarity join (the round's last
     // structurally new shape: gram-keyed pair expansion + norm joins)
-    "x28_tfidf_sim")
+    "x28_tfidf_sim",
+    // round-9 additions: LPA rounds over the basket graph, asymmetric
+    // containment posting join, RAKE phrase censuses, KS cumulative
+    // window, Count-Min counter census, Theil-Sen bucket pairs, HHI
+    "a12_label_propagation", "a10_containment", "x28_keyphrases",
+    "a13_ks_stat", "a11_countmin_sketch", "a13_theil_sen",
+    "x28_vocab_concentration")
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

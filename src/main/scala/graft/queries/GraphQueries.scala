@@ -437,6 +437,103 @@ object GraphQueries {
             ORDER BY sz DESC, community ASC LIMIT 20""")
   )
 
+  /** A12 ⊕ — HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * syndication graph: PageRank answers "who is important", HITS splits
+    * the question the way a content-provenance audit needs it split —
+    * AUTHORITIES are sources whose content everyone republishes
+    * (training-data gold), HUBS are aggregators that republish everyone
+    * (dedup suspects). Two unrolled mutual-reinforcement iterations,
+    * each half-step renormalized to fixed-point millionths of the max
+    * (a single-row broadcast, so scores never overflow however deep the
+    * iteration): a ← Σ_in h, h ← Σ_out a. All-integer, so the unrolled
+    * DuckDB CTE agrees bit-for-bit.
+    *
+    * Scale shape: each half-step is ONE equi-join of the edge list
+    * against the |nodes|-sized score table plus a per-node sum — the
+    * same join-agg round as distributed PageRank — and one single-row
+    * max broadcast. The edge list is localCheckpointed once and reused
+    * by all four half-steps. */
+  val hits = Q(
+    "a12_hits",
+    "HITS hubs/authorities over the directed syndication graph: 2 unrolled iterations, integer millionths-of-max renormalization per half-step.",
+    (s, dir) => {
+      // The gram join emits both directions; orient each co-occurrence
+      // edge src < dst (a documented stand-in for publication-time
+      // direction, which the fixture lacks) — on a symmetric graph HITS
+      // degenerates to hub == authority everywhere.
+      val edges = syndicationEdges(Tables(s, dir))
+        .filter(col("src") < col("dst")).localCheckpoint()
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      def scaled(scores: DataFrame): DataFrame = {
+        // renormalize to millionths of the max; broadcast the 1-row max
+        val m = scores.agg(max(col("s")).as("m"))
+        scores.crossJoin(broadcast(m))
+          .select(col("node"), expr("(s * 1000000L) div m").as("s"))
+      }
+      def halfStep(scores: DataFrame, fromCol: String, toCol: String): DataFrame =
+        scaled(edges
+          .join(scores.withColumnRenamed("node", fromCol), fromCol)
+          .groupBy(col(toCol).as("node")).agg(sum(col("s")).as("s")))
+      val h0 = nodes.select(col("node"), lit(1000000L).as("s"))
+      val a1 = halfStep(h0, "src", "dst").localCheckpoint()
+      val h1 = halfStep(a1, "dst", "src").localCheckpoint()
+      val a2 = halfStep(h1, "src", "dst").localCheckpoint()
+      val h2 = halfStep(a2, "dst", "src")
+      nodes
+        .join(h2.withColumnRenamed("s", "hub_e6"), Seq("node"), "left")
+        .join(a2.withColumnRenamed("s", "auth_e6"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub_e6"), lit(0L)).as("hub_e6"),
+          coalesce(col("auth_e6"), lit(0L)).as("auth_e6"))
+        .orderBy(col("node"))
+    },
+    Some("""WITH toks AS (
+              SELECT source, string_split(text, ' ') AS w FROM documents
+            ), spans AS (
+              SELECT DISTINCT source, array_to_string(w[i:i+4], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 0))) AS t(i)
+              WHERE len(w) >= 5
+            ), gsrc AS (
+              SELECT g FROM spans GROUP BY g HAVING count(*) BETWEEN 2 AND 8
+            ), e AS (
+              SELECT DISTINCT a.source AS src, b.source AS dst
+              FROM spans a JOIN gsrc USING (g) JOIN spans b USING (g)
+              WHERE a.source < b.source
+            ), n AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), h0 AS (
+              SELECT node, CAST(1000000 AS BIGINT) AS s FROM n
+            ), a1r AS (
+              SELECT e.dst AS node, CAST(sum(h0.s) AS BIGINT) AS s
+              FROM e JOIN h0 ON e.src = h0.node GROUP BY 1
+            ), a1 AS (
+              SELECT node, (s * 1000000) // (SELECT max(s) FROM a1r) AS s FROM a1r
+            ), h1r AS (
+              SELECT e.src AS node, CAST(sum(a1.s) AS BIGINT) AS s
+              FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1
+            ), h1 AS (
+              SELECT node, (s * 1000000) // (SELECT max(s) FROM h1r) AS s FROM h1r
+            ), a2r AS (
+              SELECT e.dst AS node, CAST(sum(h1.s) AS BIGINT) AS s
+              FROM e JOIN h1 ON e.src = h1.node GROUP BY 1
+            ), a2 AS (
+              SELECT node, (s * 1000000) // (SELECT max(s) FROM a2r) AS s FROM a2r
+            ), h2r AS (
+              SELECT e.src AS node, CAST(sum(a2.s) AS BIGINT) AS s
+              FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1
+            ), h2 AS (
+              SELECT node, (s * 1000000) // (SELECT max(s) FROM h2r) AS s FROM h2r
+            )
+            SELECT n.node,
+              CAST(coalesce(h2.s, 0) AS BIGINT) AS hub_e6,
+              CAST(coalesce(a2.s, 0) AS BIGINT) AS auth_e6
+            FROM n LEFT JOIN h2 ON n.node = h2.node
+                   LEFT JOIN a2 ON n.node = a2.node
+            ORDER BY n.node""")
+  )
+
   def all: Seq[Q] = Seq(syndicationRank, triangleCount, reachability,
-    reachabilityIter, labelPropagation)
+    reachabilityIter, labelPropagation, hits)
 }

@@ -532,4 +532,63 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("approx_count_distinct") || p.contains("HyperLogLog"),
       "the sketch leg must plan the HLL aggregate")
   }
+
+  test("a12_label_propagation: a round is exchange-free — broadcast join + hash aggregates only") {
+    // The registered query checkpoints each round, so its FINAL plan is
+    // just an RDD scan; rebuild one round from the same building blocks
+    // and pin the shape the scaladoc claims: edges cached with hash(dst)
+    // partitioning, labels broadcast, both aggregates partition-local,
+    // argmax as a HASH (packed-long max) aggregate, never a sort.
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, dir)
+    val items = t.lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val keep = items.groupBy("o").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 6)).select("o")
+    val kept = items.join(keep, "o")
+    val edges = kept.select(col("o"), col("p").as("src"))
+      .join(kept.select(col("o"), col("p").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .repartition(col("dst")).cache()
+    edges.count() // materialize so AQE sees the cached partitioning
+    val lbl = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    val round = edges
+      .join(broadcast(lbl.withColumnRenamed("node", "src")), "src")
+      .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("node"))
+      .agg(max(expr("c * 2147483648L + (2147483647L - lbl)")).as("packed"))
+      .select(col("node"), expr("2147483647L - packed % 2147483648L").as("lbl"))
+    round.count() // finalize the adaptive plan
+    val p = round.queryExecution.executedPlan.toString
+    // strip the cached-edge subtree (its build legitimately exchanges):
+    // everything ABOVE the InMemoryTableScan must be exchange-free
+    val above = p.split("InMemoryTableScan").head
+    assert(!above.contains("Exchange hashpartitioning"),
+      s"an LPA round must not shuffle:\n$above")
+    assert(!above.contains("SortAggregate"),
+      "the packed-long argmax must stay a hash aggregate")
+    assert(above.contains("BroadcastHashJoin"),
+      "the label table must broadcast into the round join")
+    spark.catalog.clearCache()
+  }
+
+  test("a11_countmin_sketch: exact top-10 is a bounded heap; the probe joins the tiny sketch") {
+    val p = plan("a11_countmin_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the exact top-10 must plan as a bounded heap, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the 1-row total-N frame may nested-loop; the sketch probe is an equi-join")
+  }
+
+  test("a10_containment / x28_keyphrases: gram and word joins stay hash equi-joins") {
+    for (name <- Seq("a10_containment", "x28_keyphrases")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop")
+    }
+    spark.catalog.clearCache()
+  }
 }

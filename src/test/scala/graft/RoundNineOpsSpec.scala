@@ -148,6 +148,21 @@ class RoundNineOpsSpec extends SparkSpecBase {
     assert(out.filter(col("containment_ppm") > 1000000L || col("na") < 5L).count() == 0)
   }
 
+  test("HITS: scores are normalized millionths with both maxima hit exactly") {
+    val out = GraphQueries.hits.fn(spark, dir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("hub_e6") < 0 || col("hub_e6") > 1000000L ||
+        col("auth_e6") < 0 || col("auth_e6") > 1000000L).count() == 0)
+      // each half-step renormalizes to millionths of the max, so the
+      // best hub and best authority score exactly 1e6
+      assert(out.agg(max("hub_e6")).collect().head.getLong(0) == 1000000L)
+      assert(out.agg(max("auth_e6")).collect().head.getLong(0) == 1000000L)
+      // the oriented graph must differentiate the two roles somewhere
+      assert(out.filter(col("hub_e6") =!= col("auth_e6")).count() > 0)
+    } finally out.unpersist()
+  }
+
   test("Theil-Sen: quartiles bracket the median and the pair count is C(buckets,2)") {
     val row = MonitorQueries.theilSen.fn(spark, dir).collect().head
     val (m, med, p25, p75) = (row.getAs[Long]("n_pairs"),
