@@ -588,6 +588,74 @@ object MonitorQueries {
             FROM ranked""")
   )
 
+  /** A13 extension — autocorrelation of the ingest-volume series at
+    * fixed lags (1, 2, 4, 8, 12, 24, 48 half-hour buckets): the
+    * seasonality detector — a spike at lag 48 says the firehose has a
+    * daily cycle, which drives partition sizing and alert baselines
+    * (w9's seasonal cells assume a period; this measures whether one
+    * exists). Scale-safe exact arithmetic: per-bucket volumes are
+    * quantized to per-mille of the peak FIRST (d ≤ 1000, so Σd² and
+    * every lag product stay far under 2⁶³ at any event volume), the
+    * mean is an integer-div, and r(k) = (Σ dₜdₜ₊ₖ · 10⁶) div Σd² —
+    * truncation-consistent across both engines (verified: DuckDB's //
+    * truncates toward zero on negatives, like Spark's div).
+    *
+    * Scale shape: one event-volume census, then self-joins over the
+    * TIME-BUCKET domain only (buckets grow with wall-clock span, not
+    * volume), one 1-row denominator broadcast. */
+  val autocorrelation = Q(
+    "a13_autocorrelation",
+    "Ingest-volume ACF at lags 1,2,4,8,12,24,48 half-hour buckets: per-mille-quantized deviations, exact integer r(k) in ppm, pair counts.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buckets = t.events
+        .select(expr("unix_micros(ts) div 1800000000").as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("y"))
+      val peak = buckets.agg(max(col("y")).as("peak"), count(lit(1)).as("nb"))
+      val pm = buckets.crossJoin(broadcast(peak))
+        .select(col("x"), expr("(y * 1000L) div peak").as("ypm"), col("nb"))
+      val mean = pm.agg(expr("sum(ypm) div max(nb)").as("mu"))
+      val dev = pm.crossJoin(broadcast(mean))
+        .select(col("x"), (col("ypm") - col("mu")).as("d"))
+        .localCheckpoint() // three consumers: both join sides + denominator
+      val den = dev.agg(sum(expr("d * d")).as("den"))
+      val lags = dev.select(col("x"), col("d"),
+        explode(lit(Array(1L, 2L, 4L, 8L, 12L, 24L, 48L))).as("k"))
+      lags.join(dev.select(col("x").as("x2"), col("d").as("d2")),
+          col("x") + col("k") === col("x2"))
+        .groupBy(col("k"))
+        .agg(sum(expr("d * d2")).as("num"), count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(den))
+        .select(col("k").as("lag"),
+          expr("(num * 1000000L) div den").as("r_ppm"), col("n_pairs"))
+        .orderBy(col("lag"))
+    },
+    Some("""WITH b AS (
+              SELECT epoch_us(ts) // 1800000000 AS x, count(*) AS y
+              FROM events GROUP BY 1
+            ), pk AS (
+              SELECT max(y) AS peak, count(*) AS nb FROM b
+            ), pm AS (
+              SELECT x, (y * 1000) // peak AS ypm FROM b, pk
+            ), mu AS (
+              SELECT CAST(sum(ypm) AS BIGINT) // (SELECT nb FROM pk) AS mu FROM pm
+            ), dev AS (
+              SELECT x, ypm - mu AS d FROM pm, mu
+            ), den AS (
+              SELECT CAST(sum(d * d) AS BIGINT) AS den FROM dev
+            ), lags AS (
+              SELECT a.x, a.d, k.k, c.d AS d2
+              FROM dev a,
+                (VALUES (1), (2), (4), (8), (12), (24), (48)) AS k(k)
+              JOIN dev c ON c.x = a.x + k.k
+            )
+            SELECT CAST(k AS BIGINT) AS lag,
+              CAST((sum(d * d2) * 1000000) // (SELECT den FROM den) AS BIGINT) AS r_ppm,
+              count(*) AS n_pairs
+            FROM lags GROUP BY k ORDER BY lag""")
+  )
+
   def all: Seq[Q] = Seq(driftTvd, profileCard, trendingTerms, embeddingDrift,
-    aucScore, calibrationBins, sloBurnRate, ksStat, groupParity, theilSen)
+    aucScore, calibrationBins, sloBurnRate, ksStat, groupParity, theilSen,
+    autocorrelation)
 }

@@ -758,7 +758,81 @@ object SourceQueries {
               ('veg_req_mono.tif', -2, 0)) AS t(resource, status, attempts)""")
   )
 
+  /** S9 ⊕ — merge-on-read DELETION VECTORS, the lakehouse delete path
+    * that does NOT rewrite data files (Delta DVs / Iceberg position
+    * deletes): a delete emits only (file, row_position) tombstones and
+    * every reader anti-joins them in. Next to u6_forget_users (the
+    * copy-on-write face) this is the read side of the cheap-delete
+    * trade-off. The estate is a multi-file staging of events; the DV is
+    * built ONCE from content (event_id % 97 = 0 — a stand-in GDPR
+    * delete list), but the read path deletes BY POSITION: the survivors
+    * census anti-joins on (file_name, row_index) via Spark's `_metadata`
+    * scan fields, never re-evaluating the content predicate — exactly
+    * how a DV reader must behave (the delete list's content rule is
+    * unknowable at read time). DuckDB independently reproduces both
+    * sides with filename + file_row_number.
+    *
+    * Scale shape: the DV build is one scan; the MOR read is one scan +
+    * one anti-join keyed on (file, position) — at production scale the
+    * DV side is file-partitioned and tiny relative to data (deletes are
+    * sparse), so the anti-join broadcasts. PINNED to the sf0.01 estate:
+    * the oracle SQL is a static string naming a literal path (the
+    * s9_row_provenance constraint); StagedEstate restages on fixture
+    * drift. */
+  val deletionVectors = Q(
+    "s9_deletion_vectors",
+    "Merge-on-read deletion vectors: (file, row_index) tombstones anti-joined at read via _metadata / file_row_number; per-type survivor census + deleted count.",
+    (s, _) => {
+      import graft.Tables
+      val srcDir = "/root/testdata/sf0.01"
+      val path = graft.ops.StagedEstate.ensure(
+        s"${graft.ops.Fixtures.Root}/events_mor_sf0.01", srcDir) {
+        Tables(s, srcDir).events.repartition(4).write.mode("overwrite")
+          .parquet(s"${graft.ops.Fixtures.Root}/events_mor_sf0.01")
+      }
+      val scan = s.read.parquet(path).select(
+        col("_metadata.file_name").as("f"),
+        col("_metadata.row_index").as("ri"),
+        col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+      // the DV: positions only — content rule applied ONCE at build
+      val dv = scan.filter(col("event_id") % 97 === 0)
+        .select(col("f"), col("ri")).localCheckpoint()
+      val survivors = scan.join(dv, Seq("f", "ri"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_live"), sum(col("cents")).as("sum_cents"))
+      val deleted = scan.join(dv, Seq("f", "ri"), "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_deleted"))
+      survivors.join(deleted, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_live"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"), col("sum_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH scan AS (
+              SELECT filename AS f, file_row_number AS ri, event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM read_parquet('${graft.ops.Fixtures.Root}/events_mor_sf0.01/*.parquet',
+                filename=true, file_row_number=true)
+            ), dv AS (
+              SELECT f, ri FROM scan WHERE event_id % 97 = 0
+            ), survivors AS (
+              SELECT event_type, count(*) AS n_live,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM scan ANTI JOIN dv USING (f, ri)
+              GROUP BY 1
+            ), deleted AS (
+              SELECT event_type, count(*) AS n_deleted
+              FROM scan SEMI JOIN dv USING (f, ri)
+              GROUP BY 1
+            )
+            SELECT s.event_type, s.n_live,
+              CAST(coalesce(d.n_deleted, 0) AS BIGINT) AS n_deleted, s.sum_cents
+            FROM survivors s LEFT JOIN deleted d USING (event_type)
+            ORDER BY s.event_type""")
+  )
+
   def all: Seq[Q] = Seq(jsonSource, binaryScan, dsv2, dsv2Agg, partitionPruning,
     zorder, compactionPlan, bucketedJoin, restFetch, requestUrls, schemaEvolution,
-    jsonQuarantine, rowProvenance, orcRoundtrip, restRateLimit)
+    jsonQuarantine, rowProvenance, orcRoundtrip, restRateLimit, deletionVectors)
 }

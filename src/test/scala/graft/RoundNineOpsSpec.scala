@@ -185,6 +185,31 @@ class RoundNineOpsSpec extends SparkSpecBase {
     } finally out.unpersist()
   }
 
+  test("deletion vectors: live + deleted partitions the estate; deletes match the build rule") {
+    import graft.queries.SourceQueries
+    val out = SourceQueries.deletionVectors.fn(spark, dir).cache()
+    try {
+      // the query pins the sf0.01 estate regardless of dir (static oracle)
+      val raw = Tables(spark, "/root/testdata/sf0.01").events
+      val perType = raw.groupBy("event_type").agg(
+        count(lit(1)).as("n_all"),
+        count(when(col("event_id") % 97 === 0, 1)).as("n_rule"))
+      val joined = out.join(perType, "event_type")
+      assert(joined.filter(col("n_live") + col("n_deleted") =!= col("n_all")).count() == 0,
+        "MOR read must partition every row into live xor deleted")
+      assert(joined.filter(col("n_deleted") =!= col("n_rule")).count() == 0,
+        "positional deletes must equal the content rule the DV was built from")
+    } finally out.unpersist()
+  }
+
+  test("autocorrelation: r bounded by ±1e6 and every requested lag reports") {
+    val out = MonitorQueries.autocorrelation.fn(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("lag")).sorted.sameElements(
+      Array(1L, 2L, 4L, 8L, 12L, 24L, 48L)))
+    assert(out.forall(r => math.abs(r.getAs[Long]("r_ppm")) <= 1000000L))
+    assert(out.forall(_.getAs[Long]("n_pairs") > 0))
+  }
+
   test("RAKE keyphrases: no stopwords inside phrases, lengths within the cap") {
     val out = TextQueries.keyphrases.fn(spark, dir).cache()
     try {
