@@ -112,7 +112,10 @@ object Plans {
     "a13_ks_stat"       -> "KS drift: cents census, ONE bounded-domain cumulative window, 1-row TakeOrdered argmax",
     "a13_theil_sen"     -> "Theil-Sen trend: bucket-census pair join (wall-clock-bounded), rank-median selection",
     "x28_vocab_concentration" -> "HHI: (source, word) census, per-mille quantized shares, |sources|-row rollup",
-    "a13_group_parity"  -> "parity audit: |sources|-bounded census + 1-row global broadcast"
+    "a13_group_parity"  -> "parity audit: |sources|-bounded census + 1-row global broadcast",
+    "a12_hits"          -> "HITS: per half-step one edge equi-join + per-node sum + 1-row max broadcast",
+    "s9_deletion_vectors" -> "MOR deletes: _metadata position scan, (file, row_index) anti/semi joins",
+    "a13_autocorrelation" -> "ACF: volume census, per-mille deviations, bucket-domain lag self-join"
   )
 
   def main(args: Array[String]): Unit = {
