@@ -214,5 +214,182 @@ object SqlEntryQueries {
             FROM piv ORDER BY total DESC, doc_id ASC LIMIT 20""")
   )
 
-  def all: Seq[Q] = Seq(sqlAsof, sqlLshDedup, sqlBm25)
+  /** MERGE/upsert as PURE SQL (VERDICT r9 next #7): the u4 full-outer
+    * CDC shape — snapshot FULL OUTER JOIN change batch on the key,
+    * outcome classified from side presence, per-outcome census with
+    * exact checksums. The scalar subquery replaces the DataFrame form's
+    * broadcast crossJoin of the 1-row max (same plan family: a
+    * broadcast of one row). Oracle = u4_merge_upsert's own DuckDB
+    * shape, so SQL face and DataFrame face provably agree. */
+  val sqlMerge = Q(
+    "sql_entry_merge",
+    "Raw-SQL MERGE/upsert: snapshot FULL OUTER JOIN deterministic change batch, outcome census (updated/inserted/carried) with char and id checksums; same oracle shape as u4_merge_upsert.",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("documents")
+      s.sql("""
+        WITH snap AS (
+          SELECT doc_id, source, n_chars FROM documents
+        ), batch AS (
+          SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id
+                      ELSE doc_id + (SELECT max(doc_id) FROM snap) + 1 END AS doc_id,
+                 source, n_chars + 3 AS n_chars
+          FROM snap WHERE doc_id % 10 = 0 OR doc_id % 25 = 0
+        ), merged AS (
+          SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+            CASE WHEN s.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                 WHEN b.doc_id IS NOT NULL THEN 'inserted'
+                 ELSE 'carried' END AS outcome,
+            coalesce(b.n_chars, s.n_chars) AS n_chars
+          FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
+        )
+        SELECT outcome, count(*) AS n_docs,
+               sum(n_chars) AS sum_chars, sum(doc_id) AS sum_ids
+        FROM merged GROUP BY outcome""")
+    },
+    Some("""WITH snap AS (
+              SELECT doc_id, source, n_chars FROM documents
+            ), batch AS (
+              SELECT CASE WHEN doc_id % 10 = 0 THEN doc_id
+                          ELSE doc_id + (SELECT max(doc_id) FROM snap) + 1 END AS doc_id,
+                     source, n_chars + 3 AS n_chars
+              FROM snap WHERE doc_id % 10 = 0 OR doc_id % 25 = 0
+            ), merged AS (
+              SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN s.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                     WHEN b.doc_id IS NOT NULL THEN 'inserted'
+                     ELSE 'carried' END AS outcome,
+                coalesce(b.n_chars, s.n_chars) AS n_chars
+              FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
+            )
+            SELECT outcome, count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM merged GROUP BY outcome""")
+  )
+
+  /** The W2 window family as PURE SQL with a named WINDOW clause —
+    * ranking, offset (lag/lead), and a sliding 3-row frame in one
+    * statement. Both engines support the identical ANSI text (only the
+    * moving-average frame is inlined, since the frame must be declared
+    * at the use site on both). One shuffle on user_id; frames evaluated
+    * in-sort, exactly the w2_window_funcs plan. */
+  val sqlWindow = Q(
+    "sql_entry_window",
+    "Raw-SQL window family: row_number, lag, lead, 3-row moving average over one named WINDOW; same answer and oracle as w2_window_funcs.",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events")
+      s.sql("""
+        SELECT user_id, event_id,
+          row_number() OVER w AS rn, value,
+          lag(value, 1) OVER w AS prev_value,
+          lead(value, 1) OVER w AS next_value,
+          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")
+    },
+    Some("""SELECT user_id, event_id,
+            row_number() OVER w AS rn, value,
+            lag(value, 1) OVER w AS prev_value,
+            lead(value, 1) OVER w AS next_value,
+            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+            FROM events WHERE user_id < 20
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")
+  )
+
+  /** The f12 data-contract gate as PURE SQL: FK anti-joins,
+    * count-minus-distinct uniqueness, accepted-values, range and
+    * not-null checks over the same planted-violation batch, one
+    * UNION ALL statement. `LEFT ANTI JOIN` is the only dialect split
+    * (DuckDB spells it `ANTI JOIN`). */
+  val sqlContract = Q(
+    "sql_entry_contract",
+    "Raw-SQL contract gate: six checks (2 FK anti-joins, uniqueness, accepted values, range, not-null) as one UNION ALL over planted violations; same check set as f12_contract_checks.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.createOrReplaceTempView("orders")
+      t.lineitem.createOrReplaceTempView("lineitem")
+      t.customer.createOrReplaceTempView("customer")
+      t.events.createOrReplaceTempView("events")
+      t.documents.createOrReplaceTempView("documents")
+      s.sql("""
+        WITH orders_b AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+            CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+          FROM orders
+        ), lineitem_b AS (
+          SELECT CASE WHEN l_orderkey % 103 = 0 THEN -l_orderkey ELSE l_orderkey END AS l_orderkey,
+            CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1
+                 THEN l_discount + 0.15 ELSE l_discount END AS l_discount
+          FROM lineitem
+        ), events_b AS (
+          SELECT event_id FROM events
+          UNION ALL SELECT event_id FROM events WHERE event_id % 500 = 0
+        ), checks AS (
+          SELECT 'fk_lineitem_orderkey' AS check_name, count(*) AS n_violations
+          FROM lineitem_b l LEFT ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'fk_orders_custkey', count(*)
+          FROM orders_b b LEFT ANTI JOIN customer c ON b.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'unique_event_id', count(*) - count(DISTINCT event_id) FROM events_b
+          UNION ALL
+          SELECT 'accepted_status',
+            sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+          FROM orders_b
+          UNION ALL
+          SELECT 'range_discount',
+            sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+          FROM lineitem_b
+          UNION ALL
+          SELECT 'not_null_text',
+            sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+          FROM documents
+        )
+        SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS pass
+        FROM checks""")
+    },
+    Some("""WITH orders_b AS (
+              SELECT o_orderkey,
+                CASE WHEN o_orderkey % 97 = 0 THEN -o_custkey ELSE o_custkey END AS o_custkey,
+                CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+              FROM orders
+            ), lineitem_b AS (
+              SELECT CASE WHEN l_orderkey % 103 = 0 THEN -l_orderkey ELSE l_orderkey END AS l_orderkey,
+                CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1
+                     THEN l_discount + 0.15 ELSE l_discount END AS l_discount
+              FROM lineitem
+            ), events_b AS (
+              SELECT event_id FROM events
+              UNION ALL SELECT event_id FROM events WHERE event_id % 500 = 0
+            ), checks AS (
+              SELECT 'fk_lineitem_orderkey' AS check_name, count(*) AS n_violations
+              FROM lineitem_b l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 'fk_orders_custkey', count(*)
+              FROM orders_b b ANTI JOIN customer c ON b.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT 'unique_event_id', count(*) - count(DISTINCT event_id) FROM events_b
+              UNION ALL
+              SELECT 'accepted_status',
+                sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+              FROM orders_b
+              UNION ALL
+              SELECT 'range_discount',
+                sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+              FROM lineitem_b
+              UNION ALL
+              SELECT 'not_null_text',
+                sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+              FROM documents
+            )
+            SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+              n_violations = 0 AS pass
+            FROM checks""")
+  )
+
+  def all: Seq[Q] = Seq(sqlAsof, sqlLshDedup, sqlBm25, sqlMerge, sqlWindow, sqlContract)
 }

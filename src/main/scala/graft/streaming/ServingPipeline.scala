@@ -61,6 +61,7 @@ object ServingPipeline {
       .option("maxPolls", maxPolls.toString)
       .load()
     fetched.writeStream
+      .queryName("serving_ingest") // named so the scrape listener's rows identify the stage
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val events = parseEvents(batch).localCheckpoint()
@@ -116,6 +117,7 @@ object ServingPipeline {
         TimeMode.None(), OutputMode.Append(),
         Encoders.product[StreamingResultCache.Served])
       .writeStream
+      .queryName("serving_serve") // named so the scrape listener's rows identify the stage
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[StreamingResultCache.Served], _: Long) =>

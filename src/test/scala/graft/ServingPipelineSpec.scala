@@ -45,6 +45,9 @@ class ServingPipelineSpec extends SparkSpecBase {
     val handoff = tmp("serve_handoff"); val quarantine = tmp("serve_quar")
     val gate = tmp("serve_gate"); val serveDir = tmp("serve_out")
     val ck1 = tmp("serve_ck1"); val ck2 = tmp("serve_ck2")
+    // the streaming /metrics scrape rides the whole run (assertions at end)
+    val scrape = new graft.streaming.StreamScrapeListener
+    spark.streams.addListener(scrape)
 
     // round 1, then KILL both queries
     val q1a = ServingPipeline.runIngest(spark, url, handoff, quarantine, gate, ck1, maxPolls = 1)
@@ -106,6 +109,26 @@ class ServingPipelineSpec extends SparkSpecBase {
       "restart re-served a cold response or lost cache state")
     assert(outcomes.filter(col("n") =!= 3).count() == 0)
     assert(outcomes.filter(col("n_hit") =!= 2).count() == 0)
+
+    // streaming /metrics scrape: both named stages reported progress
+    // rows, and the ingest stage's input-row gauges sum to the 3 polls'
+    // fetch rows (listener delivery is async; poll briefly)
+    try {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def ingest() = scrape.rows.filter(_.query_name == "serving_ingest")
+      def serve() = scrape.rows.filter(_.query_name == "serving_serve")
+      while ((ingest().isEmpty || serve().isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(ingest().nonEmpty, "no scrape rows from serving_ingest")
+      assert(serve().nonEmpty, "no scrape rows from serving_serve")
+      // 3 polls, one fetched URL row each
+      assert(ingest().map(_.input_rows).sum == 3,
+        s"ingest gauges: ${ingest().mkString(", ")}")
+      assert(scrape.rows.forall(_.trigger_ms >= 0))
+      // and the scrape TABLE face renders the same rows
+      assert(scrape.table(spark).filter(col("query_name") === "serving_serve").count() ==
+        serve().size)
+    } finally spark.streams.removeListener(scrape)
   }
 
   test("checkPairs is the single contract source: gate stream and composed path agree") {
