@@ -14,11 +14,17 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Master override for cross-process validation legs: e.g.
+    * SPARK_GRAFT_MASTER='local-cluster[2,2,1024]' runs the same mains
+    * against real executor PROCESSES (separate JVMs, real serialization
+    * and broadcast boundaries) — the cheapest stand-in for a cluster. */
+  def master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession
       .builder()
       .appName(appName)
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -115,7 +115,13 @@ object Plans {
     "a13_group_parity"  -> "parity audit: |sources|-bounded census + 1-row global broadcast",
     "a12_hits"          -> "HITS: per half-step one edge equi-join + per-node sum + 1-row max broadcast",
     "s9_deletion_vectors" -> "MOR deletes: _metadata position scan, (file, row_index) anti/semi joins",
-    "a13_autocorrelation" -> "ACF: volume census, per-mille deviations, bucket-domain lag self-join"
+    "a13_autocorrelation" -> "ACF: volume census, per-mille deviations, bucket-domain lag self-join",
+    // round-10 additions (the LPA rounds checkpoint per round, so the
+    // registered queries' final plans are RDD scans — the per-mode ROUND
+    // plans are pinned in LabelPropSpec; these entries pin the SQL faces)
+    "sql_entry_merge"    -> "raw-SQL MERGE: one full-outer key join, scalar-subquery max broadcast, outcome census",
+    "sql_entry_window"   -> "raw-SQL window family: ONE user_id shuffle, all four functions evaluated in-sort",
+    "sql_entry_contract" -> "raw-SQL contract gate: two broadcast anti-joins + four scan censuses, one union"
   )
 
   def main(args: Array[String]): Unit = {

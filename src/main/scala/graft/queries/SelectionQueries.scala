@@ -529,7 +529,65 @@ object SelectionQueries {
             ORDER BY it3.source""")
   )
 
+  /** A10 ⊕ — Pareto-frontier (skyline) selection: the documents no
+    * other document dominates on (quality ↑, cost ↓) — here lexical
+    * diversity (distinct-token per-mille, integer) vs token count. The
+    * frontier is what a budget-vs-quality curve is drawn from; every
+    * point NOT on it is strictly worse than some other document on both
+    * axes (Börzsönyi et al., "The Skyline Operator", ICDE 2001).
+    *
+    * Scale shape — NO doc-wide sort and NO doc×doc dominance join. A
+    * 2D skyline collapses to censuses: (1) group docs by the cost axis
+    * and keep max quality per cost — a |distinct costs|-sized census
+    * (bounded by max document length, a data-character constant, the
+    * same bounded-domain argument as the SLO-burn buckets); (2) ONE
+    * cumulative window over that census computes, per cost, the best
+    * quality at any STRICTLY cheaper cost; (3) each doc joins its cost
+    * row and survives iff it holds its cost's max quality AND beats
+    * every cheaper cost's best. Dominance with ties handled exactly:
+    * equal (cost, quality) pairs dominate each other on neither axis,
+    * so both stay. The oracle is the independent O(n²) NOT-EXISTS
+    * dominance formulation — the census path must reproduce it
+    * bit-for-bit. */
+  val paretoFrontier = Q(
+    "a10_pareto_frontier",
+    "Pareto/skyline selection: docs undominated on (distinct-token per-mille up, token count down), via a cost-census cumulative window — no global doc sort, no doc-x-doc join; oracle = NOT EXISTS dominance.",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val m = t.documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          expr("CAST(size(array_distinct(w)) AS BIGINT) * 1000 div size(w)").as("uniq_pm"))
+      val census = m.groupBy(col("n_tokens")).agg(max(col("uniq_pm")).as("mq"))
+      // cumulative best at strictly cheaper cost; window runs over the
+      // bounded cost census only, never over documents
+      val win = Window.orderBy(col("n_tokens").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val thresh = census.withColumn("best_cheaper", max(col("mq")).over(win))
+      m.join(broadcast(thresh), "n_tokens")
+        .filter(col("uniq_pm") === col("mq") &&
+          (col("best_cheaper").isNull || col("uniq_pm") > col("best_cheaper")))
+        .select(col("doc_id"), col("n_tokens"), col("uniq_pm"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+    },
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+                  // len(string_split(text, ' ')) AS uniq_pm
+              FROM documents
+            )
+            SELECT a.doc_id, a.n_tokens, a.uniq_pm
+            FROM m a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM m b
+              WHERE b.uniq_pm >= a.uniq_pm AND b.n_tokens <= a.n_tokens
+                AND (b.uniq_pm > a.uniq_pm OR b.n_tokens < a.n_tokens))
+            ORDER BY a.n_tokens, a.doc_id""")
+  )
+
   def all: Seq[Q] =
     Seq(importanceWeights, budgetSelect, curriculumOrder, preferencePairs,
-      targetEncode, lengthBuckets, btStrength)
+      targetEncode, lengthBuckets, btStrength, paretoFrontier)
 }
