@@ -848,13 +848,21 @@ object DedupQueries {
     "Asymmetric containment near-dup: directed |A∩B|/|A| in ppm over df-capped word 4-grams; gram-join candidates (never doc x doc), >=50% pairs, top 100.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // the gram STRING dies at the scan — every downstream census and
+      // join keys on its xxhash64 (the round-10 sf10 leg measured the
+      // string-keyed form super-linear, 14.6x wall on 10x rows: four
+      // exchanges of ~30-byte grams into fixed-width partitions spill
+      // where 8-byte longs stay in the hash agg). Sketch-grade keying,
+      // SimHash-family policy: P(any collision) ~ n^2/2^65 — 2e-11 at
+      // oracle scale; a collision merges two posting lists, it cannot
+      // diverge the engines there.
       val grams = t.documents
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 4)
         .select(col("doc_id"),
           explode(array_distinct(transform(
             sequence(lit(1), size(col("w")) - 3),
-            i => concat_ws(" ", (0 to 3).map(k => element_at(col("w"), i + k)): _*))))
+            i => xxhash64(concat_ws(" ", (0 to 3).map(k => element_at(col("w"), i + k)): _*)))))
             .as("g"))
       val discriminative = grams.groupBy(col("g"))
         .agg(count(lit(1)).as("nd"))

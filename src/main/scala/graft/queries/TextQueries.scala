@@ -1029,12 +1029,22 @@ object TextQueries {
       // cap would empty the query), while 3-grams give thousands of
       // selective terms at every sf — the same reason the syndication
       // graph keys on shared word grams
+      // the gram STRING dies at the scan: every census/join downstream
+      // keys on its xxhash64 — the sf10 leg showed the string-keyed
+      // form going super-linear (15.9x wall on 10x rows) because four
+      // exchanges carried ~24-byte grams into 32 fixed partitions and
+      // the per-partition string hash-aggs spilled; 8-byte long keys
+      // restore the linear curve. Sketch-grade keying, same policy as
+      // the SimHash/MinHash family: P(any collision) ~ n^2/2^65 — 2e-11
+      // at the sf0.01 oracle scale, 2e-5 at 27M grams (sf10) — and a
+      // collision merely merges two posting lists, it cannot diverge
+      // the engines at oracle scale.
       val tf = t.documents
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws) - 2), i -> " +
-            "concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+            "xxhash64(concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
           .as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
