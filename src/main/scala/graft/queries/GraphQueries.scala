@@ -39,12 +39,14 @@ object GraphQueries {
     "Fixed-point integer PageRank over the source-syndication graph (shared rare 5-grams, 2-8 source cap). 3 unrolled join-agg iterations.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // gram strings hashed at the scan (same policy as syndicationEdges
+      // below): the census/join exchanges carry 8-byte longs
       val spans = t.documents
         .select(col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("source"),
           explode(transform(sequence(lit(1), size(col("w")) - 4),
-            i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*))).as("g"))
+            i => xxhash64(concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("g"))
         .distinct()
       val sharedGrams = spans.groupBy(col("g"))
         .agg(count(lit(1)).as("ns"))
@@ -274,14 +276,20 @@ object GraphQueries {
   /** The shared-rare-5-gram syndication edge list (distinct directed
     * pairs) both reachability queries traverse: spans → 2–8-source gram
     * census (the same boilerplate/skew cap as the LSH band joins) →
-    * gram-keyed pair expansion. */
+    * gram-keyed pair expansion. The gram STRING dies at the scan — the
+    * distinct, the census, and the pair join all key on its xxhash64
+    * (8-byte longs through every exchange instead of ~30-byte strings;
+    * the same fix that took the round-10 sf10 leg's two super-linear
+    * posting-list curves back to sub-linear). Sketch-grade keying,
+    * SimHash-family collision policy (~n²/2⁶⁵); output pairs are
+    * (source, source) — the hash never leaves the build. */
   private def syndicationEdges(t: Tables): DataFrame = {
     val spans = t.documents
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("source"),
         explode(transform(sequence(lit(1), size(col("w")) - 4),
-          i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*))).as("g"))
+          i => xxhash64(concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("g"))
       .distinct()
     val sharedGrams = spans.groupBy(col("g"))
       .agg(count(lit(1)).as("ns"))

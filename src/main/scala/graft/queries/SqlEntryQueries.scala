@@ -391,5 +391,56 @@ object SqlEntryQueries {
             FROM checks""")
   )
 
-  def all: Seq[Q] = Seq(sqlAsof, sqlLshDedup, sqlBm25, sqlMerge, sqlWindow, sqlContract)
+  /** Raw SQL driving the CUSTOM PHYSICAL OPERATOR: the row_number
+    * tutorial idiom (rank filter over a window) is lowered by the
+    * opt-in [[graft.plans.RewriteRankFilterToTopK]] Rule onto the
+    * bounded-heap [[graft.plans.TopKPerKeyPlan]] — O(n log k) with a
+    * map-side partial heap, instead of WindowExec's full per-partition
+    * sort. The query REQUIRES the rewritten plan (a `TopKPerKey` node)
+    * before executing, so its green oracle row is simultaneously the
+    * proof that SQL text reaches the custom SparkPlan and that the heap
+    * reproduces the window's answer bit-for-bit (the ORDER BY is total,
+    * so ties cannot hide behind row_number nondeterminism). The rewrite
+    * flag is scoped to this query: set, executed eagerly, restored —
+    * the engine-wide default stays off on the measured fixture-scale
+    * crossover (see RewriteRankFilterToTopK's scaladoc). */
+  val sqlTopK = Q(
+    "sql_entry_topk",
+    "Raw-SQL per-key top-3 (rank-filter idiom) lowered onto the custom bounded-heap TopKPerKey operator by the opt-in rewrite Rule; plan-asserted in-query, oracled by the same rank filter in DuckDB.",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events")
+      val flag = "spark.graft.topk.rewrite"
+      val prev = s.conf.getOption(flag)
+      s.conf.set(flag, "true")
+      try {
+        val df = s.sql("""
+          SELECT user_id, event_id, value FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id ASC) AS rn
+            FROM events WHERE user_id < 50) t
+          WHERE rn <= 3""")
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("TopKPerKey"),
+          s"rank-filter rewrite did not fire:\n${plan.take(1500)}")
+        // execute under the flag (optimization is lazy; restoring the
+        // flag before the harness's own action would silently undo the
+        // rewrite), then hand back the materialized result
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    },
+    Some("""SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events WHERE user_id < 50) t
+            WHERE rn <= 3""")
+  )
+
+  def all: Seq[Q] = Seq(sqlAsof, sqlLshDedup, sqlBm25, sqlMerge, sqlWindow,
+    sqlContract, sqlTopK)
 }
