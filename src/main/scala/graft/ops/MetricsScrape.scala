@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.Project
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.util.QueryExecutionListener
 
@@ -26,6 +27,19 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * ExecutionListenerBus delivers asynchronously on the listener-bus
   * thread.
   *
+  * AQE-proof: the plan walk descends through `AdaptiveSparkPlanExec`
+  * (reading the FINALIZED adaptive plan — after the action completes,
+  * `executedPlan` is the re-optimized final tree) and through
+  * `QueryStageExec` wrappers (whose materialized exchanges AQE hides
+  * behind leaf nodes), so the scrape runs under the production default
+  * `spark.sql.adaptive.enabled=true` with no conf toggling.
+  *
+  * Execution is driven by a NOOP SINK write, not `collect()`: a metrics
+  * scraper must never pull the scraped query's result rows into the
+  * driver (a large result would OOM the driver for a surface that only
+  * reads SQLMetrics). The noop write executes the full plan on the
+  * executors and discards rows at the sink.
+  *
   * Scale shape: the listener is driver-side constant work per QUERY
   * (not per row) — the same cost model as a Prometheus exporter. The
   * scrape table is |queries| rows.
@@ -38,16 +52,12 @@ object MetricsScrape {
                              wall_ms: Long, shuffle_bytes: Long)
 
   /** Run each labeled DataFrame to completion under the scrape listener
-    * and return the metrics table (one row per query, in label order).
-    *
-    * AQE is disabled for the scraped runs: AdaptiveSparkPlanExec hides
-    * the final plan tree from the listener's plan walk, so the metric
-    * extraction would see no metered nodes. (A production scraper on a
-    * cluster would read the AQE final plan via the SQLAppStatusStore
-    * instead; for the engine-native surface the static plan is the
-    * honest, testable form.)
-    */
+    * and return the metrics table (one row per query, in label order). */
   def run(spark: SparkSession, items: Seq[(String, DataFrame)]): DataFrame = {
+    // duplicate labels would silently overwrite one query's row with the
+    // other's AND make the completeness poll unsatisfiable — fail at entry
+    require(items.map(_._1).distinct.size == items.size,
+      s"duplicate scrape labels: ${items.map(_._1).diff(items.map(_._1).distinct).distinct.mkString(", ")}")
     val buf = new java.util.concurrent.ConcurrentHashMap[String, MetricRow]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
@@ -57,23 +67,19 @@ object MetricsScrape {
         }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     }
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.listenerManager.register(listener)
     try {
       items.foreach { case (lbl, df) =>
-        df.withColumn(LabelCol, lit(lbl)).collect()
+        // noop sink: full executor-side execution, zero rows to the driver
+        df.withColumn(LabelCol, lit(lbl)).write.format("noop").mode("overwrite").save()
       }
-      // ExecutionListenerBus delivery is async; poll for completeness
-      // instead of touching the private listener bus
+      // ExecutionListenerBus delivery is async; poll for the SET of
+      // missing labels (not a size comparison) until complete
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (buf.size < items.size && System.nanoTime() < deadline) Thread.sleep(20)
-    } finally {
-      spark.listenerManager.unregister(listener)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
-    val missing = items.map(_._1).filterNot(buf.containsKey)
-    require(missing.isEmpty, s"metrics scrape missed: ${missing.mkString(", ")}")
+      def missing: Seq[String] = items.map(_._1).filterNot(buf.containsKey)
+      while (missing.nonEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      require(missing.isEmpty, s"metrics scrape missed: ${missing.mkString(", ")}")
+    } finally spark.listenerManager.unregister(listener)
     import spark.implicits._
     items.map { case (lbl, _) => buf.get(lbl) }.toDF()
       .orderBy(col("query_label"))
@@ -93,17 +99,34 @@ object MetricsScrape {
         }.flatten
     }.flatten
 
+  /** Preorder flatten of the executed plan that descends through the
+    * AQE wrappers an ordinary `collect` treats as leaves: the finalized
+    * adaptive tree under `AdaptiveSparkPlanExec` and the materialized
+    * plan under each `QueryStageExec` (shuffle/broadcast stages). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: inner.flatMap(allNodes)
+  }
+
   /** Output rows of the topmost metered node — for an aggregate query,
-    * the final aggregate's numOutputRows. */
+    * the final aggregate's numOutputRows. The noop write command node
+    * itself carries no row metric, so the walk lands on the query's
+    * real top operator under it. */
   private def topRows(qe: QueryExecution): Long =
-    qe.executedPlan.collectFirst {
+    allNodes(qe.executedPlan).collectFirst {
       case p if p.metrics.contains("numOutputRows") =>
         p.metrics("numOutputRows").value
     }.getOrElse(-1L)
 
-  /** Total bytes through shuffle exchanges (the `dataSize` SQLMetric). */
+  /** Total bytes through shuffle exchanges (the `dataSize` SQLMetric).
+    * Reused exchanges (`ReusedExchangeExec`) are NOT descended into —
+    * their original is metered once elsewhere in the tree. */
   private def shuffleBytes(qe: QueryExecution): Long = {
-    val sizes = qe.executedPlan.collect {
+    val sizes = allNodes(qe.executedPlan).collect {
       // exact match: ShuffleExchangeExec prints as "Exchange";
       // BroadcastExchange also carries dataSize but is not a shuffle
       case p if p.nodeName == "Exchange" && p.metrics.contains("dataSize") =>

@@ -441,6 +441,163 @@ object SqlEntryQueries {
             WHERE rn <= 3""")
   )
 
+  /** SCD Type-2 history as PURE SQL (VERDICT r10 next #6): u5's
+    * two-window shape — lag() marks state changes, the filtered change
+    * rows get version numbers and lead()-derived validity intervals with
+    * the -1 open sentinel — in one statement. The only dialect split is
+    * the epoch-micros spelling (`unix_micros` vs DuckDB `epoch_us`);
+    * every other byte of the text is shared. Same scale shape as the
+    * DataFrame form: both windows partition by user_id, never
+    * corpus-global. */
+  val sqlScd2 = Q(
+    "sql_entry_scd2",
+    "Raw-SQL SCD Type-2: lag-marked state changes, versioned validity intervals from lead(), -1 open sentinel; same answer and oracle shape as u5_scd2_history.",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("events")
+      s.sql("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts, event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), changes AS (
+          SELECT user_id, event_id, ts, event_type
+          FROM marked WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id,
+          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+          event_type,
+          unix_micros(ts) AS valid_from_us,
+          coalesce(lead(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            CAST(-1 AS BIGINT)) AS valid_to_us,
+          CASE WHEN coalesce(lead(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            CAST(-1 AS BIGINT)) = -1 THEN 1 ELSE 0 END AS is_current
+        FROM changes""")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, event_id, ts, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ), changes AS (
+              SELECT user_id, event_id, ts, event_type
+              FROM marked WHERE prev IS NULL OR prev <> event_type
+            )
+            SELECT user_id,
+              CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+              event_type,
+              epoch_us(ts) AS valid_from_us,
+              coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                CAST(-1 AS BIGINT)) AS valid_to_us,
+              CASE WHEN coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                CAST(-1 AS BIGINT)) = -1 THEN 1 ELSE 0 END AS is_current
+            FROM changes""")
+  )
+
+  /** Dedup-cluster resolution as PURE SQL (VERDICT r10 next #6): the
+    * LSH candidate pipeline (same text as sql_entry_lsh_dedup, driving
+    * the native `minhash_sigs` from SQL) followed by connected
+    * components via TRANSITIVE CLOSURE BY ITERATED SQUARING — six
+    * static DISTINCT self-joins, each doubling the covered path length
+    * (identity ∪ edges, then R←R∘R ×6 ⇒ diameter ≤ 64, the same
+    * log-diameter coverage as the CC operator's 6 pointer-jumping
+    * rounds). A recursive CTE cannot express this fixpoint on Spark
+    * 4.1: the engine rejects UNION-distinct recursion
+    * (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) and UNION ALL diverges on
+    * the symmetric (cyclic) pair graph — the squaring form is the SQL
+    * text that terminates, and it is exactly the pointer-jumping math
+    * spelled declaratively. Closure size is Σ|component|² pairs —
+    * bounded here by the 2–100 LSH bucket cap; at 100 TB this face
+    * hands off to [[graft.ops.ConnectedComponents]] (node-linear state),
+    * exactly as the recursive-CTE BFS face hands off to the Bfs
+    * operator. Oracle = a10_dedup_clusters' recursive-fixpoint DuckDB
+    * text, so the SQL face must reproduce the operator's components
+    * exactly. */
+  val sqlDedupClusters = Q(
+    "sql_entry_dedup_clusters",
+    "Raw-SQL dedup clusters: LSH candidates + exact-Jaccard pairs, then connected components via 6 DISTINCT closure-squaring self-joins (diameter <= 64); oracle = the recursive-fixpoint closure in DuckDB, same answer as a10_dedup_clusters.",
+    (s, dir) => {
+      Tables(s, dir).documents.createOrReplaceTempView("documents")
+      s.sql("""
+        WITH d AS (
+          SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents
+        ), sig AS (
+          SELECT doc_id, minhash_sigs(toks) AS mh FROM d
+        ), all_bands AS (
+          SELECT doc_id, b, concat(mh[2 * b], mh[2 * b + 1]) AS band_key
+          FROM sig LATERAL VIEW explode(sequence(0, 2)) t AS b
+        ), keep AS (
+          SELECT b, band_key FROM all_bands GROUP BY b, band_key
+          HAVING count(*) BETWEEN 2 AND 100
+        ), bands AS (
+          SELECT a.doc_id, a.b, a.band_key
+          FROM all_bands a JOIN keep USING (b, band_key)
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+          FROM bands l JOIN bands r USING (b, band_key)
+          WHERE l.doc_id < r.doc_id
+        ), p AS (
+          SELECT i, j
+          FROM (SELECT i, j,
+                  CAST(size(array_intersect(da.toks, db.toks)) AS DOUBLE) /
+                    (size(da.toks) + size(db.toks)
+                       - size(array_intersect(da.toks, db.toks))) AS jac
+                FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j)
+          WHERE jac >= 0.9
+        ), r0 AS (
+          SELECT i AS src, j AS dst FROM p
+          UNION SELECT j, i FROM p
+          UNION SELECT i, i FROM p
+          UNION SELECT j, j FROM p
+        ), r1 AS (SELECT DISTINCT a.src, b.dst FROM r0 a JOIN r0 b ON a.dst = b.src
+        ), r2 AS (SELECT DISTINCT a.src, b.dst FROM r1 a JOIN r1 b ON a.dst = b.src
+        ), r3 AS (SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r2 b ON a.dst = b.src
+        ), r4 AS (SELECT DISTINCT a.src, b.dst FROM r3 a JOIN r3 b ON a.dst = b.src
+        ), r5 AS (SELECT DISTINCT a.src, b.dst FROM r4 a JOIN r4 b ON a.dst = b.src
+        ), r6 AS (SELECT DISTINCT a.src, b.dst FROM r5 a JOIN r5 b ON a.dst = b.src
+        ), comp AS (
+          SELECT src AS node, min(dst) AS cluster_id FROM r6 GROUP BY src
+        )
+        SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
+        FROM comp GROUP BY cluster_id""")
+    },
+    Some("""WITH RECURSIVE d AS (
+              SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+            ), hs AS (
+              SELECT doc_id, toks, list_transform(toks, t -> md5(t)) AS hs FROM d
+            ), sig AS (
+              SELECT doc_id, toks,
+                [ list_aggregate(list_transform(hs, h -> substring(h, 1 + 5*i, 5)), 'min')
+                  for i in generate_series(0, 5) ] AS mh
+              FROM hs
+            ), all_bands AS (
+              SELECT doc_id, b, mh[2*b+1] || mh[2*b+2] AS band_key
+              FROM sig, unnest(generate_series(0, 2)) AS t(b)
+            ), keep AS (
+              SELECT b, band_key FROM all_bands GROUP BY b, band_key
+              HAVING count(*) BETWEEN 2 AND 100
+            ), bands AS (
+              SELECT all_bands.* FROM all_bands JOIN keep USING (b, band_key)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM bands a JOIN bands b USING (b, band_key) WHERE a.doc_id < b.doc_id
+            ), ver AS (
+              SELECT i, j,
+                CAST(len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS DOUBLE) /
+                (len(da.toks) + len(db.toks)
+                   - len(list_filter(da.toks, t -> list_contains(db.toks, t)))) AS jac
+              FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j
+            ), p AS (SELECT i, j FROM ver WHERE jac >= 0.9),
+            edges AS (SELECT i AS src, j AS dst FROM p UNION SELECT j AS src, i AS dst FROM p),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            reach AS (
+              SELECT node AS src, node AS dst FROM nodes
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src)
+            SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
+            FROM comp GROUP BY cluster_id""")
+  )
+
   def all: Seq[Q] = Seq(sqlAsof, sqlLshDedup, sqlBm25, sqlMerge, sqlWindow,
-    sqlContract, sqlTopK)
+    sqlContract, sqlTopK, sqlScd2, sqlDedupClusters)
 }

@@ -435,9 +435,15 @@ object TextQueries {
     * boundary). Ties break lexicographically.
     *
     * Scale: each round is one pair-census shuffle (map-side partial agg)
-    * + one vocab distinct + a row-local replace; the per-round driver
-    * sync (one argmax row) is the trainer's inherent iteration barrier,
-    * same as j5_kmeans_iter's. */
+    * + one vocab distinct + a row-local replace. The merge loop stays
+    * ON-CLUSTER (VERDICT r10 next #8): the argmax pair is a 1-row
+    * checkpointed frame broadcast-cross-joined into the re-segmentation
+    * (replace with COLUMN arguments), so no row data ever reaches the
+    * driver — the per-round eager localCheckpoint is the iteration
+    * barrier (a job boundary, not a collect), and it keeps the round
+    * plans flat (a lazily-chained broadcast-argmax would nest the
+    * previous round's whole plan under each new top-1 subtree —
+    * exponential re-execution). */
   /** Number of BPE trainer rounds — the ONE knob for both the engine
     * loops and the generated oracle CTE chains, so any round count
     * stays cross-engine green (`SPARK_GRAFT_BPE_ROUNDS=5 tools/gate.sh`
@@ -476,42 +482,54 @@ object TextQueries {
   }
 
   /** One BPE trainer round over a `seg`-segmented corpus: adjacent-pair
-    * census → argmax (count desc, pair asc — the one-row driver sync, as
-    * in j5_kmeans_iter) → re-segmented corpus. Shared by the trainer
-    * census and the apply side so the learned merges cannot drift. */
-  private def bpeRound(corpus: DataFrame): (DataFrame, String, Long) = {
+    * census → argmax (count desc, pair asc) → re-segmented corpus.
+    * Shared by the trainer census and the apply side so the learned
+    * merges cannot drift. Fully on-cluster: returns the re-segmented
+    * corpus and the 1-row (pair, n) merge frame, both EAGERLY
+    * localCheckpoint-ed — the merge is broadcast-cross-joined into the
+    * replace (column arguments), never collected, and the corpus
+    * checkpoint keeps each round's census a flat scan instead of a
+    * re-execution of every earlier round. */
+  private def bpeRound(corpus: DataFrame): (DataFrame, DataFrame) = {
     val toks = corpus.select(split(trim(col("seg")), "  ").as("toks"))
     val pairs = toks.select(explode(zip_with(
       slice(col("toks"), lit(1), size(col("toks")) - 1),
       slice(col("toks"), lit(2), size(col("toks")) - 1),
       (a, b) => concat(a, lit(" "), b))).as("pair"))
     val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("pair").asc).limit(1).collect()(0)
-    val (p, n) = (top.getString(0), top.getLong(1))
-    val merged = corpus.withColumn("seg", call_function("replace", col("seg"),
-      lit(" " + p.replace(" ", "  ") + " "),
-      lit(" " + p.replace(' ', '_') + " ")))
-    (merged, p, n)
+      .orderBy(col("n").desc, col("pair").asc).limit(1)
+      .localCheckpoint() // 1 row, materialized on the executors
+    val merged = corpus.crossJoin(broadcast(top))
+      .withColumn("seg", call_function("replace", col("seg"),
+        concat(lit(" "), call_function("replace", col("pair"), lit(" "), lit("  ")), lit(" ")),
+        concat(lit(" "), call_function("replace", col("pair"), lit(" "), lit("_")), lit(" "))))
+      .drop("pair", "n")
+      .localCheckpoint()
+    (merged, top)
   }
 
   val bpeMerges = Q(
     "x28_bpe_merges",
     s"BPE trainer loop: $BpeRounds rounds of adjacent-pair census -> argmax merge -> re-segmentation; emits each round's merge, count, and vocab size.",
     (s, dir) => {
-      import s.implicits._
       val t = Tables(s, dir)
       var corpus = t.documents.select(col("doc_id"),
         concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
-      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-      for (round <- 1 to BpeRounds) {
-        val (merged, p, n) = bpeRound(corpus)
+      // zero driver collects: each round's (pair, n) is a checkpointed
+      // 1-row frame; the per-round vocab census is a lazy 1-row
+      // aggregate over the checkpointed corpus; the result is their
+      // cross-joined union — all row data stays on the executors
+      val rows = (1 to BpeRounds).map { round =>
+        val (merged, top) = bpeRound(corpus)
         corpus = merged
         val vocab = corpus
           .select(explode(split(trim(col("seg")), "  ")).as("sym"))
-          .agg(count_distinct(col("sym"))).collect()(0).getLong(0)
-        merges += ((round, p, n, vocab))
+          .agg(count_distinct(col("sym")).as("vocab_after"))
+        top.crossJoin(broadcast(vocab))
+          .select(lit(round).as("round"), col("pair").as("merged_pair"),
+            col("n").as("n_occurrences"), col("vocab_after"))
       }
-      merges.toSeq.toDF("round", "merged_pair", "n_occurrences", "vocab_after")
+      rows.reduce(_.unionAll(_))
     },
     Some(bpeOracleChain(BpeRounds, carry = "", withVocab = true) + "\n" +
       (1 to BpeRounds).map(r =>
@@ -579,7 +597,7 @@ object TextQueries {
       val t = Tables(s, dir)
       var corpus = t.documents.select(col("doc_id"), col("source"), col("text"),
         concat(lit(" "), expr("replace(text, ' ', '  ')"), lit(" ")).as("seg"))
-      for (_ <- 1 to BpeRounds) corpus = bpeRound(corpus)._1
+      for (_ <- 1 to BpeRounds) corpus = bpeRound(corpus)._1 // on-cluster rounds
       corpus
         .groupBy(col("source"))
         .agg(

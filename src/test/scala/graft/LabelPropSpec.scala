@@ -49,8 +49,11 @@ class LabelPropSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
-  test("broadcast round plan: exchange-free (labels broadcast, dst clustering reused)") {
-    val e = fixtureEdges.repartition(col("dst")).cache()
+  test("broadcast round plan: exchange-free (labels broadcast, src clustering reused)") {
+    // both modes share ONE src-partitioned cache; the broadcast round
+    // joins neighbor labels on dst and groups by src (same multiset by
+    // edge symmetry), so the src clustering satisfies both aggregates
+    val e = fixtureEdges.repartition(col("src")).cache()
     e.count() // materialize so the round plans against the InMemoryRelation
     val lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
@@ -58,10 +61,26 @@ class LabelPropSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     // the ONLY exchange is the label broadcast; zero planner-inserted
-    // shuffle exchanges — census and argmax both ride the dst
+    // shuffle exchanges — census and argmax both ride the src
     // partitioning of the cache. (The cache's own REPARTITION_BY_COL
     // exchange prints inside the InMemoryRelation and doesn't count.)
     assert(plannerShuffles(p).isEmpty, s"${plannerShuffles(p)} in:\n${p.take(3000)}")
+    spark.catalog.clearCache()
+  }
+
+  test("out-of-range node ids fail loudly instead of mislabeling") {
+    // the packed argmax silently decodes wrong labels past 2^31 or below
+    // 0 — the guard must fail the job at entry, not return plausible junk
+    val neg = Seq((-1L, 2L), (2L, -1L)).toDF("src", "dst")
+    val eNeg = intercept[IllegalArgumentException] {
+      LabelProp.propagateBroadcast(neg, rounds = 1)
+    }
+    assert(eNeg.getMessage.contains("[0, 2^31)"))
+    val big = Seq((1L, 1L << 31), (1L << 31, 1L)).toDF("src", "dst")
+    val eBig = intercept[IllegalArgumentException] {
+      LabelProp.propagateShuffle(big, rounds = 1)
+    }
+    assert(eBig.getMessage.contains("[0, 2^31)"))
     spark.catalog.clearCache()
   }
 

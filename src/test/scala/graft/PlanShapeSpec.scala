@@ -536,9 +536,11 @@ class PlanShapeSpec extends SparkSpecBase {
   test("a12_label_propagation: a round is exchange-free — broadcast join + hash aggregates only") {
     // The registered query checkpoints each round, so its FINAL plan is
     // just an RDD scan; rebuild one round from the same building blocks
-    // and pin the shape the scaladoc claims: edges cached with hash(dst)
-    // partitioning, labels broadcast, both aggregates partition-local,
-    // argmax as a HASH (packed-long max) aggregate, never a sort.
+    // and pin the shape the scaladoc claims: edges cached with hash(src)
+    // partitioning (the ONE layout both LabelProp modes share), neighbor
+    // labels broadcast in on dst, both aggregates partition-local on the
+    // src clustering, argmax as a HASH (packed-long max) aggregate,
+    // never a sort.
     import org.apache.spark.sql.functions._
     val t = Tables(spark, dir)
     val items = t.lineitem
@@ -550,13 +552,13 @@ class PlanShapeSpec extends SparkSpecBase {
       .join(kept.select(col("o"), col("p").as("dst")), Seq("o"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-      .repartition(col("dst")).cache()
+      .repartition(col("src")).cache()
     edges.count() // materialize so AQE sees the cached partitioning
     val lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     val round = edges
-      .join(broadcast(lbl.withColumnRenamed("node", "src")), "src")
-      .groupBy(col("dst").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lbl.withColumnRenamed("node", "dst")), "dst")
+      .groupBy(col("src").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
       .groupBy(col("node"))
       .agg(max(expr("c * 2147483648L + (2147483647L - lbl)")).as("packed"))
       .select(col("node"), expr("2147483647L - packed % 2147483648L").as("lbl"))

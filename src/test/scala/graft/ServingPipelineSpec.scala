@@ -117,7 +117,11 @@ class ServingPipelineSpec extends SparkSpecBase {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       def ingest() = scrape.rows.filter(_.query_name == "serving_ingest")
       def serve() = scrape.rows.filter(_.query_name == "serving_serve")
-      while ((ingest().isEmpty || serve().isEmpty) && System.nanoTime() < deadline)
+      // poll until the ingest gauges are COMPLETE (sum to the 3 polls'
+      // fetch rows), not merely nonempty: listener-bus delivery is async
+      // and the remaining batch events can land after a nonempty check
+      while ((ingest().map(_.input_rows).sum != 3 || serve().isEmpty) &&
+             System.nanoTime() < deadline)
         Thread.sleep(50)
       assert(ingest().nonEmpty, "no scrape rows from serving_ingest")
       assert(serve().nonEmpty, "no scrape rows from serving_serve")
