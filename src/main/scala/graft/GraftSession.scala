@@ -20,6 +20,18 @@ object GraftSession {
     * and broadcast boundaries) — the cheapest stand-in for a cluster. */
   def master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
 
+  /** Auto-broadcast ceiling, sized to EXECUTOR memory, not data: the
+    * threshold compares the SERIALIZED build side, but the executor
+    * deserializes it into a LongToUnsafeRowMap at roughly 10-20x the
+    * wire size — the round-11 local-cluster leg measured a <64 MB
+    * broadcast OOM-killing a 3 GB executor heap in exactly this
+    * readLongArray path. 64 MB is right for this engine's local[32]
+    * (128 GB heap) and for >=8 GB cluster executors; smaller executors
+    * must lower it (SPARK_GRAFT_BROADCAST_MAX, bytes) — Spark's own
+    * 10 MB default exists for the small-executor regime. */
+  def broadcastMax: String =
+    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MAX", s"${64L * 1024 * 1024}")
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession
       .builder()
@@ -29,7 +41,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", s"${64L * 1024 * 1024}")
+      .config("spark.sql.autoBroadcastJoinThreshold", broadcastMax)
       .config("spark.sql.session.timeZone", "UTC")
       // driver fixtures store ts as parquet TIMESTAMP(NANOS), which Spark
       // rejects by default; read as long nanos and convert in Tables.events

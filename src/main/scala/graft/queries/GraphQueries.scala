@@ -407,19 +407,28 @@ object GraphQueries {
 
   /** The part co-occurrence graph both LPA faces run on: parts in the
     * same 2–6-item order (the j8 basket cap bounding pair expansion),
-    * symmetric distinct edges. */
+    * symmetric distinct edges.
+    *
+    * Built the j8_cooccurrence way (the measured round-8 win, re-applied
+    * here in round 11 when the fixture refresh made this build the
+    * query's dominant term): ONE collect_set aggregate per order
+    * replaces the distinct + size-census + double self-join — the set
+    * both dedups and sizes the basket, the 2–6 cap filters BEFORE any
+    * expansion, and the pair expansion is row-local over the ≤6-element
+    * array. Exchanges drop from five (items distinct, census, two join
+    * sides, edge distinct) to two (basket aggregate, edge distinct). */
   private def coOccurrenceEdges(t: Tables): DataFrame = {
-    val items = t.lineitem
+    val baskets = t.lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val keep = items.groupBy(col("o")).agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, 6))
-      .select(col("o"))
-    val kept = items.join(keep, "o")
-    kept.select(col("o"), col("p").as("src"))
-      .join(kept.select(col("o"), col("p").as("dst")), Seq("o"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+      .groupBy(col("o"))
+      .agg(collect_set(col("p")).as("ps"))
+      .filter(size(col("ps")).between(2, 6))
+    baskets
+      .select(explode(expr(
+        // all ordered pairs (i != j) of the basket, row-local
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"))
+        .as("e"))
+      .select(col("e.src"), col("e.dst")).distinct()
   }
 
   /** Community-size census over a final labeling: top 20 by size. */

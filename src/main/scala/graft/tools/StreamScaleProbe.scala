@@ -22,7 +22,7 @@ object StreamScaleProbe {
   private def progressRows(q: StreamingQuery): Seq[String] =
     q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
       val so = p.stateOperators.headOption
-      val rocksBytes = so.map(_.customMetrics.getOrDefault("rocksdbTotalSSTFilesBytes", -1L))
+      val rocksBytes = so.map(_.customMetrics.getOrDefault("rocksdbSstFileSize", -1L))
         .getOrElse(-1L)
       s"""{"batch":${p.batchId},"input_rows":${p.numInputRows},""" +
         s""""trigger_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},""" +
