@@ -508,15 +508,25 @@ object SqlEntryQueries {
     * bounded here by the 2–100 LSH bucket cap; at 100 TB this face
     * hands off to [[graft.ops.ConnectedComponents]] (node-linear state),
     * exactly as the recursive-CTE BFS face hands off to the Bfs
-    * operator. Oracle = a10_dedup_clusters' recursive-fixpoint DuckDB
-    * text, so the SQL face must reproduce the operator's components
-    * exactly. */
+    * operator.
+    *
+    * The verified pair set is MATERIALIZED once (eager localCheckpoint
+    * → temp view) before the closure statement — the a12_reachability
+    * precedent: Spark inlines a CTE at every reference, and each
+    * squaring references its predecessor twice, so leaving the LSH
+    * candidate pipeline inside the chain re-executes it 2⁶ times
+    * (measured 44.8 s at sf0.1; ~1 s with the pair artifact
+    * checkpointed — at 100 TB the verified pairs are a stored table
+    * anyway). The 2⁶ inlined references to the CHECKPOINTED pairs are
+    * sub-millisecond ExistingRDD scans. Oracle = a10_dedup_clusters'
+    * recursive-fixpoint DuckDB text, so the SQL face must reproduce the
+    * operator's components exactly. */
   val sqlDedupClusters = Q(
     "sql_entry_dedup_clusters",
-    "Raw-SQL dedup clusters: LSH candidates + exact-Jaccard pairs, then connected components via 6 DISTINCT closure-squaring self-joins (diameter <= 64); oracle = the recursive-fixpoint closure in DuckDB, same answer as a10_dedup_clusters.",
+    "Raw-SQL dedup clusters: LSH candidates + exact-Jaccard pairs (materialized once), then connected components via 6 DISTINCT closure-squaring self-joins (diameter <= 64); oracle = the recursive-fixpoint closure in DuckDB, same answer as a10_dedup_clusters.",
     (s, dir) => {
       Tables(s, dir).documents.createOrReplaceTempView("documents")
-      s.sql("""
+      val pairs = s.sql("""
         WITH d AS (
           SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents
         ), sig AS (
@@ -534,19 +544,24 @@ object SqlEntryQueries {
           SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
           FROM bands l JOIN bands r USING (b, band_key)
           WHERE l.doc_id < r.doc_id
-        ), p AS (
-          SELECT i, j
-          FROM (SELECT i, j,
-                  CAST(size(array_intersect(da.toks, db.toks)) AS DOUBLE) /
-                    (size(da.toks) + size(db.toks)
-                       - size(array_intersect(da.toks, db.toks))) AS jac
-                FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j)
-          WHERE jac >= 0.9
-        ), r0 AS (
-          SELECT i AS src, j AS dst FROM p
-          UNION SELECT j, i FROM p
-          UNION SELECT i, i FROM p
-          UNION SELECT j, j FROM p
+        )
+        SELECT i, j
+        FROM (SELECT i, j,
+                CAST(size(array_intersect(da.toks, db.toks)) AS DOUBLE) /
+                  (size(da.toks) + size(db.toks)
+                     - size(array_intersect(da.toks, db.toks))) AS jac
+              FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j)
+        WHERE jac >= 0.9""").localCheckpoint()
+      // query-scoped view name: a fixed name collides under concurrent
+      // query evaluation in one session
+      val view = s"dedup_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      pairs.createOrReplaceTempView(view)
+      val out = s.sql(s"""
+        WITH r0 AS (
+          SELECT i AS src, j AS dst FROM $view
+          UNION SELECT j, i FROM $view
+          UNION SELECT i, i FROM $view
+          UNION SELECT j, j FROM $view
         ), r1 AS (SELECT DISTINCT a.src, b.dst FROM r0 a JOIN r0 b ON a.dst = b.src
         ), r2 AS (SELECT DISTINCT a.src, b.dst FROM r1 a JOIN r1 b ON a.dst = b.src
         ), r3 AS (SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r2 b ON a.dst = b.src
@@ -558,6 +573,9 @@ object SqlEntryQueries {
         )
         SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
         FROM comp GROUP BY cluster_id""")
+      // the view is resolved into out's analyzed plan; safe to drop now
+      s.catalog.dropTempView(view)
+      out
     },
     Some("""WITH RECURSIVE d AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
