@@ -47,11 +47,13 @@ object Bench {
     // as errored — its original timed 3 runs already succeeded, and a
     // query listed under both "queries" and "errors" would flip n_err
     // nonzero and fail the verify gate on a round whose timed runs were
-    // all clean. The original timing simply stands un-re-run.
+    // all clean. The original timing simply stands un-re-run. Only
+    // NonFatal is swallowed: an OOM/VM error here means the JVM (and any
+    // "clean" record it would print) can no longer be trusted.
     def onceQuiet(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case _: Throwable => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
     // warm-up (untimed): populates FS caches, triggers codegen/JIT.
@@ -140,9 +142,15 @@ object Bench {
     // end, while cache()-persisted RDDs carry no checkpoint data at all.
     System.gc()
     Thread.sleep(300)
-    val storageEnd = spark.sparkContext.getPersistentRDDs.values
-      .count(r => !r.isCheckpointed)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"n_err":${errors.size},"sf":${jstr(sfDir)},"loadavg_start":$loadStart,"loadavg_end":$loadavg$guardJson,"persistent_rdds_end":$storageEnd}"""
+    val (ckptEnd, cachedEnd) = spark.sparkContext.getPersistentRDDs.values
+      .partition(_.isCheckpointed)
+    // the gate stays on cache()-persists only, but the checkpointed
+    // count is now its own field so a genuine accumulation of
+    // localCheckpoint blocks (driver-GC-released, invisible to
+    // clearCache) remains observable across rounds instead of being
+    // filtered out of the record entirely
+    val storageEnd = cachedEnd.size
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$eJson,"n_err":${errors.size},"sf":${jstr(sfDir)},"loadavg_start":$loadStart,"loadavg_end":$loadavg$guardJson,"persistent_rdds_end":$storageEnd,"checkpointed_rdds_end":${ckptEnd.size}}"""
     println(line)
     // The driver captures stdout with a tail cut that can truncate the
     // per-query map mid-dict; persist the full line so every query stays

@@ -20,17 +20,62 @@ object GraftSession {
     * and broadcast boundaries) — the cheapest stand-in for a cluster. */
   def master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
 
-  /** Auto-broadcast ceiling, sized to EXECUTOR memory, not data: the
-    * threshold compares the SERIALIZED build side, but the executor
-    * deserializes it into a LongToUnsafeRowMap at roughly 10-20x the
-    * wire size — the round-11 local-cluster leg measured a <64 MB
-    * broadcast OOM-killing a 3 GB executor heap in exactly this
-    * readLongArray path. 64 MB is right for this engine's local[32]
-    * (128 GB heap) and for >=8 GB cluster executors; smaller executors
-    * must lower it (SPARK_GRAFT_BROADCAST_MAX, bytes) — Spark's own
-    * 10 MB default exists for the small-executor regime. */
+  /** Auto-broadcast ceiling, DERIVED from executor memory (VERDICT r11
+    * next #1): the threshold compares the SERIALIZED build side, but the
+    * executor deserializes it into a LongToUnsafeRowMap at roughly
+    * 10-20x the wire size — the round-11 local-cluster leg measured a
+    * <64 MB broadcast OOM-killing a 3 GB executor heap in exactly this
+    * readLongArray path, and 8 MB was the ceiling that ran sf10 clean
+    * on those heaps. The sizing rule generalizes that measurement: keep
+    * the DESERIALIZED build side at ~5% of the executor heap, i.e.
+    * serialized ceiling = heap/384 (8 MB at 3 GB — the measured-good
+    * config), capped at 64 MB (right for local[32]'s 128 GB heap and
+    * for >=24 GB cluster executors; beyond 64 MB a shuffle join is the
+    * better trade regardless of heap). Executor memory comes from
+    * `spark.executor.memory` (spark-submit --conf lands in system
+    * properties) or SPARK_EXECUTOR_MEMORY; under in-process local[N]
+    * masters the executors share the driver heap, so Runtime.maxMemory
+    * is the honest input. SPARK_GRAFT_BROADCAST_MAX (bytes) remains the
+    * manual override. */
   def broadcastMax: String =
-    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MAX", s"${64L * 1024 * 1024}")
+    sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MAX",
+      derivedBroadcastMax(executorMemoryBytes, master).toString)
+
+  /** The derivation, pure so GraftSessionSpec can pin it:
+    * min(64 MB, executor heap / 384), floored at 1 MB so a tiny-heap
+    * test config still broadcasts single-row builds. */
+  def derivedBroadcastMax(executorHeapBytes: Long, master: String): Long = {
+    val cap = 64L * 1024 * 1024
+    math.max(1L * 1024 * 1024, math.min(cap, executorHeapBytes / 384))
+  }
+
+  /** Executor heap in bytes: `spark.executor.memory` (system property —
+    * how spark-submit --conf reaches a not-yet-built session — or
+    * SPARK_EXECUTOR_MEMORY env), defaulting to Spark's 1g for
+    * out-of-process masters; in-process local[N] executors run in THIS
+    * JVM, so its max heap is the real capacity. */
+  def executorMemoryBytes: Long = {
+    val conf = sys.props.get("spark.executor.memory")
+      .orElse(sys.env.get("SPARK_EXECUTOR_MEMORY"))
+    conf.map(parseMemory).getOrElse {
+      if (master.startsWith("local[")) Runtime.getRuntime.maxMemory
+      else 1024L * 1024 * 1024 // Spark's spark.executor.memory default
+    }
+  }
+
+  /** Spark-style memory strings: "3g", "1024m", "512k", bare bytes. */
+  def parseMemory(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1024L)
+      case 'm' => (t.dropRight(1), 1024L * 1024)
+      case 'g' => (t.dropRight(1), 1024L * 1024 * 1024)
+      case 't' => (t.dropRight(1), 1024L * 1024 * 1024 * 1024)
+      case 'b' => (t.dropRight(1), 1L)
+      case _ => (t, 1L)
+    }
+    (num.toDouble * mult).toLong
+  }
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession

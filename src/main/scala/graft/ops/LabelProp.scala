@@ -146,10 +146,18 @@ object LabelProp {
     * min/max aggregate over the already-partitioned edge cache (its
     * materializing action, so the guard costs no extra pass). */
   private def guardIds(e: DataFrame): Unit = {
-    val r = e.agg(min(col("src").cast("long")).as("lo"),
-      max(col("src").cast("long")).as("hi")).head()
+    // min/max BOTH endpoints in the one pass: on a correctly symmetric
+    // edge set the domains coincide, but an (erroneous) asymmetric input
+    // with out-of-range dst ids would otherwise slip past a src-only
+    // guard and decode wrong labels — the exact silent failure this
+    // guard exists to make loud
+    val r = e.agg(min(col("src").cast("long")).as("slo"),
+      max(col("src").cast("long")).as("shi"),
+      min(col("dst").cast("long")).as("dlo"),
+      max(col("dst").cast("long")).as("dhi")).head()
     if (!r.isNullAt(0)) {
-      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val (lo, hi) = (math.min(r.getLong(0), r.getLong(2)),
+        math.max(r.getLong(1), r.getLong(3)))
       require(lo >= 0L && hi < 2147483648L,
         s"LabelProp packed argmax requires node ids in [0, 2^31); edge set has [$lo, $hi]. " +
           "Remap ids (e.g. dense_rank over nodes) before propagating.")

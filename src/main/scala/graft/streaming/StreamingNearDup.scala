@@ -86,7 +86,19 @@ object StreamingNearDup {
   /** Streaming entry: documents parquet stream → band rows → keyed state
     * → distinct candidate pairs appended to the sink. */
   def run(spark: SparkSession, srcDir: String, sinkDir: String,
-          checkpointDir: String): StreamingQuery = {
+          checkpointDir: String): StreamingQuery =
+    runWithSink(spark, srcDir, checkpointDir,
+      (batch, _) => batch.write.mode("append").parquet(sinkDir))
+
+  /** Same pipeline with a caller-supplied foreachBatch sink — the probe
+    * surface: crash-recovery probes inject a sink that writes and then
+    * throws, so the stream dies with that batch UNCOMMITTED in the offset
+    * log and the restart must replay it (foreachBatch is at-least-once;
+    * the candidate pair set is deterministic, so replays are absorbed by
+    * a distinct on read — exactly the contract a parquet-append consumer
+    * of this stream relies on). */
+  def runWithSink(spark: SparkSession, srcDir: String, checkpointDir: String,
+                  sink: (Dataset[CandPair], Long) => Unit): StreamingQuery = {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -103,9 +115,7 @@ object StreamingNearDup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[CandPair], _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
+      .foreachBatch(sink)
       .start()
   }
 }

@@ -42,7 +42,8 @@ object RetryProbe {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val master = GraftSession.master
     val retriesSupported =
-      master.startsWith("local-cluster") || master.matches("""local\[[^,\]]+,\s*[2-9]\d*\]""") ||
+      master.startsWith("local-cluster") ||
+        master.matches("""local\[[^,\]]+,\s*([2-9]|[1-9]\d+)\]""") ||
         !master.startsWith("local") // standalone / yarn-style masters honor the conf
     require(retriesSupported,
       s"master '$master' cannot retry tasks; set SPARK_GRAFT_MASTER to local-cluster[...] or local[N,F]")
