@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * landfire_container.py:308-320); here the binary column is first-class
   * (`BinaryType`) and base64 is only the serialization boundary.
   *
-  * The decode/feature-extract step (no image libs in this container) is a
-  * deterministic stub in [[graft.ops.MultimodalStub]] — the Spark-side
-  * plumbing (schema, batch partitioning, per-partition iteration) is real
-  * and unit-tested; only the codec kernel is fake.
+  * The decode/feature-extract kernels are REAL for image and audio as of
+  * round 12 — [[graft.ops.PngCodec]] (zlib IDAT + all five scanline
+  * filters) and [[graft.ops.WavCodec]] (RIFF/PCM), JDK-only like
+  * [[graft.ops.TiffCodec]] — oracled end-to-end by m7/m8 below. Only the
+  * video frame kernel remains a documented deterministic fake in
+  * [[graft.ops.MultimodalStub]] (no video codec is expressible JDK-only);
+  * its Spark-side plumbing (schema, batch partitioning, per-partition
+  * iteration) is real and unit-tested.
   */
 object MultimodalQueries {
 
@@ -354,5 +358,139 @@ object MultimodalQueries {
             FROM c""")
   )
 
-  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6, m6Native)
+  /** D1×m2 — REAL PNG decode in the pipeline (VERDICT r11 next #4): the
+    * image analogue of d1_tiff_decode. Greyscale grids are encoded under
+    * every scanline filter type (None/Sub/Up/Average/Paeth — one per
+    * product, so each unfilter path must be exercised for its row to
+    * match) plus one RGB product and one corrupt payload; bytes travel
+    * as a BinaryType column, [[graft.ops.PngCodec]] decodes executor-
+    * side, pixels explode WITH their position, and the position-weighted
+    * checksum proves sample ORDER, not just the multiset. The oracle
+    * reproduces the pixel formula directly — matching proves zlib
+    * round-trip + unfiltering + channel interleaving end-to-end. */
+  val m7 = Q(
+    "m7_png_decode",
+    "Real PNG decode: grey grids under all 5 scanline filters + RGB + corrupt payload; executor-side zlib+unfilter, position-weighted checksum vs formula oracle.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.PngCodec
+      val w = 13; val h = 11
+      def greyPx(p: Int): Array[Int] =
+        Array.tabulate(w * h)(i => ((i / w) * 23 + (i % w) * 31 + p * 7) % 251)
+      val rgbPx: Array[Int] = Array.tabulate(w * h * 3) { i =>
+        val pix = i / 3; val k = i % 3
+        ((pix / w) * 23 + (pix % w) * 31 + k * 11 + 35) % 251
+      }
+      val rows =
+        (0 until 5).map(p => (s"grey_filter$p", PngCodec.encode(w, h, 1, greyPx(p), _ => p))) ++
+          Seq(("rgb_mixed", PngCodec.encode(w, h, 3, rgbPx, r => r % 5, chunkPerRow = true)),
+            ("corrupt", "<html>upstream error</html>".getBytes("UTF-8")))
+      val decodeUdf = udf { (b: Array[Byte]) =>
+        PngCodec.decode(b).map(_.pixels.toSeq).orNull
+      }
+      rows.toDF("product", "png")
+        .withColumn("pixels", decodeUdf(col("png")))
+        .withColumn("decoded", col("pixels").isNotNull)
+        .select(col("product"), col("decoded"),
+          posexplode_outer(col("pixels")).as(Seq("pos", "px")))
+        .groupBy(col("product"), col("decoded"))
+        .agg(count(col("px")).as("n_px"),
+          coalesce(min(col("px")), lit(-1)).cast("long").as("min_px"),
+          coalesce(max(col("px")), lit(-1)).cast("long").as("max_px"),
+          coalesce(sum(col("px")), lit(0)).cast("long").as("sum_px"),
+          coalesce(sum(col("px") * (col("pos") + 1)), lit(0)).cast("long").as("pos_checksum"))
+    },
+    Some("""WITH grey AS (
+              SELECT 'grey_filter' || CAST(p AS VARCHAR) AS product,
+                     CAST(r*13 + c AS BIGINT) AS pos,
+                     CAST((r*23 + c*31 + p*7) % 251 AS BIGINT) AS px
+              FROM generate_series(0, 4) ps(p),
+                   generate_series(0, 10) rs(r), generate_series(0, 12) cs(c)
+            ), rgb AS (
+              SELECT 'rgb_mixed' AS product,
+                     CAST((r*13 + c)*3 + k AS BIGINT) AS pos,
+                     CAST((r*23 + c*31 + k*11 + 35) % 251 AS BIGINT) AS px
+              FROM generate_series(0, 10) rs(r), generate_series(0, 12) cs(c),
+                   generate_series(0, 2) ks(k)
+            ), px AS (
+              SELECT product, true AS decoded, pos, px FROM grey
+              UNION ALL SELECT product, true, pos, px FROM rgb
+              UNION ALL SELECT 'corrupt', false, NULL, NULL
+            )
+            SELECT product, decoded, count(px) AS n_px,
+              CAST(coalesce(min(px), -1) AS BIGINT) AS min_px,
+              CAST(coalesce(max(px), -1) AS BIGINT) AS max_px,
+              CAST(coalesce(sum(px), 0) AS BIGINT) AS sum_px,
+              CAST(coalesce(sum(px * (pos + 1)), 0) AS BIGINT) AS pos_checksum
+            FROM px GROUP BY product, decoded""")
+  )
+
+  /** D1×m5 — REAL WAV decode in the pipeline: RIFF/PCM payloads
+    * synthesized from a closed-form signal (16-bit mono and stereo,
+    * 8-bit unsigned-on-disk, one with an ancillary LIST chunk, one
+    * corrupt), decoded by [[graft.ops.WavCodec]] executor-side, samples
+    * exploded with position — the checksum proves interleaving order and
+    * the 8-bit re-centering, the same way m7 proves unfiltering. */
+  val m8 = Q(
+    "m8_wav_decode",
+    "Real WAV decode: 16-bit mono/stereo + 8-bit PCM + LIST-chunk + corrupt payloads; executor-side RIFF parse, position-weighted checksum vs formula oracle.",
+    (s, _) => {
+      import s.implicits._
+      import graft.ops.WavCodec
+      def sig16(p: Int, n: Int): Array[Int] =
+        Array.tabulate(n)(t => ((t * 37 + p * 11) % 2003) - 1001)
+      val sig8: Array[Int] = Array.tabulate(64)(t => ((t * 13 + 7) % 241) - 120)
+      val rows = Seq(
+        ("mono_p0", WavCodec.encode(sig16(0, 240), 8000, 1)),
+        ("mono_p1", WavCodec.encode(sig16(1, 240), 16000, 1, junkChunk = true)),
+        ("stereo", WavCodec.encode(sig16(2, 480), 44100, 2)),
+        ("pcm8", WavCodec.encode(sig8, 8000, 1, bits = 8)),
+        ("corrupt", "<html>upstream error</html>".getBytes("UTF-8")))
+      val decodeUdf = udf { (b: Array[Byte]) =>
+        WavCodec.decode(b).map(w => (w.sampleRate, w.channels, w.samples.toSeq)).orNull
+      }
+      rows.toDF("product", "wav")
+        .withColumn("d", decodeUdf(col("wav")))
+        .withColumn("decoded", col("d").isNotNull)
+        .select(col("product"), col("decoded"),
+          coalesce(col("d._1"), lit(-1)).as("sample_rate"),
+          coalesce(col("d._2"), lit(-1)).as("channels"),
+          posexplode_outer(col("d._3")).as(Seq("pos", "smp")))
+        .groupBy(col("product"), col("decoded"), col("sample_rate"), col("channels"))
+        .agg(count(col("smp")).as("n_samples"),
+          coalesce(min(col("smp")), lit(0)).cast("long").as("min_smp"),
+          coalesce(max(col("smp")), lit(0)).cast("long").as("max_smp"),
+          coalesce(sum(col("smp")), lit(0)).cast("long").as("sum_smp"),
+          coalesce(sum(col("smp") * (col("pos") + 1)), lit(0)).cast("long").as("pos_checksum"))
+    },
+    Some("""WITH s16 AS (
+              SELECT p, CAST(t AS BIGINT) AS pos,
+                     CAST((t*37 + p*11) % 2003 - 1001 AS BIGINT) AS smp
+              FROM generate_series(0, 2) ps(p), generate_series(0, 479) ts(t)
+              WHERE p = 2 OR t < 240
+            ), named AS (
+              SELECT CASE p WHEN 0 THEN 'mono_p0' WHEN 1 THEN 'mono_p1' ELSE 'stereo' END AS product,
+                     CASE p WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+                     CASE p WHEN 2 THEN 2 ELSE 1 END AS channels,
+                     pos, smp
+              FROM s16
+            ), s8 AS (
+              SELECT 'pcm8' AS product, 8000 AS sample_rate, 1 AS channels,
+                     CAST(t AS BIGINT) AS pos,
+                     CAST((t*13 + 7) % 241 - 120 AS BIGINT) AS smp
+              FROM generate_series(0, 63) ts(t)
+            ), allrows AS (
+              SELECT product, true AS decoded, sample_rate, channels, pos, smp FROM named
+              UNION ALL SELECT product, true, sample_rate, channels, pos, smp FROM s8
+              UNION ALL SELECT 'corrupt', false, -1, -1, NULL, NULL
+            )
+            SELECT product, decoded, sample_rate, channels, count(smp) AS n_samples,
+              CAST(coalesce(min(smp), 0) AS BIGINT) AS min_smp,
+              CAST(coalesce(max(smp), 0) AS BIGINT) AS max_smp,
+              CAST(coalesce(sum(smp), 0) AS BIGINT) AS sum_smp,
+              CAST(coalesce(sum(smp * (pos + 1)), 0) AS BIGINT) AS pos_checksum
+            FROM allrows GROUP BY product, decoded, sample_rate, channels""")
+  )
+
+  def all: Seq[Q] = Seq(m1, m2, m3, m4, m5, m6, m6Native, m7, m8)
 }
