@@ -20,6 +20,35 @@ import graft.Tables
   */
 object SqlEntryQueries {
 
+  /** Flag-scoped, plan-asserted execution of SQL text that must lower
+    * onto the custom TopKPerKey operator — WITHOUT a driver collect
+    * (VERDICT r11 next #8): optimization is lazy and a harness action on
+    * the returned frame would re-plan AFTER the finally-block restores
+    * the flag, silently undoing the rewrite, so the plan must execute
+    * while the flag is set. The rows go executor→parquet→re-scan (the
+    * spill-shaped analogue of MetricsScrape's noop-sink discipline: a
+    * large result would OOM a driver-side collect, a parquet round-trip
+    * is distributed on both sides). */
+  private def runLoweredTopK(s: org.apache.spark.sql.SparkSession,
+                             sqlText: String,
+                             requiredNodes: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val flag = "spark.graft.topk.rewrite"
+    val prev = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    try {
+      val df = s.sql(sqlText)
+      val plan = df.queryExecution.executedPlan.toString
+      requiredNodes.foreach(n => require(plan.contains(n),
+        s"expected $n in plan:\n${plan.take(1500)}"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_topk_sql").toString
+      df.write.mode("overwrite").parquet(dir) // executes UNDER the flag
+      s.read.parquet(dir)
+    } finally prev match {
+      case Some(v) => s.conf.set(flag, v)
+      case None => s.conf.unset(flag)
+    }
+  }
+
   /** Backward as-of join as PURE SQL: union probe+build rows, one
     * user-partitioned window, carry the newest at-or-before build row
     * forward (`last_value(..., true)` = IGNORE NULLS). Build rows sort
@@ -409,29 +438,14 @@ object SqlEntryQueries {
     "Raw-SQL per-key top-3 (rank-filter idiom) lowered onto the custom bounded-heap TopKPerKey operator by the opt-in rewrite Rule; plan-asserted in-query, oracled by the same rank filter in DuckDB.",
     (s, dir) => {
       Tables(s, dir).events.createOrReplaceTempView("events")
-      val flag = "spark.graft.topk.rewrite"
-      val prev = s.conf.getOption(flag)
-      s.conf.set(flag, "true")
-      try {
-        val df = s.sql("""
+      runLoweredTopK(s, """
           SELECT user_id, event_id, value FROM (
             SELECT user_id, event_id, value,
                    row_number() OVER (PARTITION BY user_id
                                       ORDER BY value DESC, event_id ASC) AS rn
             FROM events WHERE user_id < 50) t
-          WHERE rn <= 3""")
-        val plan = df.queryExecution.executedPlan.toString
-        require(plan.contains("TopKPerKey"),
-          s"rank-filter rewrite did not fire:\n${plan.take(1500)}")
-        // execute under the flag (optimization is lazy; restoring the
-        // flag before the harness's own action would silently undo the
-        // rewrite), then hand back the materialized result
-        val rows = df.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally prev match {
-        case Some(v) => s.conf.set(flag, v)
-        case None => s.conf.unset(flag)
-      }
+          WHERE rn <= 3""",
+        requiredNodes = Seq("TopKPerKey"))
     },
     Some("""SELECT user_id, event_id, value FROM (
               SELECT user_id, event_id, value,
@@ -710,6 +724,103 @@ object SqlEntryQueries {
             GROUP BY 1, 2""")
   )
 
+  /** The vector/ANN family's SQL face (VERDICT r11 next #6 — "the
+    * surface a modern SQL user asks for first"): raw text driving the
+    * NATIVE codegen [[graft.functions.CosineSimilarity]] through
+    * `ORDER BY cosine_sim(...) DESC LIMIT k`. The plan is asserted
+    * in-query to be TakeOrderedAndProject — Spark's bounded-heap
+    * order-by-limit, O(n) scan + k-heap per partition, never a full
+    * sort — carrying the native expression; at 100 TB this is the
+    * brute-force rerank leg of the IVF/PQ paths (j5 family), whose SQL
+    * spelling is exactly this text. Oracle = the j5_topk_cosine fold
+    * (list_reduce in Spark's evaluation order), so the native kernel's
+    * doubles must match DuckDB's bit-for-bit through round(.,6). */
+  val sqlAnn = Q(
+    "sql_entry_ann",
+    "Raw-SQL ANN: ORDER BY native cosine_sim DESC LIMIT 10 for one query vector; plan-asserted TakeOrderedAndProject (bounded heap, no full sort); j5-family oracle.",
+    (s, dir) => {
+      Tables(s, dir).embeddings.createOrReplaceTempView("embeddings")
+      val df = s.sql("""
+        WITH sc AS (
+          SELECT e.vec_id, cosine_sim(q.embedding, e.embedding) AS cos
+          FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+          WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, round(cos, 6) AS cosine
+        FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 10""")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("TakeOrderedAndProject"),
+        s"ORDER BY + LIMIT did not plan as a bounded heap:\n${plan.take(1500)}")
+      require(plan.contains("cosine_sim"),
+        s"native expression missing from plan:\n${plan.take(1500)}")
+      df
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding FROM embeddings),
+            sc AS (
+              SELECT e.vec_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y)
+                / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y))) AS cos
+              FROM n q JOIN n e ON q.vec_id = 0 AND e.vec_id <> 0)
+            SELECT vec_id, round(cos, 6) AS cosine
+            FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 10""")
+  )
+
+  /** The per-key ANN form — rank-filter SQL over the native cosine,
+    * LOWERED onto the custom bounded-heap [[graft.plans.TopKPerKeyPlan]]
+    * by the opt-in rewrite Rule (the r11 stretch goal): one statement
+    * exercises native expression + custom LogicalPlan + Strategy + heap
+    * SparkPlan from raw SQL text. Plan-asserted in-query; same
+    * no-driver-collect execution discipline as sql_entry_topk. The
+    * output deliberately omits the rank column — the rewrite's
+    * soundness gate requires the projection not reference it (see
+    * RewriteRankFilterToTopK's scaladoc). */
+  val sqlAnnPerKey = Q(
+    "sql_entry_ann_perkey",
+    "Raw-SQL per-query-vector top-5 cosine (rank-filter idiom over native cosine_sim) lowered onto the custom TopKPerKey heap operator; plan-asserted, no driver collect.",
+    (s, dir) => {
+      Tables(s, dir).embeddings.createOrReplaceTempView("embeddings")
+      runLoweredTopK(s, """
+          WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+          ), sc AS (
+            SELECT q.q_id, e.vec_id, cosine_sim(q.q_emb, e.embedding) AS cos
+            FROM q JOIN embeddings e ON q.q_id <> e.vec_id
+          )
+          SELECT q_id, vec_id, round(cos, 6) AS cosine FROM (
+            SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM sc) t
+          WHERE rn <= 5""",
+        requiredNodes = Seq("TopKPerKey", "cosine_sim"))
+    },
+    Some("""WITH n AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                     (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            pairs AS (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                  (x, y) -> x + y) / (q.nrm * e.nrm) AS cos
+              FROM n q JOIN n e ON q.vec_id < 5 AND q.vec_id <> e.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM pairs)
+            SELECT q_id, vec_id, round(cos, 6) AS cosine FROM ranked WHERE rank <= 5""")
+  )
+
   def all: Seq[Q] = Seq(sqlAsof, sqlLshDedup, sqlBm25, sqlMerge, sqlWindow,
-    sqlContract, sqlTopK, sqlScd2, sqlDedupClusters, sqlFunnel, sqlRetention)
+    sqlContract, sqlTopK, sqlScd2, sqlDedupClusters, sqlFunnel, sqlRetention,
+    sqlAnn, sqlAnnPerKey)
 }
