@@ -76,7 +76,16 @@ object StreamingRetention {
   /** Streaming entry: events parquet stream → typed → transformWithState
     * → per-batch per-user snapshots appended to the sink. */
   def run(spark: SparkSession, srcDir: String, sinkDir: String,
-          checkpointDir: String): StreamingQuery = {
+          checkpointDir: String): StreamingQuery =
+    runWithSink(spark, srcDir, checkpointDir,
+      (batch, _) => batch.write.mode("append").parquet(sinkDir))
+
+  /** Same pipeline with a caller-supplied foreachBatch sink — the
+    * crash-probe surface (see StreamingNearDup.runWithSink): snapshots
+    * are monotone per user (masks only gain bits), so an at-least-once
+    * replayed batch is absorbed by max(mask) per user downstream. */
+  def runWithSink(spark: SparkSession, srcDir: String, checkpointDir: String,
+                  sink: (Dataset[RetRow], Long) => Unit): StreamingQuery = {
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -94,9 +103,7 @@ object StreamingRetention {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[RetRow], _: Long) =>
-        batch.write.mode("append").parquet(sinkDir)
-      }
+      .foreachBatch(sink)
       .start()
   }
 }
