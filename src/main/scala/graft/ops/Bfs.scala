@@ -52,9 +52,16 @@ object Bfs {
         java.util.List.of(Row(source)),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("node", srcType, nullable = false))))
-      // visited doubles as the output: (node, hops) accumulated per level
-      var visited = start.withColumn("hops", lit(0L)).localCheckpoint()
-      var frontier = start.localCheckpoint()
+      // visited doubles as the output: (node, hops) accumulated per level.
+      // Lazy checkpoints (r12 optimization, the ConnectedComponents
+      // discipline): each level's size count is the ONE job that both
+      // materializes the level's checkpoint and measures it — the old
+      // eager localCheckpoint ran a redundant job per level, and a THIRD
+      // job re-checkpointed `visited`, which is only ever a flat union
+      // of already-checkpointed level frames (nothing to truncate).
+      // 3 jobs/level -> 1 job/level, identical frontier math.
+      var visited = start.withColumn("hops", lit(0L))
+      var frontier = start
       val sizes = scala.collection.mutable.ArrayBuffer[Long](frontier.count())
       var hop = 0L
       while (hop < maxHops && sizes.last > 0) {
@@ -64,10 +71,9 @@ object Bfs {
         val next = adj.join(frontier.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti")
-          .localCheckpoint()
+          .localCheckpoint(false)
         sizes += next.count()
         visited = visited.unionAll(next.withColumn("hops", lit(hop)))
-          .localCheckpoint()
         frontier = next
       }
       Result(visited, sizes.toSeq)

@@ -111,8 +111,15 @@ object LabelProp {
   def propagate(edges: DataFrame, rounds: Int,
                 broadcastMaxLabels: Long = DefaultBroadcastMaxLabels): DataFrame = {
     val e = prepare(edges)
-    val nLabels = e.select(col("src")).distinct().count()
-    runRounds(e, rounds, useBroadcast(nLabels, broadcastMaxLabels))
+    // ONE distinct pass serves both the gate count and round 1's initial
+    // labels (r12 optimization): the count() materializes the lazy
+    // checkpoint, and runRounds starts from the same node table —
+    // previously the gate's distinct+count and initialLabels each ran
+    // their own full distinct over the edge cache.
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(false)
+    val nLabels = nodes.count()
+    runRounds(e, rounds, useBroadcast(nLabels, broadcastMaxLabels),
+      Some(nodes.select(col("node"), col("node").as("lbl"))))
   }
 
   /** The single materialization both modes (and the gate) read:
@@ -131,8 +138,9 @@ object LabelProp {
     * round's output), so the edge cache can be released before
     * returning and composing LabelProp inside a longer job never pays
     * lingering edge memory. */
-  private def runRounds(e: DataFrame, rounds: Int, broadcastLabels: Boolean): DataFrame = {
-    var lbl = initialLabels(e)
+  private def runRounds(e: DataFrame, rounds: Int, broadcastLabels: Boolean,
+                        init: Option[DataFrame] = None): DataFrame = {
+    var lbl = init.getOrElse(initialLabels(e))
     for (_ <- 1 to rounds) lbl = round(e, lbl, broadcastLabels).localCheckpoint()
     e.unpersist(blocking = false)
     lbl

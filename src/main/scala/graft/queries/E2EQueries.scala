@@ -374,18 +374,23 @@ LEFT JOIN topo2 t ON s.site = t.site""")
         .select(col("node").as("doc_id"))
       val fin = exact.join(losers, Seq("doc_id"), "left_anti")
 
-      val chunks = fin
-        .filter(length(col("text")) > 0)
-        .select(col("source"),
-          explode(sequence(lit(0), ceil(length(col("text")) / 64.0).cast("int") - 1)).as("ci"))
-
+      // chunk census WITHOUT the explode (r12 optimization): the old
+      // form generated one row per 64-byte chunk (sequence + explode —
+      // ~n_chars/64 rows) only to count them per source; the count of
+      // explode(sequence(0, ceil(len/64)-1)) rows is ceil(len/64)
+      // exactly (len > 0 ⇒ the sequence is non-empty), so the same
+      // census is one integer sum over the survivor rows — no generated
+      // rows, and one fewer aggregate+join leg since it rides the
+      // existing per-source aggregate over `fin`.
       t.documents.groupBy("source").agg(count(lit(1)).as("n_input"))
         .join(quality.groupBy("source").agg(count(lit(1)).as("n_quality")), Seq("source"), "left")
         .join(exact.groupBy("source").agg(count(lit(1)).as("n_exact")), Seq("source"), "left")
         .join(fin.groupBy("source").agg(count(lit(1)).as("n_final"),
           sum(size(expr("regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\\\s]', 0)")))
-            .as("total_subword_tokens")), Seq("source"), "left")
-        .join(chunks.groupBy("source").agg(count(lit(1)).as("n_chunks")), Seq("source"), "left")
+            .as("total_subword_tokens"),
+          sum(when(length(col("text")) > 0,
+            ceil(length(col("text")) / 64.0).cast("long")).otherwise(0L)).as("n_chunks")),
+          Seq("source"), "left")
         .na.fill(0)
     },
     Some("""WITH RECURSIVE d1 AS (

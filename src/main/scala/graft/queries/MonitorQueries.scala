@@ -545,22 +545,39 @@ object MonitorQueries {
       val pairs = buckets.select(col("x").as("xi"), col("y").as("yi"))
         .join(buckets.select(col("x").as("xj"), col("y").as("yj")),
           col("xi") < col("xj"))
-        .select(col("xi"), col("xj"),
-          expr("((yj - yi) * 1000000L) div (xj - xi)").as("slope_e6"))
-      val wRank = Window.orderBy(col("slope_e6"), col("xi"), col("xj"))
-      val ranked = pairs
-        .withColumn("rn", row_number().over(wRank).cast("long"))
-        .localCheckpoint() // ranked once, probed three times
-      val m = ranked.agg(max(col("rn")).as("m"))
-      ranked.crossJoin(broadcast(m))
-        .filter(col("rn") === expr("(m + 1L) div 2L") ||
-          col("rn") === expr("(m + 3L) div 4L") ||
-          col("rn") === expr("(3L * m + 1L) div 4L"))
+        .select(expr("((yj - yi) * 1000000L) div (xj - xi)").as("slope_e6"))
+      // Rank selection WITHOUT the global pair sort (r12 optimization):
+      // the old form ranked all C(buckets,2) pairs through one
+      // unpartitioned row_number window (a single-partition sort of the
+      // full pair set, plus a checkpoint of it) — but the three rank
+      // probes only ever read the SLOPE at a rank, and the slope at rank
+      // r is independent of the (xi,xj) tie-break within equal slopes.
+      // So aggregate to the slope census first (hash aggregate,
+      // map-side-combined, fully parallel), take the cumulative count
+      // over the DISTINCT slopes only (a bounded-domain window, the
+      // a13_ks_stat contract), and pick the slope whose cumulative range
+      // [lo, hi] covers each target rank. Identical output by
+      // construction; the sort shrinks from |pairs| rows to
+      // |distinct slopes|.
+      val census = pairs.groupBy(col("slope_e6")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("slope_e6"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = census
+        .withColumn("hi", sum(col("c")).over(wCum))
+        .withColumn("lo", col("hi") - col("c") + 1L)
+      val m = census.agg(sum(col("c")).as("m"))
+      cum.crossJoin(broadcast(m))
+        .filter((col("lo") <= expr("(m + 1L) div 2L") && expr("(m + 1L) div 2L") <= col("hi")) ||
+          (col("lo") <= expr("(m + 3L) div 4L") && expr("(m + 3L) div 4L") <= col("hi")) ||
+          (col("lo") <= expr("(3L * m + 1L) div 4L") && expr("(3L * m + 1L) div 4L") <= col("hi")))
         .groupBy(col("m").as("n_pairs"))
         .agg(
-          max(when(col("rn") === expr("(m + 1L) div 2L"), col("slope_e6"))).as("median_slope_e6"),
-          max(when(col("rn") === expr("(m + 3L) div 4L"), col("slope_e6"))).as("p25_slope_e6"),
-          max(when(col("rn") === expr("(3L * m + 1L) div 4L"), col("slope_e6"))).as("p75_slope_e6"))
+          max(when(col("lo") <= expr("(m + 1L) div 2L") && expr("(m + 1L) div 2L") <= col("hi"),
+            col("slope_e6"))).as("median_slope_e6"),
+          max(when(col("lo") <= expr("(m + 3L) div 4L") && expr("(m + 3L) div 4L") <= col("hi"),
+            col("slope_e6"))).as("p25_slope_e6"),
+          max(when(col("lo") <= expr("(3L * m + 1L) div 4L") && expr("(3L * m + 1L) div 4L") <= col("hi"),
+            col("slope_e6"))).as("p75_slope_e6"))
         .select(col("n_pairs"), col("median_slope_e6"),
           col("p25_slope_e6"), col("p75_slope_e6"))
     },

@@ -568,26 +568,43 @@ object SqlEntryQueries {
         WHERE jac >= 0.9""").localCheckpoint()
       // query-scoped view name: a fixed name collides under concurrent
       // query evaluation in one session
-      val view = s"dedup_pairs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val view = s"dedup_pairs_$tag"
       pairs.createOrReplaceTempView(view)
+      // Each squaring round is MATERIALIZED (r12 optimization): Spark
+      // inlines a multi-referenced CTE at every reference, and each
+      // round references its predecessor twice, so the in-line chain
+      // r1..r6 planned as ONE statement re-plans and re-executes round
+      // k's join 2^(6-k) times — the executed plan carried 762 Exchange
+      // nodes (plans/r12/sql_entry_dedup_clusters_before.txt). Running
+      // the SAME round statement six times over a checkpointed
+      // predecessor keeps every round's join single-execution (~4
+      // exchanges each) while the SQL text per round stays the squaring
+      // statement. Identical closure: R <- R compose R, six times,
+      // diameter <= 64, exactly as before.
+      var r = s.sql(s"""
+        SELECT i AS src, j AS dst FROM $view
+        UNION SELECT j, i FROM $view
+        UNION SELECT i, i FROM $view
+        UNION SELECT j, j FROM $view""").localCheckpoint()
+      for (k <- 1 to 6) {
+        val rv = s"dedup_r${k - 1}_$tag"
+        r.createOrReplaceTempView(rv)
+        r = s.sql(
+          s"SELECT DISTINCT a.src, b.dst FROM $rv a JOIN $rv b ON a.dst = b.src")
+          .localCheckpoint()
+        s.catalog.dropTempView(rv)
+      }
+      val rv6 = s"dedup_r6_$tag"
+      r.createOrReplaceTempView(rv6)
       val out = s.sql(s"""
-        WITH r0 AS (
-          SELECT i AS src, j AS dst FROM $view
-          UNION SELECT j, i FROM $view
-          UNION SELECT i, i FROM $view
-          UNION SELECT j, j FROM $view
-        ), r1 AS (SELECT DISTINCT a.src, b.dst FROM r0 a JOIN r0 b ON a.dst = b.src
-        ), r2 AS (SELECT DISTINCT a.src, b.dst FROM r1 a JOIN r1 b ON a.dst = b.src
-        ), r3 AS (SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r2 b ON a.dst = b.src
-        ), r4 AS (SELECT DISTINCT a.src, b.dst FROM r3 a JOIN r3 b ON a.dst = b.src
-        ), r5 AS (SELECT DISTINCT a.src, b.dst FROM r4 a JOIN r4 b ON a.dst = b.src
-        ), r6 AS (SELECT DISTINCT a.src, b.dst FROM r5 a JOIN r5 b ON a.dst = b.src
-        ), comp AS (
-          SELECT src AS node, min(dst) AS cluster_id FROM r6 GROUP BY src
+        WITH comp AS (
+          SELECT src AS node, min(dst) AS cluster_id FROM $rv6 GROUP BY src
         )
         SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
         FROM comp GROUP BY cluster_id""")
-      // the view is resolved into out's analyzed plan; safe to drop now
+      // the views are resolved into the analyzed plans; safe to drop now
+      s.catalog.dropTempView(rv6)
       s.catalog.dropTempView(view)
       out
     },
