@@ -122,21 +122,51 @@ object CollectPipeline {
         col("e.value").as("value"), col("e.risk").as("risk")): _*)
   }
 
+  /** The risk label domain, ordered; shared by the integer-coded pivot
+    * below and EventStreamPipeline's event-keyed variant. A risk STRING
+    * in the aggregation buffer forces SortAggregate (var-length buffer
+    * fields are not hash-aggregable), which sorts the whole 4x tall
+    * fan-out twice (partial + final, measured as the two SortAggregates
+    * in plans/r12/t6_event_collect_before.txt) — so the pivot aggregates
+    * the integer CODE (HashAggregate, whole-stage codegen) and decodes
+    * back to the label after the exchange. Each (request, source)
+    * appears at most once in the tall frame, so max == first. */
+  val riskLabels: Seq[String] =
+    Seq("LOW", "MODERATE", "MODERATE_TO_HIGH", "HIGH", "EXTREME")
+
+  def riskCode(risk: Column): Column =
+    riskLabels.zipWithIndex.foldLeft(lit(null).cast("int")) { case (acc, (l, i)) =>
+      when(risk === l, i + 1).otherwise(acc)
+    }
+
+  def riskDecode(code: Column): Column =
+    riskLabels.zipWithIndex.foldLeft(lit(null).cast("string")) { case (acc, (l, i)) =>
+      when(code === (i + 1), l).otherwise(acc)
+    }
+
   /** J1 + A6 — pivot the tall records into one wide row per request with
     * the success summary, in ONE aggregate: the explicit-value pivot is a
-    * conditional `first` per source (exactly what Pivot lowers to), and
+    * conditional max per source over the integer risk code (exactly what
+    * Pivot lowers to, kept hash-aggregable — see [[riskCode]]), and
     * the summary counts ride the same groupBy — one Exchange on
     * request_id, no second aggregate + join back. */
   def aggregate(tall: DataFrame): DataFrame =
     tall
+      .withColumn("risk_c", riskCode(col("risk")))
       .groupBy(col("request_id"))
       .agg(
-        first(when(col("source") === "landfire", col("risk")), ignoreNulls = true).as("landfire"),
-        first(when(col("source") === "modis", col("risk")), ignoreNulls = true).as("modis"),
-        first(when(col("source") === "weather", col("risk")), ignoreNulls = true).as("weather"),
-        first(when(col("source") === "topography", col("risk")), ignoreNulls = true).as("topography"),
+        max(when(col("source") === "landfire", col("risk_c"))).as("landfire_c"),
+        max(when(col("source") === "modis", col("risk_c"))).as("modis_c"),
+        max(when(col("source") === "weather", col("risk_c"))).as("weather_c"),
+        max(when(col("source") === "topography", col("risk_c"))).as("topography_c"),
         count(lit(1)).as("sources_successful"),
         count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_high_risk"))
+      .select(col("request_id"),
+        riskDecode(col("landfire_c")).as("landfire"),
+        riskDecode(col("modis_c")).as("modis"),
+        riskDecode(col("weather_c")).as("weather"),
+        riskDecode(col("topography_c")).as("topography"),
+        col("sources_successful"), col("n_high_risk"))
 
   /** The full /collect shape. */
   def run(requests: DataFrame): DataFrame = {

@@ -50,7 +50,14 @@ object PqIndex {
   def encode(vectors: DataFrame, cb: DataFrame): DataFrame =
     subVectors(vectors).join(cb, "m")
       .withColumn("d2", subDist2)
+      // argmin as min over the packed long d2*16 + cw_id (the LabelProp
+      // packed-argmax trick, r12): min(struct(d2, cw_id)) has a struct
+      // aggregation buffer, which is not hash-aggregable and planned as
+      // two SortAggregates over the N x 8 x 16 candidate rows. The
+      // packing is exact: d2 <= 8 * (2e6)^2 = 3.2e13, so d2*16 + cw_id
+      // < 2^63, and min decodes to (d2 asc, cw_id asc) — the identical
+      // lowest-id tie-break.
       .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cw_id"))).as("mm"))
-      .select(col("vec_id"), col("m"), col("mm.cw_id").as("code"))
+      .agg(min(col("d2") * 16L + col("cw_id")).as("packed"))
+      .select(col("vec_id"), col("m"), (col("packed") % 16L).as("code"))
 }

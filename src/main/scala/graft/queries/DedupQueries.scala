@@ -111,13 +111,24 @@ object DedupQueries {
       // non-discriminative there, and its O(n²) pair expansion would
       // dominate the job (observed: one bucket with 63% of the corpus →
       // 15.5M candidate pairs). Singleton buckets produce no pairs.
-      val bands = cappedBandsOf(toks)
-
-      val left = bands.select(col("b"), col("band_key"), col("doc_id").as("i"))
-      val right = bands.select(col("b"), col("band_key"), col("doc_id").as("j"))
-      val cands = left.join(right, Seq("b", "band_key"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j"))
+      //
+      // Candidate generation is the j8_cooccurrence fold (r12
+      // optimization): ONE bucket-keyed collect_set is simultaneously
+      // the census (size gives the 2..MaxBucket cap — (doc_id, b) rows
+      // are unique, so set size == bucket count), the skew guard, and
+      // the pair basis; the i<j expansion is row-local over the <=100
+      // element sorted array. Replaces census + join-back + bucket
+      // self-join (4 exchanges, 2 joins) with bucket aggregate + pair
+      // distinct (2 exchanges). Identical candidate set.
+      val cands = bandsOf(toks)
+        .groupBy(col("b"), col("band_key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, MaxBucket))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS i, y AS j))))"))
+          .as("pr"))
+        .select(col("pr.i").as("i"), col("pr.j").as("j"))
         .distinct()
 
       val ta = toks.select(col("doc_id").as("i"), col("toks").as("toks_i"))
@@ -786,22 +797,39 @@ object DedupQueries {
     "Entity resolution: md5-name records with planted variant chains, 6-char blocking join, levenshtein<=2 gate, connected-components closure; cluster-size census vs derivation-truth oracle.",
     (s, dir) => {
       val t = Tables(s, dir)
-      val base = t.customer.select(col("c_custkey").cast("long").as("k"))
+      // single-scan record derivation (r12 optimization): the old
+      // union-of-three-selects evaluated the customer scan + md5 three
+      // times inside the checkpoint's materializing job; the variant
+      // fan-out is row-local, so one scan + a conditional array explode
+      // emits the same record set
+      val recs = t.customer.select(col("c_custkey").cast("long").as("k"))
         .withColumn("nm", substring(md5(concat(lit("ent:"), col("k").cast("string"))), 1, 12))
-      val r0 = base.select((col("k") * 10).as("rec_id"), col("nm").as("name"))
-      val r1 = base.filter(col("k") % 2 === 0)
-        .select((col("k") * 10 + 1).as("rec_id"),
-          concat(substring(col("nm"), 1, 8), lit("zz"), substring(col("nm"), 11, 2)).as("name"))
-      val r2 = base.filter(col("k") % 4 === 0)
-        .select((col("k") * 10 + 2).as("rec_id"),
-          concat(substring(col("nm"), 1, 10), lit("qq")).as("name"))
-      val recs = r0.unionAll(r1).unionAll(r2)
+        .select(explode(expr(
+          "filter(array(" +
+            "struct(k * 10 AS rec_id, nm AS name), " +
+            "IF(k % 2 = 0, struct(k * 10 + 1 AS rec_id, " +
+            "  concat(substring(nm, 1, 8), 'zz', substring(nm, 11, 2)) AS name), NULL), " +
+            "IF(k % 4 = 0, struct(k * 10 + 2 AS rec_id, " +
+            "  concat(substring(nm, 1, 10), 'qq') AS name), NULL)" +
+            "), r -> r IS NOT NULL)")).as("r"))
+        .select(col("r.rec_id").as("rec_id"), col("r.name").as("name"))
         .withColumn("blk", substring(col("name"), 1, 6))
         .localCheckpoint() // self-releasing, unlike a leaked .cache()
-      val edges = recs.select(col("blk"), col("rec_id").as("src"), col("name").as("na"))
-        .join(recs.select(col("blk"), col("rec_id").as("dst"), col("name").as("nb")), "blk")
-        .filter(col("src") < col("dst") && levenshtein(col("na"), col("nb")) <= 2)
-        .select(col("src"), col("dst"))
+      // blocking stage as the j8 fold (r12 optimization): ONE block-keyed
+      // collect_list replaces the blocking self-join's two shuffles, and
+      // the levenshtein<=2 gate runs row-locally over the tiny per-block
+      // array (blocks are md5-prefix keyed — uniform, 1-3 records each).
+      // least/greatest normalizes each unordered pair once, so the edge
+      // SET is identical to the old src<dst join output.
+      val edges = recs.groupBy(col("blk"))
+        .agg(collect_list(struct(col("rec_id"), col("name"))).as("rs"))
+        .select(explode(expr(
+          "flatten(transform(rs, (x, i) -> " +
+            "transform(filter(slice(rs, i + 2, size(rs)), " +
+            "            y -> levenshtein(x.name, y.name) <= 2), " +
+            "  y -> struct(least(x.rec_id, y.rec_id) AS src, " +
+            "              greatest(x.rec_id, y.rec_id) AS dst))))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val labels = graft.ops.ConnectedComponents.resolve(edges)
       recs.select(col("rec_id").as("node"))
         .join(labels, Seq("node"), "left")

@@ -135,20 +135,29 @@ object GraphQueries {
     "Exact triangle count via degree-ordered orientation: oriented wedge self-join + closing equi-join; top-10 nodes by triangle membership.",
     (s, dir) => {
       val t = Tables(s, dir)
-      val items = t.lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val keep = items.groupBy(col("o")).agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 6))
-        .select(col("o"))
-      val kept = items.join(keep, "o")
-      // cached: the basket self-join feeds BOTH the degree census and
-      // the orientation join — uncached, Spark recomputes the pair
+      // Edge build the j8_cooccurrence way (r12 optimization — the same
+      // collect_set rewrite the LPA edge build got in r11, adjudicated
+      // faster in scale/lpa_edge_ab_r12.json): ONE order-keyed shuffle
+      // builds capped sorted baskets — the set is simultaneously the
+      // distinct, the basket, and the size census — and the p1<p2 pair
+      // expansion is row-local over the <=6-element sorted array.
+      // Replaces items-distinct + size census + join + self-join
+      // (4 exchanges + 2 joins) with basket aggregate + edge distinct
+      // (2 exchanges). Same edge set: sort_array makes x before y in
+      // the slice expansion exactly the p1 < p2 pairs.
+      // cached: the edge table feeds BOTH the degree census and the
+      // orientation join — uncached, Spark recomputes the pair
       // expansion twice (the a12_syndication_rank lesson)
-      val edges = kept.select(col("o"), col("p").as("p1"))
-        .join(kept.select(col("o"), col("p").as("p2")), Seq("o"))
-        .filter(col("p1") < col("p2"))
-        .select(col("p1"), col("p2")).distinct()
+      val edges = t.lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy(col("o"))
+        .agg(sort_array(collect_set(col("p"))).as("ps"))
+        .filter(size(col("ps")).between(2, 6))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+          .as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2")).distinct()
         .cache()
       val deg = edges.select(col("p1").as("v")).unionAll(edges.select(col("p2").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))

@@ -99,30 +99,37 @@ object SqlEntryQueries {
             FROM p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.ts >= b.ts""")
   )
 
-  /** MinHash+LSH near-dup dedup as PURE SQL, driving the native
-    * `minhash_sigs` Catalyst expression from SQL text: signatures →
-    * 3 two-row bands → capped bucket equi-join (2–100, the same skew
-    * guard as the DataFrame form) → exact-Jaccard verification. Oracle =
-    * the same DuckDB text that certifies a10_neardup_minhash. */
-  val sqlLshDedup = Q(
-    "sql_entry_lsh_dedup",
-    "Raw-SQL MinHash+LSH dedup using the SQL-registered native minhash_sigs: banded bucket join with 2-100 skew cap, exact Jaccard >= 0.9; same oracle as a10_neardup_minhash.",
-    (s, dir) => {
-      Tables(s, dir).documents.createOrReplaceTempView("documents")
-      s.sql("""
-        WITH d AS (
-          SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents
-        ), sig AS (
-          SELECT doc_id, minhash_sigs(toks) AS mh FROM d
-        ), all_bands AS (
-          SELECT doc_id, b, concat(mh[2 * b], mh[2 * b + 1]) AS band_key
-          FROM sig LATERAL VIEW explode(sequence(0, 2)) t AS b
-        ), keep AS (
-          SELECT b, band_key FROM all_bands GROUP BY b, band_key
+  /** The shared raw-SQL LSH verified-pairs pipeline (sql_entry_lsh_dedup
+    * and sql_entry_dedup_clusters), with its two multi-referenced stages
+    * MATERIALIZED once (r12 optimization): Spark inlines a CTE at every
+    * reference, so the one-statement form re-ran the tokenize CTE `d` 3x
+    * (sig + both verify sides) and the minhash_sigs-bearing `all_bands`
+    * 2x (census + join-back). Checkpointing those two stages into temp
+    * views keeps every per-document hash single-execution; the candidate
+    * + verify statement (and the caller-supplied final SELECT over
+    * `ver`) stays the same SQL text. */
+  private def lshVerifiedPairsSql(s: org.apache.spark.sql.SparkSession, dir: String,
+                                  finalSelect: String): org.apache.spark.sql.DataFrame = {
+    Tables(s, dir).documents.createOrReplaceTempView("documents")
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val dView = s"lsh_d_$tag"
+    val abView = s"lsh_ab_$tag"
+    s.sql("SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents")
+      .localCheckpoint().createOrReplaceTempView(dView)
+    s.sql(s"""
+        WITH sig AS (
+          SELECT doc_id, minhash_sigs(toks) AS mh FROM $dView
+        )
+        SELECT doc_id, b, concat(mh[2 * b], mh[2 * b + 1]) AS band_key
+        FROM sig LATERAL VIEW explode(sequence(0, 2)) t AS b""")
+      .localCheckpoint().createOrReplaceTempView(abView)
+    val out = s.sql(s"""
+        WITH keep AS (
+          SELECT b, band_key FROM $abView GROUP BY b, band_key
           HAVING count(*) BETWEEN 2 AND 100
         ), bands AS (
           SELECT a.doc_id, a.b, a.band_key
-          FROM all_bands a JOIN keep USING (b, band_key)
+          FROM $abView a JOIN keep USING (b, band_key)
         ), cand AS (
           SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
           FROM bands l JOIN bands r USING (b, band_key)
@@ -132,10 +139,24 @@ object SqlEntryQueries {
             CAST(size(array_intersect(da.toks, db.toks)) AS DOUBLE) /
               (size(da.toks) + size(db.toks)
                  - size(array_intersect(da.toks, db.toks))) AS jac
-          FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j
+          FROM cand JOIN $dView da ON da.doc_id = i JOIN $dView db ON db.doc_id = j
         )
-        SELECT i, j, round(jac, 6) AS jaccard FROM ver WHERE jac >= 0.9""")
-    },
+        $finalSelect""")
+    s.catalog.dropTempView(dView)
+    s.catalog.dropTempView(abView)
+    out
+  }
+
+  /** MinHash+LSH near-dup dedup as PURE SQL, driving the native
+    * `minhash_sigs` Catalyst expression from SQL text: signatures →
+    * 3 two-row bands → capped bucket equi-join (2–100, the same skew
+    * guard as the DataFrame form) → exact-Jaccard verification. Oracle =
+    * the same DuckDB text that certifies a10_neardup_minhash. */
+  val sqlLshDedup = Q(
+    "sql_entry_lsh_dedup",
+    "Raw-SQL MinHash+LSH dedup using the SQL-registered native minhash_sigs: banded bucket join with 2-100 skew cap, exact Jaccard >= 0.9; same oracle as a10_neardup_minhash.",
+    (s, dir) => lshVerifiedPairsSql(s, dir,
+      "SELECT i, j, round(jac, 6) AS jaccard FROM ver WHERE jac >= 0.9"),
     Some("""WITH d AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
             ), hs AS (
@@ -539,33 +560,8 @@ object SqlEntryQueries {
     "sql_entry_dedup_clusters",
     "Raw-SQL dedup clusters: LSH candidates + exact-Jaccard pairs (materialized once), then connected components via 6 DISTINCT closure-squaring self-joins (diameter <= 64); oracle = the recursive-fixpoint closure in DuckDB, same answer as a10_dedup_clusters.",
     (s, dir) => {
-      Tables(s, dir).documents.createOrReplaceTempView("documents")
-      val pairs = s.sql("""
-        WITH d AS (
-          SELECT doc_id, array_distinct(split(text, ' ')) AS toks FROM documents
-        ), sig AS (
-          SELECT doc_id, minhash_sigs(toks) AS mh FROM d
-        ), all_bands AS (
-          SELECT doc_id, b, concat(mh[2 * b], mh[2 * b + 1]) AS band_key
-          FROM sig LATERAL VIEW explode(sequence(0, 2)) t AS b
-        ), keep AS (
-          SELECT b, band_key FROM all_bands GROUP BY b, band_key
-          HAVING count(*) BETWEEN 2 AND 100
-        ), bands AS (
-          SELECT a.doc_id, a.b, a.band_key
-          FROM all_bands a JOIN keep USING (b, band_key)
-        ), cand AS (
-          SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-          FROM bands l JOIN bands r USING (b, band_key)
-          WHERE l.doc_id < r.doc_id
-        )
-        SELECT i, j
-        FROM (SELECT i, j,
-                CAST(size(array_intersect(da.toks, db.toks)) AS DOUBLE) /
-                  (size(da.toks) + size(db.toks)
-                     - size(array_intersect(da.toks, db.toks))) AS jac
-              FROM cand JOIN d da ON da.doc_id = i JOIN d db ON db.doc_id = j)
-        WHERE jac >= 0.9""").localCheckpoint()
+      val pairs = lshVerifiedPairsSql(s, dir,
+        "SELECT i, j FROM ver WHERE jac >= 0.9").localCheckpoint()
       // query-scoped view name: a fixed name collides under concurrent
       // query evaluation in one session
       val tag = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -587,13 +583,27 @@ object SqlEntryQueries {
         UNION SELECT j, i FROM $view
         UNION SELECT i, i FROM $view
         UNION SELECT j, j FROM $view""").localCheckpoint()
-      for (k <- 1 to 6) {
+      // Early fixpoint exit (sound, not a heuristic): r0 contains every
+      // identity pair and squaring preserves them, so each round's
+      // relation is a SUPERSET of its predecessor — count equality is
+      // set equality is the closure fixpoint, and further squarings are
+      // the identity. The count reads an already-materialized
+      // checkpoint, so the check costs no extra pass; near-clique dedup
+      // graphs reach the fixpoint in 2 rounds instead of paying all 6.
+      var prevCount = r.count()
+      var k = 1
+      var fixed = false
+      while (k <= 6 && !fixed) {
         val rv = s"dedup_r${k - 1}_$tag"
         r.createOrReplaceTempView(rv)
         r = s.sql(
           s"SELECT DISTINCT a.src, b.dst FROM $rv a JOIN $rv b ON a.dst = b.src")
           .localCheckpoint()
         s.catalog.dropTempView(rv)
+        val c = r.count()
+        fixed = c == prevCount
+        prevCount = c
+        k += 1
       }
       val rv6 = s"dedup_r6_$tag"
       r.createOrReplaceTempView(rv6)

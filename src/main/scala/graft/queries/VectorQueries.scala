@@ -34,6 +34,15 @@ object VectorQueries {
     * (shared with the streaming index-maintenance path via PqIndex). */
   private def quantized = graft.ops.PqIndex.quantized
 
+  /** Row-local 1-bit sign pack of a 32-element array slice into one
+    * long: bit i set iff element i >= 0 — the same two words the old
+    * posexplode + sum(shiftleft) aggregate built, computed as a per-row
+    * array fold so the pack needs no exchange (r12 optimization;
+    * j5_hamming_topk and the cascade's tier 0 share it). */
+  private def signPack(sliceSql: String) = expr(
+    s"aggregate(zip_with($sliceSql, sequence(0, 31), " +
+      "(e, i) -> IF(e >= 0, shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)")
+
   /** J5 ⊕ — one Lloyd iteration of k-means over the embeddings: assign
     * every vector to its nearest of K=8 seed centroids (the first 8
     * corpus vectors, the same deterministic seeding as j5_ivf_probe's
@@ -329,15 +338,16 @@ object VectorQueries {
     "1-bit sign quantization packed to 2x32-bit words; Hamming top-20 vs probe vec_id=0 via bit_count(xor) — 32x-compressed coarse ANN tier.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // row-local sign pack (r12 optimization): the old posexplode +
+      // groupBy re-assembled each vector from its own 64 exploded rows
+      // through a full exchange + hash aggregate; the pack is a pure
+      // per-row fold over the array, so it stays inside the scan's
+      // projection — zero exchanges, identical two words (bit pos =
+      // array pos, same signs)
       val packed = t.embeddings
         .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "e")))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(
-          // functions.shiftleft only takes a literal shift — the
-          // column-shift form is SQL-only, hence expr()
-          expr("sum(CASE WHEN pos < 32 AND e >= 0 THEN shiftleft(1L, int(pos)) ELSE 0L END)").as("lo"),
-          expr("sum(CASE WHEN pos >= 32 AND e >= 0 THEN shiftleft(1L, int(pos) - 32) ELSE 0L END)").as("hi"))
+          signPack("slice(embedding, 1, 32)").as("lo"),
+          signPack("slice(embedding, 33, 32)").as("hi"))
       val probe = broadcast(packed.filter(col("vec_id") === 0)
         .select(col("lo").as("p_lo"), col("hi").as("p_hi")))
       packed.filter(col("vec_id") =!= 0)
@@ -392,13 +402,12 @@ object VectorQueries {
       import graft.ops.PqIndex
       val t = Tables(s, dir)
       val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
-      // tier 0: 1-bit sign pack (two 32-bit words, as j5_hamming_topk)
+      // tier 0: 1-bit sign pack (two 32-bit words, as j5_hamming_topk —
+      // row-local fold, no explode/exchange; see signPack)
       val packed = t.embeddings
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "e")))
-        .groupBy(col("vec_id"))
-        .agg(
-          expr("sum(CASE WHEN pos < 32 AND e >= 0 THEN shiftleft(1L, int(pos)) ELSE 0L END)").as("lo"),
-          expr("sum(CASE WHEN pos >= 32 AND e >= 0 THEN shiftleft(1L, int(pos) - 32) ELSE 0L END)").as("hi"))
+        .select(col("vec_id"),
+          signPack("slice(embedding, 1, 32)").as("lo"),
+          signPack("slice(embedding, 33, 32)").as("hi"))
       val hamQ = broadcast(packed.filter(col("vec_id").between(450, 459))
         .select(col("vec_id").as("q_id"), col("lo").as("p_lo"), col("hi").as("p_hi")))
       val wHam = Window.partitionBy(col("q_id"))

@@ -238,16 +238,26 @@ object EventStreamPipeline {
     val tall = CollectPipeline.enrich(valid,
         carry = Seq("trigger_event_id", "priority", "all_sources", "timeout_s"))
       .filter(col("all_sources") || col("source") === "weather")
+    // integer-coded risk pivot (see CollectPipeline.riskCode): a string
+    // agg buffer would force SortAggregate over the 4x tall fan-out;
+    // max == first since each (request, source) appears at most once
     tall
+      .withColumn("risk_c", CollectPipeline.riskCode(col("risk")))
       .groupBy(col("request_id"), col("trigger_event_id"), col("priority"), col("timeout_s"))
       .agg(
-        first(when(col("source") === "landfire", col("risk")), ignoreNulls = true).as("landfire"),
-        first(when(col("source") === "modis", col("risk")), ignoreNulls = true).as("modis"),
-        first(when(col("source") === "weather", col("risk")), ignoreNulls = true).as("weather"),
-        first(when(col("source") === "topography", col("risk")), ignoreNulls = true).as("topography"),
+        max(when(col("source") === "landfire", col("risk_c"))).as("landfire_c"),
+        max(when(col("source") === "modis", col("risk_c"))).as("modis_c"),
+        max(when(col("source") === "weather", col("risk_c"))).as("weather_c"),
+        max(when(col("source") === "topography", col("risk_c"))).as("topography_c"),
         count(lit(1)).as("sources_successful"),
         count(when(col("risk").isin("HIGH", "EXTREME"), 1)).as("n_high_risk"))
-      .withColumnRenamed("trigger_event_id", "event_id")
+      .select(col("request_id"), col("trigger_event_id").as("event_id"),
+        col("priority"), col("timeout_s"),
+        CollectPipeline.riskDecode(col("landfire_c")).as("landfire"),
+        CollectPipeline.riskDecode(col("modis_c")).as("modis"),
+        CollectPipeline.riskDecode(col("weather_c")).as("weather"),
+        CollectPipeline.riskDecode(col("topography_c")).as("topography"),
+        col("sources_successful"), col("n_high_risk"))
   }
 
   /** §3.3 streaming entry — T1 ingest → T2 route → the §3.1 collect
