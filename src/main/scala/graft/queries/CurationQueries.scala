@@ -302,15 +302,23 @@ object CurationQueries {
       val evalGrams = grams5(docs.filter(col("doc_id") % 50 === 0))
         .select(col("gram")).distinct()
       val evalBuckets = evalGrams.select(bucketOf(col("gram")).as("bucket")).distinct()
+      // ONE pass over the corpus gram stream (r12 optimization): the
+      // bucket membership becomes a boolean via a left join against the
+      // DISTINCT broadcast bucket set (at most one match per gram, so
+      // rows are preserved), checkpointed once — the old shape re-derived
+      // the 5-gram explosion for the prune, the flag join AND both
+      // telemetry counts, and the two telemetry censuses now fuse into
+      // one conditional aggregate over the same pass.
       val corpusGrams = grams5(docs.filter(col("doc_id") % 50 =!= 0))
-      val prunedGrams = corpusGrams
-        .join(broadcast(evalBuckets), bucketOf(col("gram")) === col("bucket"), "left_semi")
+        .join(broadcast(evalBuckets), bucketOf(col("gram")) === col("bucket"), "left")
+        .withColumn("hit", col("bucket").isNotNull)
+        .drop("bucket")
+        .localCheckpoint()
+      val prunedGrams = corpusGrams.filter(col("hit"))
       val flagged = prunedGrams.join(evalGrams, Seq("gram"), "left_semi")
         .select(col("doc_id")).distinct()
-      // two census passes over the gram stream (pre/post prune); a
-      // long-lived job would fuse them with a conditional aggregate
-      val telemetry = corpusGrams.agg(count(lit(1)).as("n_grams_total"))
-        .crossJoin(broadcast(prunedGrams.agg(count(lit(1)).as("n_grams_pruned"))))
+      val telemetry = corpusGrams.agg(count(lit(1)).as("n_grams_total"),
+        count(when(col("hit"), 1)).as("n_grams_pruned"))
       docs.filter(col("doc_id") % 50 =!= 0)
         .join(flagged.withColumn("contaminated", lit(1)), Seq("doc_id"), "left")
         .groupBy(col("source"))

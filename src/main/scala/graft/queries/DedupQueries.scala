@@ -263,17 +263,18 @@ object DedupQueries {
       val allBands = sigs
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
         .select(col("doc_id"), col("band.b").as("b"), col("band.band_key").as("band_key"))
-      val keep = allBands.groupBy(col("b"), col("band_key"))
-        .agg(count(lit(1)).as("bn"))
-        .filter(col("bn").between(2, MaxBucket))
-        .select(col("b"), col("band_key"))
-      val bands = allBands.join(keep, Seq("b", "band_key"))
-
-      val left = bands.select(col("b"), col("band_key"), col("doc_id").as("i"))
-      val right = bands.select(col("b"), col("band_key"), col("doc_id").as("j"))
-      val cands = left.join(right, Seq("b", "band_key"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j"))
+      // bucket fold (r12 optimization, as scoredPairsOver): one
+      // collect_set is census + skew cap + pair basis; i<j expansion is
+      // row-local over the sorted <=MaxBucket array — replaces census +
+      // join-back + bucket self-join. Identical candidate set.
+      val cands = allBands.groupBy(col("b"), col("band_key"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, MaxBucket))
+        .select(explode(expr(
+          "flatten(transform(ds, (x, i) -> " +
+            "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS i, y AS j))))"))
+          .as("pr"))
+        .select(col("pr.i").as("i"), col("pr.j").as("j"))
         .distinct()
 
       val sa = shingles.select(col("doc_id").as("i"), col("sh").as("sh_i"))
@@ -892,15 +893,25 @@ object DedupQueries {
             sequence(lit(1), size(col("w")) - 3),
             i => xxhash64(concat_ws(" ", (0 to 3).map(k => element_at(col("w"), i + k)): _*)))))
             .as("g"))
-      val discriminative = grams.groupBy(col("g"))
-        .agg(count(lit(1)).as("nd"))
-        .filter(col("nd").between(2, 16))
-        .select(col("g"))
-      val kept = grams.join(discriminative, "g").localCheckpoint()
-      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-      val shared = kept.select(col("g"), col("doc_id").as("a"))
-        .join(kept.select(col("g"), col("doc_id").as("b")), "g")
-        .filter(col("a") =!= col("b"))
+      // posting-list fold (r12 optimization, the j8 shape): ONE
+      // gram-keyed collect_list is simultaneously the df census (size
+      // gives the 2..16 cap — (g, doc_id) rows are pre-deduped by the
+      // array_distinct above) and the pair basis; the directed a!=b
+      // expansion is row-local over the <=16-element list. Replaces
+      // census + join-back + gram self-join (4 exchanges, 2 joins) with
+      // bucket aggregate + two downstream aggregates. Checkpointed once
+      // for its two consumers (sizes, shared).
+      val buckets = grams.groupBy(col("g"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")).between(2, 16))
+        .localCheckpoint()
+      val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      val shared = buckets
+        .select(explode(expr(
+          "flatten(transform(ds, x -> transform(filter(ds, y -> y != x), " +
+            "y -> struct(x AS a, y AS b))))")).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
       shared.join(sizes.withColumnRenamed("doc_id", "a"), "a")
         .withColumn("containment_ppm", expr("(shared * 1000000L) div na"))

@@ -48,14 +48,17 @@ object GraphQueries {
           explode(transform(sequence(lit(1), size(col("w")) - 4),
             i => xxhash64(concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("g"))
         .distinct()
-      val sharedGrams = spans.groupBy(col("g"))
-        .agg(count(lit(1)).as("ns"))
-        .filter(col("ns").between(2, 8))
-        .select(col("g"))
-      val kept = spans.join(sharedGrams, "g").cache()
-      val edges = kept.select(col("g"), col("source").as("src"))
-        .join(kept.select(col("g"), col("source").as("dst")), "g")
-        .filter(col("src") =!= col("dst"))
+      // bucket fold (r12 optimization, as syndicationEdges below): one
+      // gram-keyed collect_set replaces census + join-back + self-join;
+      // the weight is the per-(src,dst) count of row-local directed
+      // pairs — identical to the old join's group counts
+      val edges = spans.groupBy(col("g"))
+        .agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")).between(2, 8))
+        .select(explode(expr(
+          "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+            "y -> struct(x AS src, y AS dst))))")).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
         .cache()
       val outw = edges.groupBy(col("src"))
@@ -300,15 +303,18 @@ object GraphQueries {
         explode(transform(sequence(lit(1), size(col("w")) - 4),
           i => xxhash64(concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("g"))
       .distinct()
-    val sharedGrams = spans.groupBy(col("g"))
-      .agg(count(lit(1)).as("ns"))
-      .filter(col("ns").between(2, 8))
-      .select(col("g"))
-    val kept = spans.join(sharedGrams, "g")
-    kept.select(col("g"), col("source").as("src"))
-      .join(kept.select(col("g"), col("source").as("dst")), "g")
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    // bucket fold (r12 optimization, the j8 shape): one gram-keyed
+    // collect_set is census + 2..8 cap + pair basis ((source, g) rows
+    // are pre-distinct, so set size == the old count), and the directed
+    // src != dst expansion is row-local over the <=8-element set —
+    // replaces census + join-back + gram self-join. Identical edge set.
+    spans.groupBy(col("g"))
+      .agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")).between(2, 8))
+      .select(explode(expr(
+        "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
   }
 
   /** A12 ⊕ — the 100 TB face of reachability: the level-synchronous BFS

@@ -560,6 +560,12 @@ object MonitorQueries {
       // construction; the sort shrinks from |pairs| rows to
       // |distinct slopes|.
       val census = pairs.groupBy(col("slope_e6")).agg(count(lit(1)).as("c"))
+        // lazy checkpoint: census has two consumers (the cumulative
+        // window and the single-row total) — without it the C(B,2) pair
+        // join re-executes for each; with it the first consumer
+        // materializes the census-sized table once (local wall delta is
+        // inside noise, the 2x pair-stage saving is the scale argument)
+        .localCheckpoint(false)
       val wCum = Window.orderBy(col("slope_e6"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = census

@@ -60,12 +60,17 @@ object SelectionQueries {
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
         .withColumn("f", bucket16(col("tok")))
-      val raw = toks.groupBy(col("f")).agg(count(lit(1)).as("c_raw"))
-      val tgt = toks.filter(col("lang") === "en")
-        .groupBy(col("f")).agg(count(lit(1)).as("c_tgt"))
-      val ratio = raw.join(tgt, Seq("f"), "left")
+      // ONE bucket census (r12 optimization): the raw and target counts
+      // are conditional aggregates over the same token stream — the old
+      // two-census + join form re-ran the explode+md5 pass twice and
+      // paid a join for a table this very query proves is <=65,536 rows.
+      // coalesce(c_tgt, 0) == count(when(lang='en')) exactly (buckets
+      // with no target tokens count 0 either way).
+      val ratio = toks.groupBy(col("f"))
+        .agg(count(lit(1)).as("c_raw"),
+          count(when(col("lang") === "en", 1)).as("c_tgt"))
         .select(col("f"),
-          expr("((coalesce(c_tgt, 0L) + 1L) * 1048576L) div (c_raw + 1L)").as("w"))
+          expr("((c_tgt + 1L) * 1048576L) div (c_raw + 1L)").as("w"))
       toks.join(broadcast(ratio), Seq("f"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
@@ -457,6 +462,13 @@ object SelectionQueries {
           .join(broadcast(wt), "i")
           .select(col("i").as("source"),
             expr("(w_total * 1000000000000L) div denom").as("st"))
+          // flat loop-carried plan (r12 optimization): each iteration
+          // references the strength table TWICE (st_i and st_j sides),
+          // so the lazily-chained form nested the whole previous
+          // iteration under BOTH broadcasts — 2^3 plan copies and ~14
+          // broadcast builds by iteration 3. The checkpoint is a
+          // <=|sources|-row frame; the LabelProp per-round discipline.
+          .localCheckpoint()
       }
       strength
         .join(wt.select(col("i").as("source"), col("w_total").as("wins_scaled")), "source")

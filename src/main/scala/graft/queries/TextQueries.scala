@@ -498,7 +498,13 @@ object TextQueries {
       (a, b) => concat(a, lit(" "), b))).as("pair"))
     val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc).limit(1)
-      .localCheckpoint() // 1 row, materialized on the executors
+      // LAZY checkpoint (r12 optimization): the merged corpus below is
+      // checkpointed eagerly, and building its broadcast side is the
+      // action that materializes this 1-row frame — an eager checkpoint
+      // here ran a redundant extra job per round. Still never collected
+      // to the driver; the plan under the broadcast stays flat (one
+      // census over the previous round's ExistingRDD).
+      .localCheckpoint(false)
     val merged = corpus.crossJoin(broadcast(top))
       .withColumn("seg", call_function("replace", col("seg"),
         concat(lit(" "), call_function("replace", col("pair"), lit(" "), lit("  ")), lit(" ")),
@@ -1065,17 +1071,33 @@ object TextQueries {
             "xxhash64(concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))"))
           .as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 8))
-      val wt = tf.join(df, "w")
-        .select(col("w"), col("doc_id"),
-          (least(col("tf"), lit(4L)) * expr("24 div df")).as("wt"))
+      // posting-list fold (r12 optimization, the j8 shape): ONE
+      // term-keyed collect_list is simultaneously the df census (size
+      // gives the [2, 8] window) and the posting list; the per-document
+      // weight needs only df = size(list), so it is computed inside the
+      // same row, and the d1<d2 pair expansion is row-local over the
+      // <=8-element doc_id-sorted list. Replaces df census + join-back
+      // + posting self-join (4 exchanges, 2 joins) with one bucket
+      // aggregate + two downstream aggregates. Identical weights, pairs
+      // and sums. Checkpointed once for its two consumers (norms, dots).
+      val posts = tf.groupBy(col("w"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+        .filter(size(col("ps")).between(2, 8))
+        .select(expr(
+          "transform(ps, p -> struct(p.doc_id AS doc_id, " +
+            "least(p.tf, CAST(4 AS BIGINT)) * (CAST(24 AS BIGINT) div size(ps)) AS wt))")
+          .as("ps"))
         .localCheckpoint() // self-releasing, unlike a leaked .cache()
-      val norms = wt.groupBy(col("doc_id")).agg(sum(col("wt") * col("wt")).as("nsq"))
-      val dots = wt.select(col("w"), col("doc_id").as("d1"), col("wt").as("w1"))
-        .join(wt.select(col("w"), col("doc_id").as("d2"), col("wt").as("w2")), "w")
-        .filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
+      val norms = posts.select(explode(col("ps")).as("p"))
+        .groupBy(col("p.doc_id").as("doc_id"))
+        .agg(sum(col("p.wt") * col("p.wt")).as("nsq"))
+      val dots = posts
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x.doc_id AS d1, y.doc_id AS d2, x.wt * y.wt AS ww))))"))
+          .as("pr"))
+        .groupBy(col("pr.d1").as("d1"), col("pr.d2").as("d2"))
+        .agg(sum(col("pr.ww")).as("dot"))
       dots
         .join(norms.select(col("doc_id").as("d1"), col("nsq").as("n1")), "d1")
         .join(norms.select(col("doc_id").as("d2"), col("nsq").as("n2")), "d2")

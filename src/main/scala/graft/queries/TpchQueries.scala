@@ -541,15 +541,19 @@ object TpchQueries {
         .join(fOrders, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val census = lines.groupBy(col("l_orderkey").as("ok"))
+      // ONE census pass (r12 optimization): the qualifying row per order
+      // is the SOLE late supplier, and when n_late_supp == 1 that
+      // supplier is min(late suppkeys) — so it rides the same aggregate
+      // and the old second scan of the joined lineitem (distinct late
+      // pairs + join back onto the census) disappears. Identical rows:
+      // exactly one (order, supplier) per qualifying order either way.
+      lines.groupBy(col("l_orderkey"))
         .agg(
           countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-      lines.filter(col("late"))
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-        .join(census, col("l_orderkey") === col("ok"))
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+          min(when(col("late"), col("l_suppkey"))).as("sole_supp"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.supplier), col("sole_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
