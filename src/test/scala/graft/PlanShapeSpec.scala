@@ -256,8 +256,14 @@ class PlanShapeSpec extends SparkSpecBase {
     // nested-loop join is the accepted 1-row-crossJoin shape
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
       s"expected only the 1-row probe broadcast:\n${p.take(2000)}")
-    assert(p.contains("partial_"),
-      "sign-packing aggregate lost its map-side combine")
+    // r12: the sign pack became a row-local array fold inside the scan
+    // projection — the stronger property replaces the old map-side-
+    // combine pin: the ranking scan has NO aggregate and NO exchange at
+    // all (the old posexplode + re-aggregate shape had one of each)
+    assert(!p.contains("SortAggregate") && !p.contains("HashAggregate"),
+      "the sign pack must stay a per-row fold, not an explode + re-aggregate")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the packed ranking scan must be exchange-free")
   }
 
   test("w10_attribution: the lookback window joins hash-partitioned, never nested-loop") {
