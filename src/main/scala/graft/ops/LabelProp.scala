@@ -123,10 +123,19 @@ object LabelProp {
   }
 
   /** The single materialization both modes (and the gate) read:
-    * src-partitioned cached edges, with the id-domain guard doubling as
-    * the materializing action. */
+    * src-partitioned cached DISTINCT edges, with the id-domain guard
+    * doubling as the materializing action.
+    *
+    * The dedup lives HERE, fused behind the layout exchange (r12
+    * optimization): LPA is defined on an edge SET (each neighbor
+    * contributes its label once), and hashing the raw pair stream out
+    * on `src` FIRST lets the distinct aggregate run in place — its
+    * ClusteredDistribution(src, dst) is satisfied by the src hash
+    * partitioning (subset rule) — so edge prep pays ONE exchange where
+    * a caller-side `.distinct()` followed by this repartition paid two.
+    * Already-distinct inputs are unchanged (dedup is idempotent). */
   private def prepare(edges: DataFrame): DataFrame = {
-    val e = edges.repartition(col("src")).cache() // partitioning-visible, unlike an RDD checkpoint
+    val e = edges.repartition(col("src")).distinct().cache() // partitioning-visible, unlike an RDD checkpoint
     guardIds(e)
     e
   }

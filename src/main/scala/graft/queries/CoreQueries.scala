@@ -401,8 +401,12 @@ object CoreQueries {
     "Market-basket co-occurrence: one collect_set shuffle builds capped baskets, row-local C(k,2) pair expansion, co-count histogram.",
     (s, dir) => {
       val t = Tables(s, dir)
-      val baskets = t.lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // widened on the basket key (ops/ScanLayout): the set build runs
+      // after the exchange on every core, not as a single-task
+      // sort-fallback partial over the unsplittable scan
+      val baskets = graft.ops.ScanLayout.widenByKey(
+          t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          col("o"))
         .groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ps"))
         .filter(size(col("ps")).between(2, 6))
@@ -568,9 +572,15 @@ object CoreQueries {
     "Association rules over capped baskets: directed confidence/lift in integer micro-units, support-pruned, deterministic top-20 TakeOrdered.",
     (s, dir) => {
       val t = Tables(s, dir)
-      val items = t.lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val baskets = items.groupBy(col("o"))
+      // no pre-distinct (r12 optimization): collect_set dedups each
+      // basket itself, so the (o, p) distinct was a full extra exchange
+      // + two aggregate passes for nothing; and the scan is widened ON
+      // the basket key, so the exchange happens before the set build
+      // instead of after a single-task partial (ops/ScanLayout)
+      val baskets = graft.ops.ScanLayout.widenByKey(
+          t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          col("o"))
+        .groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ps"))
         .filter(size(col("ps")).between(2, 6))
         .localCheckpoint() // self-releasing, unlike a leaked .cache()

@@ -297,7 +297,13 @@ object CurationQueries {
     "Decontamination behind a broadcast bucket-set pre-filter (explicit runtime-bloom shape); flags match the exact join, plus prune telemetry.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // corpus side widened on doc_id (ops/ScanLayout): the 5-gram
+      // explosion + per-gram md5 bucketing over 98% of the corpus is
+      // the query's dominant row-local work and otherwise pipelines
+      // single-threaded onto the unsplittable scan (the 2% eval side
+      // stays narrow)
       val docs = t.documents
+      val wideDocs = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
       val bucketOf = (g: Column) => conv(substring(md5(g), 1, 4), 16, 10).cast("int")
       val evalGrams = grams5(docs.filter(col("doc_id") % 50 === 0))
         .select(col("gram")).distinct()
@@ -309,7 +315,7 @@ object CurationQueries {
       // the 5-gram explosion for the prune, the flag join AND both
       // telemetry counts, and the two telemetry censuses now fuse into
       // one conditional aggregate over the same pass.
-      val corpusGrams = grams5(docs.filter(col("doc_id") % 50 =!= 0))
+      val corpusGrams = grams5(wideDocs.filter(col("doc_id") % 50 =!= 0))
         .join(broadcast(evalBuckets), bucketOf(col("gram")) === col("bucket"), "left")
         .withColumn("hit", col("bucket").isNotNull)
         .drop("bucket")

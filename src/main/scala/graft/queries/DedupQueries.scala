@@ -149,6 +149,10 @@ object DedupQueries {
   val neardup = Q(
     "a10_neardup_minhash",
     "MinHash+LSH near-duplicate pairs: single-md5 sliced min signatures, banded bucket equi-join (no all-pairs), exact Jaccard >= 0.9 verification.",
+    // NOT scan-widened (r12 A/B): the corpus payload exchange costs more
+    // than the ~0.15 s single-threaded tokenize+MinHash it parallelizes
+    // at this document size — unlike e2e_llm_pipeline, whose four
+    // chained per-row passes do amortize it
     (s, dir) => verifiedPairsOver(Tables(s, dir).documents),
     Some("""WITH d AS (
               SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
@@ -236,7 +240,12 @@ object DedupQueries {
       // Cached: the shingle set feeds three consumers (signatures + both
       // sides of the verify join) — materialize the per-doc shingle work
       // once instead of re-deriving it per branch.
-      val shingles = t.documents
+      // scan widened on doc_id (ops/ScanLayout): unlike the unigram
+      // tokenSets path (where the widen measured as a loss), the shingle
+      // basis is ~one 3-gram string + md5 PER TOKEN POSITION, so the
+      // single-threaded stretch is ~10x heavier and amortizes the
+      // payload exchange
+      val shingles = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
@@ -394,6 +403,7 @@ object DedupQueries {
     "a10_dedup_clusters",
     "Near-dup cluster resolution: verified pair graph -> connected components via min-label propagation + pointer jumping (log-diameter rounds) -> per-cluster survivor stats.",
     (s, dir) => {
+      // NOT scan-widened — same A/B verdict as a10_neardup_minhash
       val pairs = verifiedPairsOver(Tables(s, dir).documents)
         .select(col("i").as("src"), col("j").as("dst"))
       graft.ops.ConnectedComponents.resolve(pairs)
@@ -885,7 +895,8 @@ object DedupQueries {
       // SimHash-family policy: P(any collision) ~ n^2/2^65 — 2e-11 at
       // oracle scale; a collision merges two posting lists, it cannot
       // diverge the engines there.
-      val grams = t.documents
+      // scan widened on doc_id (ops/ScanLayout): parallel gram explosion
+      val grams = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 4)
         .select(col("doc_id"),

@@ -343,7 +343,14 @@ LEFT JOIN topo2 t ON s.site = t.site""")
     "LLM curation funnel: quality cascade -> exact dedup -> near-dup clusters over survivors -> chunk + token census, per-source.",
     (s, dir) => {
       val t = graft.Tables(s, dir)
-      val docs = t.documents
+      // widen the unsplittable corpus scan once at the top
+      // (ops/ScanLayout): FOUR sequential per-row-heavy stages chain off
+      // this frame through narrow deps and caches (the regex quality
+      // cascade, the md5 fingerprints, the MinHash signatures of the
+      // survivors, the subword-token census) — on the 1-row-group
+      // fixture all of them would otherwise run single-threaded, since
+      // a cache preserves the 1-partition layout
+      val docs = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("mean_word_len",
           (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
@@ -471,6 +478,7 @@ LEFT JOIN topo2 t ON s.site = t.site""")
     "Contrastive triplets from dedup machinery: best near-dup (jac>=0.9) as positive + hardest non-dup LSH candidate (0.5<=jac<0.9) as negative, per anchor.",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // NOT scan-widened — same A/B verdict as a10_neardup_minhash
       val scored = DedupQueries.scoredPairsOver(graft.Tables(s, dir).documents)
       def top1(df: org.apache.spark.sql.DataFrame) = df
         .withColumn("rk", row_number().over(

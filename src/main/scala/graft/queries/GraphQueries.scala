@@ -40,14 +40,18 @@ object GraphQueries {
     (s, dir) => {
       val t = Tables(s, dir)
       // gram strings hashed at the scan (same policy as syndicationEdges
-      // below): the census/join exchanges carry 8-byte longs
-      val spans = t.documents
+      // below): the census/join exchanges carry 8-byte longs.
+      // No (source, g) pre-distinct (r12 optimization): the collect_set
+      // below dedups sources per gram itself, so the distinct was a full
+      // extra exchange; the scan is widened so the tokenize + xxhash
+      // explosion runs on every core instead of pipelined onto the
+      // single-row-group scan task (ops/ScanLayout)
+      val spans = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
         .select(col("source"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 5)
         .select(col("source"),
           explode(transform(sequence(lit(1), size(col("w")) - 4),
             i => xxhash64(concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("g"))
-        .distinct()
       // bucket fold (r12 optimization, as syndicationEdges below): one
       // gram-keyed collect_set replaces census + join-back + self-join;
       // the weight is the per-(src,dst) count of row-local directed
@@ -150,9 +154,13 @@ object GraphQueries {
       // the slice expansion exactly the p1 < p2 pairs.
       // cached: the edge table feeds BOTH the degree census and the
       // orientation join — uncached, Spark recomputes the pair
-      // expansion twice (the a12_syndication_rank lesson)
-      val edges = t.lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      // expansion twice (the a12_syndication_rank lesson).
+      // Widened on the basket key (ops/ScanLayout): the basket sets
+      // build AFTER the exchange on every core, not as a sort-fallback
+      // partial aggregate on the 1-3-task scan
+      val edges = graft.ops.ScanLayout.widenByKey(
+          t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          col("o"))
         .groupBy(col("o"))
         .agg(sort_array(collect_set(col("p"))).as("ps"))
         .filter(size(col("ps")).between(2, 6))
@@ -296,16 +304,19 @@ object GraphQueries {
     * SimHash-family collision policy (~n²/2⁶⁵); output pairs are
     * (source, source) — the hash never leaves the build. */
   private def syndicationEdges(t: Tables): DataFrame = {
-    val spans = t.documents
+    // widened scan + no (source, g) pre-distinct (r12 optimization):
+    // the collect_set below dedups sources per gram itself, so the
+    // distinct was a full extra exchange, and the widen runs the
+    // tokenize + xxhash explosion on every core (ops/ScanLayout)
+    val spans = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
       .select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("source"),
         explode(transform(sequence(lit(1), size(col("w")) - 4),
           i => xxhash64(concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("g"))
-      .distinct()
     // bucket fold (r12 optimization, the j8 shape): one gram-keyed
-    // collect_set is census + 2..8 cap + pair basis ((source, g) rows
-    // are pre-distinct, so set size == the old count), and the directed
+    // collect_set is census + 2..8 cap + pair basis (set size = the
+    // distinct source count per gram), and the directed
     // src != dst expansion is row-local over the <=8-element set —
     // replaces census + join-back + gram self-join. Identical edge set.
     spans.groupBy(col("g"))
@@ -422,7 +433,8 @@ object GraphQueries {
 
   /** The part co-occurrence graph both LPA faces run on: parts in the
     * same 2–6-item order (the j8 basket cap bounding pair expansion),
-    * symmetric distinct edges.
+    * as a RAW symmetric pair stream — LabelProp.prepare dedups it in
+    * place behind its own src layout exchange.
     *
     * Built the j8_cooccurrence way (the measured round-8 win, re-applied
     * here in round 11 when the fixture refresh made this build the
@@ -431,10 +443,15 @@ object GraphQueries {
     * both dedups and sizes the basket, the 2–6 cap filters BEFORE any
     * expansion, and the pair expansion is row-local over the ≤6-element
     * array. Exchanges drop from five (items distinct, census, two join
-    * sides, edge distinct) to two (basket aggregate, edge distinct). */
+    * sides, edge distinct) to one here (the scan widen IS the basket
+    * exchange) plus prepare's single src layout+dedup exchange. */
   private def coOccurrenceEdges(t: Tables): DataFrame = {
-    val baskets = t.lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // widened on the basket key (ops/ScanLayout): set build runs after
+    // the exchange on every core, not as a single-task sort-fallback
+    // partial over the unsplittable scan
+    val baskets = graft.ops.ScanLayout.widenByKey(
+        t.lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        col("o"))
       .groupBy(col("o"))
       .agg(collect_set(col("p")).as("ps"))
       .filter(size(col("ps")).between(2, 6))
@@ -443,7 +460,11 @@ object GraphQueries {
         // all ordered pairs (i != j) of the basket, row-local
         "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"))
         .as("e"))
-      .select(col("e.src"), col("e.dst")).distinct()
+      // RAW pair stream — no .distinct() here (r12 optimization):
+      // LabelProp.prepare dedups IN PLACE behind its src layout
+      // exchange, so a distinct here would pay a second full exchange
+      // of the pair set for nothing
+      .select(col("e.src"), col("e.dst"))
   }
 
   /** Community-size census over a final labeling: top 20 by size. */

@@ -542,7 +542,14 @@ object MonitorQueries {
         .agg(count(lit(1)).as("n"), sum(col("is_err")).as("errs"))
         .select(col("x"), expr("(errs * 1000000L) div n").as("y"))
         .localCheckpoint() // both sides of the bounded pair self-join
-      val pairs = buckets.select(col("x").as("xi"), col("y").as("yi"))
+      // widen the checkpointed census (ops/ScanLayout): the C(B,2) pair
+      // expansion is a broadcast nested-loop join whose parallelism is
+      // the STREAMED side's partition count — the checkpoint inherits
+      // the AQE-coalesced single partition, so the whole quadratic
+      // stage (pairs + slope census partials) otherwise runs in one
+      // task; hashing the B bucket rows out first is a ~B-row exchange
+      val wideBuckets = graft.ops.ScanLayout.widenByKey(buckets, col("x"))
+      val pairs = wideBuckets.select(col("x").as("xi"), col("y").as("yi"))
         .join(buckets.select(col("x").as("xj"), col("y").as("yj")),
           col("xi") < col("xj"))
         .select(expr("((yj - yi) * 1000000L) div (xj - xi)").as("slope_e6"))

@@ -56,7 +56,11 @@ object SelectionQueries {
     "DSIR-style importance scores: hashed-token target/raw ratio table (<=65536 buckets, broadcast) -> per-doc fixed-point score -> top-20.",
     (s, dir) => {
       val t = Tables(s, dir)
-      val toks = t.documents
+      // scan widened on doc_id (ops/ScanLayout): the explode + per-token
+      // md5 bucketing runs TWICE (census pass + ratio-join pass) and
+      // both passes pipeline onto the unsplittable scan — the widen
+      // parallelizes both for one small doc exchange
+      val toks = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
         .withColumn("f", bucket16(col("tok")))

@@ -155,7 +155,15 @@ object StreamQueries {
     "Event-trigger -> /collect composition: routed events become DataRequests, run the #3.1 pipeline per routed sources; exact census of the wide responses.",
     (s, dir) => {
       val t = Tables(s, dir)
-      graft.streaming.EventStreamPipeline.collectForEvents(t.events)
+      // widen the unsplittable event scan (r12 §2.5 fix): the whole
+      // route → validate → enrich → 4x fan-out chain is row-local and
+      // runs pipelined on the scan task — single-threaded on the
+      // 1-row-group fixture — while the event rows themselves are ~50
+      // bytes; hashing them out to the cores first costs one tiny
+      // exchange and parallelizes every per-row stage (no-op once the
+      // input is splittable; see ops/ScanLayout)
+      graft.streaming.EventStreamPipeline.collectForEvents(
+          graft.ops.ScanLayout.widenByKey(t.events, col("event_id")))
         .groupBy(col("priority"), col("landfire"), col("modis"), col("weather"),
           col("topography"), col("sources_successful"), col("n_high_risk"))
         .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_event_id"))

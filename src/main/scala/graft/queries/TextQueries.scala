@@ -1063,7 +1063,11 @@ object TextQueries {
       // at the sf0.01 oracle scale, 2e-5 at 27M grams (sf10) — and a
       // collision merely merges two posting lists, it cannot diverge
       // the engines at oracle scale.
-      val tf = t.documents
+      // scan widened ON doc_id (ops/ScanLayout): the split + 3-gram
+      // xxhash explosion runs on every core, and the tf census groups
+      // on (doc_id, w) — satisfied by the doc_id hash layout, so the
+      // widen IS the census exchange, not an extra one
+      val tf = graft.ops.ScanLayout.widenByKey(t.documents, col("doc_id"))
         .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(expr(

@@ -184,7 +184,13 @@ object VectorQueries {
     * stay plan- and bit-identical on the stage they share. */
   private def adcPipeline(t: Tables): (DataFrame, DataFrame) = {
     import graft.ops.PqIndex
-    val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+    // scan widened on vec_id (ops/ScanLayout): the encode explosion
+    // (8 sub-spaces x 16 codewords x zip_with distance per vector) is
+    // ~128 distance kernels per vector pipelined onto the scan task —
+    // the dominant single-threaded stretch of every PQ query — while
+    // the vector payload is ~0.5 KB/row, so the widen exchange is tiny
+    val q = graft.ops.ScanLayout.widenByKey(t.embeddings, col("vec_id"))
+      .select(col("vec_id"), quantized.as("qe"))
     val cw = PqIndex.codebook(q)
     val codes = PqIndex.encode(q, cw)
     val lut = broadcast(PqIndex.subVectors(q)
@@ -401,10 +407,13 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       import graft.ops.PqIndex
       val t = Tables(s, dir)
-      val q = t.embeddings.select(col("vec_id"), quantized.as("qe"))
+      // scan widened on vec_id (ops/ScanLayout) — same rationale as
+      // adcPipeline: parallel PQ encode off the unsplittable scan
+      val emb = graft.ops.ScanLayout.widenByKey(t.embeddings, col("vec_id"))
+      val q = emb.select(col("vec_id"), quantized.as("qe"))
       // tier 0: 1-bit sign pack (two 32-bit words, as j5_hamming_topk —
       // row-local fold, no explode/exchange; see signPack)
-      val packed = t.embeddings
+      val packed = emb
         .select(col("vec_id"),
           signPack("slice(embedding, 1, 32)").as("lo"),
           signPack("slice(embedding, 33, 32)").as("hi"))

@@ -68,6 +68,19 @@ class LabelPropSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("prepare dedups a raw pair stream: duplicated edges do not skew the census") {
+    // r12: prepare folds the edge dedup behind its src layout exchange so
+    // callers can hand in RAW pair streams — a triplicated edge multiset
+    // must produce the identical labeling to the distinct edge set
+    val tripled = fixtureEdges.unionAll(fixtureEdges).unionAll(fixtureEdges)
+    val fromRaw = LabelProp.propagateShuffle(tripled, rounds = 3)
+      .orderBy("node").collect().toSeq
+    val fromDistinct = LabelProp.propagateShuffle(fixtureEdges, rounds = 3)
+      .orderBy("node").collect().toSeq
+    assert(fromRaw == fromDistinct)
+    spark.catalog.clearCache()
+  }
+
   test("out-of-range node ids fail loudly instead of mislabeling") {
     // the packed argmax silently decodes wrong labels past 2^31 or below
     // 0 — the guard must fail the job at entry, not return plausible junk
