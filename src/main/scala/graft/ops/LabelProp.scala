@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * most frequent label among its neighbors, ties broken at the SMALLEST
   * label (a total order, so a fixed round count is fully deterministic
   * and both modes agree bit-for-bit with each other and with the
-  * unrolled SQL oracle). The argmax is one HASH aggregate over the
-  * packed long `freq·2³¹ + (2³¹−1−label)` — max of the packing decodes
-  * to the (freq desc, label asc) pick while staying inside whole-stage
-  * codegen (valid while labels < 2³¹ — guarded loudly at entry — and
-  * per-(node,label) frequencies < 2³²).
+  * unrolled SQL oracle). The whole relabel is ONE `mode(lbl, true)`
+  * aggregate per round (r13 optimization): Spark's deterministic Mode
+  * is exactly "most frequent value, lowest value on frequency ties",
+  * computed as an ObjectHashAggregate with map-side partial maps — so
+  * the old census aggregate + packed-long argmax pair (two aggregates,
+  * and in shuffle mode two exchanges) collapses into one aggregate and
+  * one exchange, the partial maps carrying the same (label → count)
+  * census bytes the old census partials did. Dropping the packed-long
+  * argmax also drops its id-domain restriction: node ids may be any
+  * long (the old form silently decoded wrong labels outside [0, 2³¹)
+  * and needed a loud runtime guard — that hazard no longer exists).
   *
   * BOTH modes run over ONE src-hash-partitioned cached edge table —
   * single materialization, unpersisted in an epilogue once the final
@@ -27,20 +33,20 @@ import org.apache.spark.sql.functions._
   *
   *  - '''broadcast''' (small label tables): each round broadcasts the
   *    label table keyed on `dst` into the join (neighbor labels arrive
-  *    along out-edges — the same multiset, by symmetry), and both
-  *    aggregates then group by `src`, satisfied by the src clustering —
+  *    along out-edges — the same multiset, by symmetry), and the mode
+  *    aggregate groups by `src`, satisfied by the src clustering —
   *    every round is EXCHANGE-FREE. Optimal while |nodes| fits an
   *    executor (fixture graphs, dimension-sized graphs).
   *
   *  - '''shuffle''' (the 100 TB mode): each round shuffles only the
   *    |nodes|-sized label table onto `src` (forced `shuffle_hash` join
   *    so the planner can never "helpfully" broadcast a growing label
-  *    table) — the Σdeg-sized edge side NEVER moves — then the census
-  *    and argmax exchanges carry only map-side-combined (node, label)
-  *    partials, bounded by the census, not by Σdeg. Per-round exchanged
-  *    bytes are O(|nodes| + |census|); on a 10⁹-node graph that is the
-  *    standard Pregel round, where the broadcast mode would ship
-  *    gigabytes of labels to every executor every round.
+  *    table) — the Σdeg-sized edge side NEVER moves — then the mode
+  *    aggregate exchanges only map-side-combined (label → count)
+  *    partial maps, bounded by the census, not by Σdeg. Per-round
+  *    exchanged bytes are O(|nodes| + |census|); on a 10⁹-node graph
+  *    that is the standard Pregel round, where the broadcast mode would
+  *    ship gigabytes of labels to every executor every round.
   *
   * [[propagate]] gates between them on the measured node count — one
   * distinct-count read FROM the already-partitioned cache (co-located,
@@ -59,47 +65,48 @@ object LabelProp {
     nLabels <= broadcastMaxLabels
 
   /** ONE synchronous round: relabel every node with the most frequent
-    * neighbor label (smallest label on ties). Exposed so specs can pin
+    * neighbor label (smallest label on ties) — one deterministic-mode
+    * aggregate over the neighbor-label stream. Exposed so specs can pin
     * each mode's round plan — the loop checkpoints labels per round,
     * which cuts the lineage the executed plan would otherwise show.
     *
-    * @param edges symmetric (src, dst), pre-partitioned on src + cached
-    *              at the call site (both modes share that layout)
+    * @param edges symmetric (src, dst) edge SET, pre-partitioned on src
+    *              + cached at the call site (both modes share that
+    *              layout)
     * @param lbl   (node, lbl) current labeling
     */
   def round(edges: DataFrame, lbl: DataFrame, broadcastLabels: Boolean): DataFrame = {
-    // argmax(freq, then smallest label) as one HASH aggregate: max of
-    // the packed long decodes to the (c desc, lbl asc) pick
-    def argmax(census: DataFrame): DataFrame = census
-      .groupBy(col("node"))
-      .agg(max(expr("c * 2147483648L + (2147483647L - lbl)")).as("packed"))
-      .select(col("node"), expr("2147483647L - packed % 2147483648L").as("lbl"))
     if (broadcastLabels) {
       // neighbor labels arrive along OUT-edges (join on dst; identical
-      // multiset by symmetry), so census and argmax both group on src
-      // and ride the cache's src clustering — zero exchanges per round
+      // multiset by symmetry), so the mode aggregate groups on src and
+      // rides the cache's src clustering — zero exchanges per round
       val labelsOnDst = lbl.withColumnRenamed("node", "dst")
-      argmax(edges.join(broadcast(labelsOnDst), "dst")
-        .groupBy(col("src").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c")))
+      edges.join(broadcast(labelsOnDst), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
     } else {
-      // labels shuffle onto src (the edge side never moves); census and
-      // argmax exchange only map-side-combined partials
+      // labels shuffle onto src (the edge side never moves); the mode
+      // aggregate exchanges only map-side-combined (label → count)
+      // partial maps
       val labelsOnSrc = lbl.withColumnRenamed("node", "src")
-      argmax(edges.join(labelsOnSrc.hint("shuffle_hash"), "src")
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("c")))
+      edges.join(labelsOnSrc.hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(mode(col("lbl"), deterministic = true).as("lbl"))
     }
   }
 
   /** Broadcast mode: exchange-free rounds, valid while the label table
-    * fits an executor. */
+    * fits an executor. Edge-SET semantics: `edges` is deduplicated in
+    * place ([[prepare]]) — each neighbor contributes its label ONCE per
+    * round, as LPA requires; a weighted-multiset (multigraph) LPA would
+    * need a different operator. */
   def propagateBroadcast(edges: DataFrame, rounds: Int): DataFrame =
     runRounds(prepare(edges), rounds, broadcastLabels = true)
 
   /** Shuffle mode: the Σdeg-sized edge side is partitioned on src once
     * and never exchanged again; each round moves only the label table
-    * and census-sized aggregate partials. */
+    * and census-sized aggregate partials. Edge-SET semantics, as
+    * [[propagateBroadcast]]. */
   def propagateShuffle(edges: DataFrame, rounds: Int): DataFrame =
     runRounds(prepare(edges), rounds, broadcastLabels = false)
 
@@ -107,15 +114,16 @@ object LabelProp {
     * both modes share (a co-partitioned distinct-count — no second
     * materialization, no extra exchange), then run the mode that
     * survives that size. Both modes compute the identical deterministic
-    * labeling. */
+    * labeling. Edge-SET semantics, as [[propagateBroadcast]]. */
   def propagate(edges: DataFrame, rounds: Int,
                 broadcastMaxLabels: Long = DefaultBroadcastMaxLabels): DataFrame = {
     val e = prepare(edges)
     // ONE distinct pass serves both the gate count and round 1's initial
     // labels (r12 optimization): the count() materializes the lazy
-    // checkpoint, and runRounds starts from the same node table —
-    // previously the gate's distinct+count and initialLabels each ran
-    // their own full distinct over the edge cache.
+    // checkpoint (and populates the edge cache it reads), and runRounds
+    // starts from the same node table — previously the gate's
+    // distinct+count and initialLabels each ran their own full distinct
+    // over the edge cache.
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(false)
     val nLabels = nodes.count()
     runRounds(e, rounds, useBroadcast(nLabels, broadcastMaxLabels),
@@ -123,8 +131,11 @@ object LabelProp {
   }
 
   /** The single materialization both modes (and the gate) read:
-    * src-partitioned cached DISTINCT edges, with the id-domain guard
-    * doubling as the materializing action.
+    * src-partitioned cached DISTINCT edges. Lazily populated — the
+    * first consumer (the gate count, a broadcast build, or round 1's
+    * join) materializes it; r13 dropped the eager id-domain guard pass
+    * the packed argmax used to need, so edge prep no longer costs a
+    * dedicated job.
     *
     * The dedup lives HERE, fused behind the layout exchange (r12
     * optimization): LPA is defined on an edge SET (each neighbor
@@ -134,51 +145,27 @@ object LabelProp {
     * partitioning (subset rule) — so edge prep pays ONE exchange where
     * a caller-side `.distinct()` followed by this repartition paid two.
     * Already-distinct inputs are unchanged (dedup is idempotent). */
-  private def prepare(edges: DataFrame): DataFrame = {
-    val e = edges.repartition(col("src")).distinct().cache() // partitioning-visible, unlike an RDD checkpoint
-    guardIds(e)
-    e
-  }
+  private def prepare(edges: DataFrame): DataFrame =
+    edges.repartition(col("src")).distinct().cache() // partitioning-visible, unlike an RDD checkpoint
 
   /** The round loop over an already-prepared cache, with the unpersist
-    * epilogue: labels are EAGERLY localCheckpoint-ed per round (flat
-    * lineage, materialized by the time the loop exits — the graph is
-    * symmetric, so every node has >= 1 neighbor and appears in every
-    * round's output), so the edge cache can be released before
+    * epilogue. Intermediate rounds are LAZY localCheckpoints (flat
+    * lineage at plan time, nothing runs yet); only the FINAL round is
+    * eager — its materializing job computes the whole round chain in
+    * one pass, persisting each intermediate checkpoint as it streams
+    * through (the chain is linear, so nothing is computed twice). By
+    * the time the loop exits every label table is materialized (the
+    * graph is symmetric, so every node has ≥ 1 neighbor and appears in
+    * every round's output), so the edge cache can be released before
     * returning and composing LabelProp inside a longer job never pays
     * lingering edge memory. */
   private def runRounds(e: DataFrame, rounds: Int, broadcastLabels: Boolean,
                         init: Option[DataFrame] = None): DataFrame = {
     var lbl = init.getOrElse(initialLabels(e))
-    for (_ <- 1 to rounds) lbl = round(e, lbl, broadcastLabels).localCheckpoint()
+    for (r <- 1 to rounds)
+      lbl = round(e, lbl, broadcastLabels).localCheckpoint(r == rounds)
     e.unpersist(blocking = false)
     lbl
-  }
-
-  /** Loud runtime guard for the packed-argmax domain: the packing
-    * `c·2³¹ + (2³¹−1−lbl)` silently decodes to a WRONG label if any node
-    * id is negative or ≥ 2³¹ — plausible on 10⁹-node graphs with hashed
-    * or sequence-gapped long ids — so out-of-range ids must fail the job
-    * instead of producing a plausible-but-wrong labeling. One cheap
-    * min/max aggregate over the already-partitioned edge cache (its
-    * materializing action, so the guard costs no extra pass). */
-  private def guardIds(e: DataFrame): Unit = {
-    // min/max BOTH endpoints in the one pass: on a correctly symmetric
-    // edge set the domains coincide, but an (erroneous) asymmetric input
-    // with out-of-range dst ids would otherwise slip past a src-only
-    // guard and decode wrong labels — the exact silent failure this
-    // guard exists to make loud
-    val r = e.agg(min(col("src").cast("long")).as("slo"),
-      max(col("src").cast("long")).as("shi"),
-      min(col("dst").cast("long")).as("dlo"),
-      max(col("dst").cast("long")).as("dhi")).head()
-    if (!r.isNullAt(0)) {
-      val (lo, hi) = (math.min(r.getLong(0), r.getLong(2)),
-        math.max(r.getLong(1), r.getLong(3)))
-      require(lo >= 0L && hi < 2147483648L,
-        s"LabelProp packed argmax requires node ids in [0, 2^31); edge set has [$lo, $hi]. " +
-          "Remap ids (e.g. dense_rank over nodes) before propagating.")
-    }
   }
 
   private def initialLabels(edges: DataFrame): DataFrame =

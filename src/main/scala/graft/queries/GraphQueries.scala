@@ -394,13 +394,12 @@ object GraphQueries {
     * move, only the label table and map-side-combined census partials
     * are exchanged per round. Both modes compute the identical
     * deterministic labeling (LabelPropSpec proves equality and pins
-    * both plans). The argmax is
-    * a hash-aggregable max over the packed long freq·2³¹ + (2³¹−1−label)
-    * — max_by over a struct would plan as a SortAggregate (two
-    * Σdeg-sized sorts per round, measured 2–3× the whole round's cost);
-    * the packing keeps it in whole-stage codegen (valid while labels
-    * < 2³¹ and per-(node,label) frequencies < 2³²; both hold by
-    * construction here — labels are part ids). Rounds are fixed at 3;
+    * both plans). The whole relabel is ONE deterministic-mode aggregate
+    * per round (r13): Spark's `mode(lbl, true)` is exactly
+    * "most frequent, lowest on ties", with map-side partial (label →
+    * count) maps — the shape the old census + packed-long-argmax
+    * aggregate pair paid two aggregates (and in shuffle mode two
+    * exchanges) for. Rounds are fixed at 3;
     * the 2–6 basket cap bounds pair expansion exactly as in the
     * triangle counter. */
   val labelPropagation = Q(

@@ -81,19 +81,17 @@ class LabelPropSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
-  test("out-of-range node ids fail loudly instead of mislabeling") {
-    // the packed argmax silently decodes wrong labels past 2^31 or below
-    // 0 — the guard must fail the job at entry, not return plausible junk
-    val neg = Seq((-1L, 2L), (2L, -1L)).toDF("src", "dst")
-    val eNeg = intercept[IllegalArgumentException] {
-      LabelProp.propagateBroadcast(neg, rounds = 1)
-    }
-    assert(eNeg.getMessage.contains("[0, 2^31)"))
-    val big = Seq((1L, 1L << 31), (1L << 31, 1L)).toDF("src", "dst")
-    val eBig = intercept[IllegalArgumentException] {
-      LabelProp.propagateShuffle(big, rounds = 1)
-    }
-    assert(eBig.getMessage.contains("[0, 2^31)"))
+  test("out-of-range node ids label correctly (no packed-argmax domain limit)") {
+    // r13: the deterministic-mode aggregate replaced the packed-long
+    // argmax, so ids outside [0, 2^31) — negative or huge hashed longs —
+    // must produce the correct labeling instead of needing a guard.
+    // A triangle of big/negative ids converges on its smallest member.
+    val big = 1L << 40
+    val tri = Seq((-5L, big), (big, -5L), (-5L, big + 1), (big + 1, -5L),
+      (big, big + 1), (big + 1, big)).toDF("src", "dst")
+    val out = LabelProp.propagateShuffle(tri, rounds = 3)
+      .orderBy("node").collect().toSeq
+    assert(out.map(_.getLong(1)).toSet == Set(-5L), out.toString)
     spark.catalog.clearCache()
   }
 
@@ -107,11 +105,13 @@ class LabelPropSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
       p.take(3000))
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
-    // planner-inserted exchanges: label table -> src, census partials
-    // -> (dst,lbl), argmax partials -> node. The Σdeg edge side
-    // contributes NONE — its only exchange is the one-time cache
-    // repartition, which prints inside the InMemoryRelation.
-    assert(plannerShuffles(p) == Seq("dst", "node", "src"),
+    // r13: the census+argmax aggregate pair is ONE deterministic-mode
+    // aggregate, so planner-inserted exchanges are down to TWO — the
+    // label table -> src and the mode partial maps -> node. The Σdeg
+    // edge side contributes NONE — its only exchange is the one-time
+    // cache repartition, which prints inside the InMemoryRelation.
+    assert(p.contains("partial_mode"), p.take(3000))
+    assert(plannerShuffles(p) == Seq("dst", "src"),
       s"unexpected exchange set ${plannerShuffles(p)} in:\n${p.take(3000)}")
     spark.catalog.clearCache()
   }

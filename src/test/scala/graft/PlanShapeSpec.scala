@@ -539,14 +539,14 @@ class PlanShapeSpec extends SparkSpecBase {
       "the sketch leg must plan the HLL aggregate")
   }
 
-  test("a12_label_propagation: a round is exchange-free — broadcast join + hash aggregates only") {
+  test("a12_label_propagation: a round is exchange-free — broadcast join + one mode aggregate") {
     // The registered query checkpoints each round, so its FINAL plan is
     // just an RDD scan; rebuild one round from the same building blocks
     // and pin the shape the scaladoc claims: edges cached with hash(src)
     // partitioning (the ONE layout both LabelProp modes share), neighbor
-    // labels broadcast in on dst, both aggregates partition-local on the
-    // src clustering, argmax as a HASH (packed-long max) aggregate,
-    // never a sort.
+    // labels broadcast in on dst, and the whole relabel ONE
+    // deterministic-mode aggregate (r13) partition-local on the src
+    // clustering — never a sort, never a shuffle.
     import org.apache.spark.sql.functions._
     val t = Tables(spark, dir)
     val items = t.lineitem
@@ -562,12 +562,7 @@ class PlanShapeSpec extends SparkSpecBase {
     edges.count() // materialize so AQE sees the cached partitioning
     val lbl = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
-    val round = edges
-      .join(broadcast(lbl.withColumnRenamed("node", "dst")), "dst")
-      .groupBy(col("src").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
-      .groupBy(col("node"))
-      .agg(max(expr("c * 2147483648L + (2147483647L - lbl)")).as("packed"))
-      .select(col("node"), expr("2147483647L - packed % 2147483648L").as("lbl"))
+    val round = graft.ops.LabelProp.round(edges, lbl, broadcastLabels = true)
     round.count() // finalize the adaptive plan
     val p = round.queryExecution.executedPlan.toString
     // strip the cached-edge subtree (its build legitimately exchanges):
@@ -576,7 +571,9 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!above.contains("Exchange hashpartitioning"),
       s"an LPA round must not shuffle:\n$above")
     assert(!above.contains("SortAggregate"),
-      "the packed-long argmax must stay a hash aggregate")
+      "the mode relabel must stay a hash-style aggregate")
+    assert(above.contains("partial_mode"),
+      "the relabel must be the single mode aggregate with map-side partials")
     assert(above.contains("BroadcastHashJoin"),
       "the label table must broadcast into the round join")
     spark.catalog.clearCache()
