@@ -77,6 +77,18 @@ object GraftSession {
     (num.toDouble * mult).toLong
   }
 
+  /** Ad-hoc conf overrides for A/B experiments, applied LAST so they win:
+    * SPARK_GRAFT_CONF="spark.x=1;spark.y=2". Never set by the bench
+    * driver; exists so a config hypothesis can be measured without a
+    * rebuild (the r13 A/B discipline). */
+  def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';')).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession
       .builder()
@@ -95,6 +107,7 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
+      .config(scala.collection.immutable.ListMap(extraConf: _*))
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

@@ -118,16 +118,12 @@ object LabelProp {
   def propagate(edges: DataFrame, rounds: Int,
                 broadcastMaxLabels: Long = DefaultBroadcastMaxLabels): DataFrame = {
     val e = prepare(edges)
-    // ONE distinct pass serves both the gate count and round 1's initial
-    // labels (r12 optimization): the count() materializes the lazy
-    // checkpoint (and populates the edge cache it reads), and runRounds
-    // starts from the same node table — previously the gate's
-    // distinct+count and initialLabels each ran their own full distinct
-    // over the edge cache.
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(false)
-    val nLabels = nodes.count()
-    runRounds(e, rounds, useBroadcast(nLabels, broadcastMaxLabels),
-      Some(nodes.select(col("node"), col("node").as("lbl"))))
+    // the gate count doubles as the cache-materializing action — a
+    // co-partitioned distinct-count, no second materialization (r12);
+    // round 1 no longer needs the node table at all (fused, see
+    // runRounds), so the count is the distinct's only consumer
+    val nLabels = e.select(col("src").as("node")).distinct().count()
+    runRounds(e, rounds, useBroadcast(nLabels, broadcastMaxLabels))
   }
 
   /** The single materialization both modes (and the gate) read:
@@ -159,16 +155,26 @@ object LabelProp {
     * every round's output), so the edge cache can be released before
     * returning and composing LabelProp inside a longer job never pays
     * lingering edge memory. */
-  private def runRounds(e: DataFrame, rounds: Int, broadcastLabels: Boolean,
-                        init: Option[DataFrame] = None): DataFrame = {
-    var lbl = init.getOrElse(initialLabels(e))
-    for (r <- 1 to rounds)
-      lbl = round(e, lbl, broadcastLabels).localCheckpoint(r == rounds)
+  private def runRounds(e: DataFrame, rounds: Int, broadcastLabels: Boolean): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var lbl: DataFrame = null
+    for (r <- 1 to rounds) {
+      // Round 1 fused (r13): under identity initial labels the round's
+      // label join is the identity — each neighbor's label IS its id —
+      // so round 1 is ONE mode aggregate straight over the edge cache
+      // (broadcast mode groups by src over dst; shuffle mode by dst
+      // over src — identical multisets by symmetry). That drops round
+      // 1's join, its label exchange (shuffle mode), and the separate
+      // initial-labels distinct pass entirely.
+      val stepped =
+        if (r == 1 && broadcastLabels)
+          e.groupBy(col("src").as("node")).agg(mode(col("dst"), deterministic = true).as("lbl"))
+        else if (r == 1)
+          e.groupBy(col("dst").as("node")).agg(mode(col("src"), deterministic = true).as("lbl"))
+        else round(e, lbl, broadcastLabels)
+      lbl = stepped.localCheckpoint(r == rounds)
+    }
     e.unpersist(blocking = false)
     lbl
   }
-
-  private def initialLabels(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
 }

@@ -573,6 +573,14 @@ object MonitorQueries {
         // materializes the census-sized table once (local wall delta is
         // inside noise, the 2x pair-stage saving is the scale argument)
         .localCheckpoint(false)
+      // SinglePartition window, bounded by |distinct slopes| ≤ C(B,2)
+      // where B = |30-minute buckets| — data-dependent (e6 fixed-point
+      // quotients collide freely) but capped by the bucket count the
+      // time range fixes, NOT by row count: a year of buckets is
+      // B ≈ 17.5k ⇒ at worst ~1.5e8 distinct slopes. Past that horizon,
+      // range-partition the census on slope_e6 and compose per-range
+      // subtotal offsets (the a13_ks_stat escape hatch). Fine at every
+      // declared scale.
       val wCum = Window.orderBy(col("slope_e6"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = census

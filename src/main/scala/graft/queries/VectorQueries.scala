@@ -189,8 +189,15 @@ object VectorQueries {
     // ~128 distance kernels per vector pipelined onto the scan task —
     // the dominant single-threaded stretch of every PQ query — while
     // the vector payload is ~0.5 KB/row, so the widen exchange is tiny
+    // cached (r13, the ADVICE follow-up): q fans out to the codebook,
+    // the encode, the query LUT, and (in refine) the exact re-rank —
+    // uncached, each consumer re-ran the scan + widen + quantize
+    // (no ReusedExchange fires across these subtrees; verified in
+    // plans/r13/j5_pq_refine_before.txt — two separate REPARTITION
+    // exchanges of the same scan)
     val q = graft.ops.ScanLayout.widenByKey(t.embeddings, col("vec_id"))
       .select(col("vec_id"), quantized.as("qe"))
+      .cache()
     val cw = PqIndex.codebook(q)
     val codes = PqIndex.encode(q, cw)
     val lut = broadcast(PqIndex.subVectors(q)
@@ -410,7 +417,9 @@ object VectorQueries {
       // scan widened on vec_id (ops/ScanLayout) — same rationale as
       // adcPipeline: parallel PQ encode off the unsplittable scan
       val emb = graft.ops.ScanLayout.widenByKey(t.embeddings, col("vec_id"))
-      val q = emb.select(col("vec_id"), quantized.as("qe"))
+      // cached as in adcPipeline (r13): q feeds the codebook/encode/LUT
+      // chain, the exact tier's join, and the query-vector broadcast
+      val q = emb.select(col("vec_id"), quantized.as("qe")).cache()
       // tier 0: 1-bit sign pack (two 32-bit words, as j5_hamming_topk —
       // row-local fold, no explode/exchange; see signPack)
       val packed = emb
