@@ -66,6 +66,26 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(!r.converged, "2 rounds cannot resolve a diameter-39 path")
   }
 
+  test("fused round 1 equals one-hop min + pointer jump (r13 pin)") {
+    // path 1-2-3-4: one-hop mins are (1,1,2,3); the pointer jump then
+    // resolves 3 -> lbl(2)=1 and 4 -> lbl(3)=2. A fused round 1 that
+    // skipped the jump, or aggregated the wrong side, breaks this exact
+    // table.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val r = ConnectedComponents.resolveChecked(path.toDF("src", "dst"), maxRounds = 1)
+    val got = r.labels.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"round-1 labels drifted: $got")
+    assert(!r.converged && r.rounds == 1)
+  }
+
+  test("maxRounds = 0 is rejected (round 1 is the label initialization)") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.resolveChecked(e, maxRounds = 0)
+    }
+  }
+
   test("seeded random graphs match the union-find reference") {
     val rnd = new Random(42)
     (1 to 3).foreach { _ =>
