@@ -59,6 +59,10 @@ object ConnectedComponents {
       df.join(j, col("lbl") === col("jnode"), "left")
         .select(col("node"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
     }
+    // every round's pre-jump label table, cached so the jump self-join
+    // reads ONE materialization; released in the epilogue once the final
+    // labels are checkpoint-backed
+    val roundCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
       // Lazy checkpoints: each round's convergence-sum action is the one
       // job that both materializes the round's labels and measures them —
@@ -85,7 +89,17 @@ object ConnectedComponents {
               .select(col("dst").as("node"), col("lbl"))
             lbl.union(nmin).groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
           }
-        lbl = jump(stepped).localCheckpoint(false)
+        // Cached before the jump (r13): jump is a self-join, so an
+        // uncached `stepped` is computed TWICE per round — the probed
+        // final plan (tools/CcPlanProbe) shows two separate shuffle
+        // stages running the identical join+union+aggregate, which AQE's
+        // stage reuse does NOT deduplicate across the self-join's
+        // re-aliased attributes. The cache halves the per-round work;
+        // block-level locking makes the concurrent first scans fill it
+        // once.
+        val steppedM = stepped.cache()
+        roundCaches += steppedM
+        lbl = jump(steppedM).localCheckpoint(false)
         // sum over an empty frame is null: an empty node set is trivially
         // converged, not an NPE
         val s = Option(lbl.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0))
@@ -101,6 +115,9 @@ object ConnectedComponents {
       Result(lbl, round, converged)
     } finally {
       sym.unpersist()
+      // every round's labels are checkpoint-backed by its convergence
+      // action, so the pre-jump caches can be dropped with the edges
+      roundCaches.foreach(_.unpersist(blocking = false))
     }
   }
 }
