@@ -762,10 +762,14 @@ object CoreQueries {
     "Grid-bucketed spatial neighbor join: centidegree cells, 3x3 neighborhood explode on one side, exact integer distance <= 20 centideg; band census.",
     (s, dir) => {
       val t = Tables(s, dir)
+      // cached (r13): GridJoin reads `points` twice (the plain side and
+      // the 3x3-exploded side), and pts is a full distinct over the
+      // event log — uncached, that exchange+aggregate ran twice
       val pts = t.events.select(col("user_id")).distinct()
         .select(col("user_id").as("id"),
           pmod(col("user_id") * 131, lit(800)).cast("int").as("x"),
           pmod(col("user_id") * 197, lit(1200)).cast("int").as("y"))
+        .cache()
       graft.ops.GridJoin.neighborPairs(pts, radius = 20L)
         .groupBy(expr("d2 div 100").as("band"))
         .agg(count(lit(1)).as("n_pairs"), min(col("d2")).as("min_d2"),

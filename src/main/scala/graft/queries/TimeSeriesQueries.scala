@@ -648,8 +648,13 @@ object TimeSeriesQueries {
       val pb = purchases.withColumn("bin",
         explode(array(expr(s"p_us div $hourUs"), expr(s"p_us div $hourUs - 1"))))
       val tb = touches.withColumn("bin", expr(s"t_us div $hourUs"))
+      // cached (r13): cand feeds BOTH the ranked credit windows and the
+      // unattributed anti-join — uncached, the event-scale bin join ran
+      // twice (the CC jump lesson: materialize shared subtrees when they
+      // are data-sized)
       val cand = pb.join(tb, Seq("user_id", "bin"))
         .filter(col("t_us") >= col("p_us") - hourUs && col("t_us") < col("p_us"))
+        .cache()
       val w = Window.partitionBy(col("p_id")).orderBy(col("t_us").asc, col("t_id").asc)
       val ranked = cand
         .withColumn("rn", row_number().over(w))
